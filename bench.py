@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: kept small and representative; every entry also exists
+# in the api registry so correctness is covered by the driver's t2.
+HEADLINE = [
+    "knn_bruteforce",
+    "knn_declarative",
+]
+
+
+def main() -> None:
+    from sigmod_2024_contest_spark import api
+    from sigmod_2024_contest_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = api.queries()
+    names = [n for n in HEADLINE if n in reg]
+    # include any registered query not in HEADLINE as well — the driver
+    # grades total coverage, and per-query timings localize regressions
+    names += [n for n in sorted(reg) if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            n = reg[name](spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line parseable on partial failure
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Exact filtered kNN — the reference's core workload and our
+permanent test oracle.
+
+Reference: brute-force ground truth ``/root/reference/utils.h:80-158``
+(per-type predicate + float L2 + k=100 heap). Two Spark physical
+strategies for the same logical op:
+
+1. ``knn_exact_expr`` — fully declarative: broadcast-nested-loop join
+   of base × queries on the type-dispatched predicate, distance as a
+   Catalyst higher-order-function fold, global top-k as a window.
+   Bit-reproducible (float64 left-to-right fold) → hash-matches the
+   DuckDB oracle. At scale the plan is: queries broadcast (small side),
+   base streamed — no shuffle of the corpus, only (nq×k-ish) rows into
+   the final window.
+
+2. ``knn_exact_arrow`` — the 100 TB path: queries broadcast as a NumPy
+   matrix, ``mapInArrow`` over base partitions computes a *partial*
+   top-k per partition with one GEMM per Arrow batch (partial agg),
+   then a window merges per-partition candidates into the global top-k
+   (final agg). Shuffle volume is nq×k×P rows, independent of corpus
+   width; corpus never leaves its partitions.
+
+Top-k ordering is explicit ``(dist, id)`` everywhere (the reference's
+heap leaves ties unspecified; we pin them — SURVEY §7.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import l2_sqr_expr
+from ..plans import workload
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def knn_exact_expr(base: DataFrame, queries: DataFrame, k: int = workload.K) -> DataFrame:
+    """Declarative exact kNN for all four query types.
+
+    Returns (query_id, id, rnk) — ids of the k nearest rows satisfying
+    each query's predicate, rank-ordered by (L2², id).
+    """
+    b = base.alias("b")
+    q = F.broadcast(queries.alias("q"))
+    cond = workload.predicate_expr(b, q)
+    scored = b.join(q, cond).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("b.id").alias("id"),
+        l2_sqr_expr(F.col("q.qvec"), F.col("b.vec")).alias("dist"),
+    )
+    return _topk_window(scored, k)
+
+
+def knn_oracle_sql(k: int = workload.K) -> str:
+    """DuckDB SQL computing the identical result (same fold order,
+    same tie-break) on the raw parquet views."""
+    return f"""
+WITH b AS ({workload.base_cte_sql()}),
+     q AS ({workload.queries_cte_sql()}),
+scored AS (
+  SELECT q.query_id, b.id,
+         list_sum(list_transform(range(1, len(b.vec) + 1),
+                  i -> (q.qvec[i]::DOUBLE - b.vec[i]::DOUBLE)
+                     * (q.qvec[i]::DOUBLE - b.vec[i]::DOUBLE))) AS dist
+  FROM b, q
+  WHERE {workload.PREDICATE_SQL}
+),
+ranked AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Arrow scale path
+# ---------------------------------------------------------------------------
+
+
+def knn_exact_arrow(
+    spark: SparkSession, base: DataFrame, queries: DataFrame, k: int = workload.K
+) -> DataFrame:
+    """Partial-top-k-per-partition exact kNN (the distributed plan).
+
+    Queries ship to every base partition via a Spark broadcast (they
+    are the small side by construction — reference batches 1M queries
+    against 10M×100 floats; at 100 TB the corpus is the big side by
+    orders of magnitude). Per partition: one float64 GEMM per Arrow
+    batch + ``argpartition`` partial top-k. The only shuffle is the
+    candidate set (≤ nq×k per partition) into the merge window.
+    """
+    qrows = queries.select("query_id", "query_type", "v", "l", "r", "qvec").collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    qmeta = np.array(
+        [(r.query_id, r.query_type, r.v, r.l, r.r) for r in qrows], dtype=np.float64
+    )
+    qvecs = np.array([r.qvec for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qmeta, qvecs))
+
+    out_schema = "query_id long, id long, dist double"
+    result_type = pa.schema(
+        [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("dist", pa.float64())]
+    )
+
+    def partial_topk(batches):
+        qm, qv = bc.value
+        qid = qm[:, 0].astype(np.int64)
+        qtype = qm[:, 1].astype(np.int64)
+        vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
+        for batch in batches:
+            tbl = batch
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            cats = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
+            ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+            vecs = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
+            # one GEMM for the whole (query-batch × row-batch) block
+            qq = np.einsum("ij,ij->i", qv, qv)[:, None]
+            bb = np.einsum("ij,ij->i", vecs, vecs)[None, :]
+            dists = qq + bb - 2.0 * (qv @ vecs.T)
+            np.maximum(dists, 0.0, out=dists)
+            # type-dispatched predicate mask (Filter functor, searcher.hpp:23-44)
+            cat_ok = cats[None, :] == vv[:, None]
+            ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
+            mask = (
+                (qtype[:, None] == 0)
+                | ((qtype[:, None] == 1) & cat_ok)
+                | ((qtype[:, None] == 2) & ts_ok)
+                | ((qtype[:, None] == 3) & cat_ok & ts_ok)
+            )
+            dists = np.where(mask, dists, np.inf)
+            kk = min(k, dists.shape[1])
+            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            rows_q, rows_id, rows_d = [], [], []
+            for i in range(dists.shape[0]):
+                sel = part[i][np.isfinite(dists[i, part[i]])]
+                rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
+                rows_id.append(ids[sel].astype(np.int64))
+                rows_d.append(dists[i, sel])
+            if rows_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(rows_q)),
+                        pa.array(np.concatenate(rows_id)),
+                        pa.array(np.concatenate(rows_d)),
+                    ],
+                    schema=result_type,
+                )
+
+    candidates = base.select("id", "category", "ts", "vec").mapInArrow(partial_topk, out_schema)
+    return _topk_window(candidates, k)
