@@ -13,7 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import knn
+from .functions import quantization as Q
+from .operators import bruteforce_sq8, knn, routing, stats
 from .plans import workload
 from .sources.tables import base_vectors
 
@@ -50,3 +51,58 @@ def _knn_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("knn_bruteforce", _knn_bruteforce, knn.knn_oracle_sql())
 register("knn_declarative", _knn_declarative, knn.knn_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Stats / routing / interval planning (reference hybrid_graph.cpp:91-230)
+# ---------------------------------------------------------------------------
+
+
+def _category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.category_counts(base_vectors(spark, sf_dir))
+
+
+def _selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.selectivity(base_vectors(spark, sf_dir), workload.queries_df(spark, sf_dir))
+
+
+def _route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return routing.route_plan(base_vectors(spark, sf_dir), workload.queries_df(spark, sf_dir))
+
+
+def _split_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return routing.split_interval(workload.queries_df(spark, sf_dir))
+
+
+register("stats_category_counts", _category_counts, stats.CATEGORY_COUNTS_SQL)
+register("selectivity", _selectivity, stats.selectivity_sql())
+register("route_plan", _route_plan, routing.route_plan_sql())
+register("split_interval", _split_interval, routing.split_interval_sql())
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantization + two-phase brute force (sq8_sym_quant.hpp, K2/K12)
+# ---------------------------------------------------------------------------
+
+
+def _sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = base_vectors(spark, sf_dir)
+    alpha = Q.train_alpha(base)
+    return base.select("id", Q.encode_expr("vec", alpha).alias("codes"))
+
+
+_SQ8_ENCODE_SQL = f"""
+WITH alpha AS ({Q.ALPHA_SQL}),
+b AS ({workload.base_cte_sql()})
+SELECT id, {Q.encode_sql('b.vec')} AS codes FROM b, alpha
+"""
+
+
+def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = base_vectors(spark, sf_dir)
+    alpha = Q.train_alpha(base)
+    return bruteforce_sq8.knn_sq8_rerank(base, workload.queries_df(spark, sf_dir), alpha)
+
+
+register("sq8_encode", _sq8_encode, _SQ8_ENCODE_SQL)
+register("knn_sq8_rerank", _knn_sq8_rerank, bruteforce_sq8.knn_sq8_rerank_sql())

@@ -1,0 +1,99 @@
+"""SQ8 symmetric scalar quantization.
+
+Reference: ``/root/reference/sq8_sym_quant.hpp:15-115`` — train a
+single global scale α = max |x| over every vector element (an
+aggregation), encode float → int8 as ``round(127·x/α)``, and compute
+symmetric distances in integer arithmetic
+(``distance.hpp:329-366``: ``Σ(ca−cb)²`` over int).
+
+Spark-first: training is ``F.max(F.array_max(F.transform(vec, abs)))``
+— one JVM-side agg over the corpus, no data movement beyond the scalar.
+Encoding is a higher-order ``transform`` (whole column stays JVM-side).
+Rounding is pinned to ``floor(x + 0.5)`` (identical semantics in Spark,
+DuckDB and NumPy — C++ ``round`` half-away-from-zero differs from
+banker's rounding, so we standardize explicitly).
+
+Integer code distances are **order-independent** (int addition is
+associative), so the quantized candidate-generation phase is exactly
+reproducible by the SQL oracle — unlike float sums, no fold-order
+care needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def train_alpha(base: DataFrame, vec_col: str = "vec") -> float:
+    """Global α = max |x| over all vector elements (sq8_sym_quant.hpp:37-42)."""
+    row = base.select(
+        F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))).alias("alpha")
+    ).collect()[0]
+    return float(row.alpha)
+
+
+ALPHA_SQL = "SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS alpha FROM embeddings"
+
+
+def encode_expr(vec: Column | str, alpha: float) -> Column:
+    """float vec → int codes in [−127, 127]: floor(127·clamp(x/α,−1,1)+0.5).
+
+    Emitted as ARRAY<INT> (not tinyint) so downstream integer products
+    can't overflow and the oracle's type matches trivially.
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+
+    def enc(x):
+        scaled = x.cast("double") / F.lit(float(alpha))
+        clamped = F.least(F.greatest(scaled, F.lit(-1.0)), F.lit(1.0))
+        return F.floor(clamped * F.lit(127.0) + F.lit(0.5)).cast("int")
+
+    return F.transform(vec, enc)
+
+
+def encode_sql(vec_sql: str, alpha_sql: str = "alpha.alpha") -> str:
+    """The identical encode as DuckDB SQL (lambda over the list).
+
+    ``alpha_sql`` must be a plain column reference (DuckDB rejects
+    subqueries inside lambdas) — cross-join the 1-row ``alpha`` CTE
+    into the FROM clause.
+    """
+    return (
+        f"list_transform({vec_sql}, x -> CAST(floor("
+        f"least(greatest(x::DOUBLE / {alpha_sql}, -1.0), 1.0) * 127.0 + 0.5) AS INTEGER))"
+    )
+
+
+def code_l2_sqr_expr(a: Column | str, b: Column | str) -> Column:
+    """Symmetric int distance Σ(ca−cb)² (distance.hpp:329-366), exact."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(a, b, lambda x, y: (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long")))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+CODE_L2_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i]::BIGINT - {b}[i]::BIGINT) * ({a}[i]::BIGINT - {b}[i]::BIGINT)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# NumPy variants (Arrow batch path — used inside HNSW build/search)
+# ---------------------------------------------------------------------------
+
+
+def encode_np(vecs: np.ndarray, alpha: float) -> np.ndarray:
+    scaled = np.clip(vecs.astype(np.float64) / alpha, -1.0, 1.0)
+    return np.floor(scaled * 127.0 + 0.5).astype(np.int16)
+
+
+def code_l2_sqr_np(q: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs int code distance: q (nq×d int16) vs b (nb×d int16) → int64."""
+    q = q.astype(np.int64, copy=False)
+    b = b.astype(np.int64, copy=False)
+    qq = np.einsum("ij,ij->i", q, q)[:, None]
+    bb = np.einsum("ij,ij->i", b, b)[None, :]
+    return qq + bb - 2 * (q @ b.T)

@@ -1,0 +1,111 @@
+"""Two-phase quantized brute force: SQ8 candidate generation + exact
+float re-rank.
+
+Reference: the brute-force route of ``BatchSearch``
+(``/root/reference/hybrid_graph.cpp:168-230``): scan int8 codes with
+symmetric integer distances (``bruteforce.h:244-265``), keep the top
+``bf_refine_k`` = 140 candidates, then recompute exact float L2 on the
+candidates and emit the top-100 (``hybrid_graph.cpp:207-228``,
+re-rank K12). Mirrors Spark's partial/final aggregation split: cheap
+wide phase over compressed data, exact narrow phase over ≤140 rows per
+query.
+
+Scale notes: the candidate phase reads only the codes column (4× less
+I/O than float vectors; at 100 TB that is the difference between
+scanning 100 TB and 25 TB) and the re-rank join touches nq×refine_k
+rows — independent of corpus size. Integer code distances are
+order-independent, so phase 1 is bit-reproducible by the SQL oracle;
+phase 2 reuses the fold-stable float64 kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import quantization as Q
+from ..functions.distance import l2_sqr_expr
+from ..plans import workload
+
+BF_REFINE_K = 140  # hybrid_graph.h:80
+
+
+def knn_sq8_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    alpha: float,
+    k: int = workload.K,
+    refine_k: int = BF_REFINE_K,
+) -> DataFrame:
+    """(query_id, id, rnk) — exact-reranked SQ8 brute force, all 4
+    query types. Identical to exact kNN whenever the true top-k
+    survives the 140-deep quantized cut (the reference's operating
+    assumption)."""
+    q = queries.select(
+        "query_id", "query_type", "v", "l", "r", "qvec", Q.encode_expr("qvec", alpha).alias("qcodes")
+    )
+
+    # Phase 1: integer-distance candidate generation over codes only
+    # (the float vec column is pruned out of this scan).
+    b = base.select("id", "category", "ts", Q.encode_expr("vec", alpha).alias("codes")).alias("b")
+    qs = q.select("query_id", "query_type", "v", "l", "r", "qcodes").alias("q")
+    cond = workload.predicate_expr(b, qs)
+    scored = b.join(F.broadcast(qs), cond).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("b.id").alias("id"),
+        Q.code_l2_sqr_expr(F.col("q.qcodes"), F.col("b.codes")).alias("cdist"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
+    cands = scored.withColumn("crnk", F.row_number().over(wc)).filter(F.col("crnk") <= refine_k)
+
+    # Phase 2: exact float64 re-rank of the candidates only.
+    rescored = (
+        cands.select("query_id", "id")
+        .join(base.select(F.col("id"), F.col("vec")), "id")
+        .join(F.broadcast(q.select("query_id", "qvec")), "query_id")
+        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def knn_sq8_rerank_sql(k: int = workload.K, refine_k: int = BF_REFINE_K) -> str:
+    enc_b = Q.encode_sql("b.vec")
+    enc_q = Q.encode_sql("q.qvec")
+    cdist = Q.CODE_L2_SQL.format(a="qcodes", b="codes")
+    return f"""
+WITH alpha AS ({Q.ALPHA_SQL}),
+b0 AS ({workload.base_cte_sql()}),
+q0 AS ({workload.queries_cte_sql()}),
+b AS (SELECT b0.*, {Q.encode_sql('b0.vec')} AS codes FROM b0, alpha),
+q AS (SELECT q0.*, {Q.encode_sql('q0.qvec')} AS qcodes FROM q0, alpha),
+scored AS (
+  SELECT q.query_id, b.id, {cdist} AS cdist
+  FROM b, q
+  WHERE {workload.PREDICATE_SQL}
+),
+cands AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cdist ASC, id ASC) AS crnk
+  FROM scored
+),
+rescored AS (
+  SELECT c.query_id, c.id,
+         list_sum(list_transform(range(1, len(b0.vec) + 1),
+                  i -> (q0.qvec[i]::DOUBLE - b0.vec[i]::DOUBLE)
+                     * (q0.qvec[i]::DOUBLE - b0.vec[i]::DOUBLE))) AS dist
+  FROM cands c
+  JOIN b0 ON b0.id = c.id
+  JOIN q0 ON q0.query_id = c.query_id
+  WHERE c.crnk <= {refine_k}
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+  FROM rescored
+) WHERE rnk <= {k}
+"""

@@ -1,0 +1,56 @@
+"""Stats, routing, SplitInterval and the SQ8 two-phase pipeline vs
+DuckDB oracles (reference hybrid_graph.cpp:91-230, sq8_sym_quant.hpp)."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+from sigmod_2024_contest_spark import api
+
+
+def _check(spark, name):
+    fn = api.queries()[name]
+    sql = api.oracle_sql()[name]
+    assert_matches_oracle(fn(spark, SF_SMOKE), duck_con(SF_SMOKE), sql)
+
+
+def test_category_counts(spark):
+    _check(spark, "stats_category_counts")
+
+
+def test_selectivity(spark):
+    _check(spark, "selectivity")
+
+
+def test_route_plan(spark):
+    _check(spark, "route_plan")
+
+
+def test_split_interval(spark):
+    _check(spark, "split_interval")
+
+
+def test_sq8_encode(spark):
+    _check(spark, "sq8_encode")
+
+
+def test_knn_sq8_rerank(spark):
+    _check(spark, "knn_sq8_rerank")
+
+
+def test_sq8_recall_vs_exact(spark):
+    """The quantized+rerank path must stay near the exact result
+    (reference operates at recall@100 in the 80-100 band; with a
+    140-deep refine at this scale we expect ~1.0)."""
+    from sigmod_2024_contest_spark.operators import bruteforce_sq8, knn
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    exact = {(r.query_id, r.id) for r in knn.knn_exact_expr(base, q).collect()}
+    alpha = Q.train_alpha(base)
+    approx = {(r.query_id, r.id) for r in bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.99, recall
