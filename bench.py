@@ -18,6 +18,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "knn_bruteforce",
     "knn_declarative",
+    "knn_sq8_rerank",
+    "knn_hybrid",
 ]
 
 

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import quantization as Q
-from .operators import bruteforce_sq8, knn, routing, stats
+from .operators import bruteforce_sq8, engine, knn, routing, stats
 from .plans import workload
 from .sources.tables import base_vectors
 
@@ -24,7 +24,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
-    _REGISTRY[name] = (fn, oracle)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .session import ship_package
+
+        ship_package(spark)  # workers must import this package (see session.py)
+        return fn(spark, sf_dir)
+
+    _REGISTRY[name] = (wrapped, oracle)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -106,3 +112,18 @@ def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("sq8_encode", _sq8_encode, _SQ8_ENCODE_SQL)
 register("knn_sq8_rerank", _knn_sq8_rerank, bruteforce_sq8.knn_sq8_rerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# Hybrid engine: routed bf + partitioned-HNSW graph search
+# (BatchSearch, hybrid_graph.cpp:147-503). ANN → rows-only check;
+# recall vs the exact oracle is gated in tests/test_hnsw_engine.py.
+# ---------------------------------------------------------------------------
+
+
+def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = base_vectors(spark, sf_dir)
+    return engine.knn_hybrid(spark, base, workload.queries_df(spark, sf_dir))
+
+
+register("knn_hybrid", _knn_hybrid, None)

@@ -1,0 +1,226 @@
+"""Hybrid batch search engine: routing + partitioned graph ANN +
+quantized brute force + global merge/re-rank.
+
+Reference: ``HybridGraph::BatchSearch`` (``/root/reference/
+hybrid_graph.cpp:147-503``) — the six-phase executor. The Spark
+translation (SURVEY §3.2): each phase is a DataFrame job, phase
+boundaries are shuffles:
+
+1. selectivity + routing   → stats join + ``route`` column (routing.py)
+2. brute-force branch      → SQ8 codes scan + exact re-rank (bruteforce_sq8.py)
+3. type-1/3 graph branch   → per-category index partitions
+4. type-0 branch           → all decile index partitions
+5. type-2 branch           → overlapped decile partitions (SplitInterval)
+6. global merge            → union candidates + window top-k
+
+Index partitions are built once (``build_index``) as a Parquet-able
+DataFrame; search ships each query group to exactly the partitions its
+predicate can touch (partition pruning done relationally — queries ⨝
+partition catalog). Graph search computes exact float64 distances on
+the original vectors, so the global merge needs no extra re-rank join.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import quantization as Q
+from ..plans import workload
+from . import bruteforce_sq8, routing
+from .hnsw import NumpyHNSW, beam_search
+
+INDEX_SCHEMA = (
+    "pkey string, pos long, id long, category int, ts double, vec array<float>, nbrs array<int>"
+)
+CAND_SCHEMA = "query_id long, id long, dist double"
+
+
+def _build_group(pdf: pd.DataFrame, m: int, efc: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("id").reset_index(drop=True)
+    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+    seed = zlib.crc32(pdf["pkey"].iloc[0].encode())
+    nbrs = NumpyHNSW(m=m, ef_construction=efc, seed=seed).build(vecs)
+    return pd.DataFrame(
+        {
+            "pkey": pdf["pkey"],
+            "pos": np.arange(len(pdf), dtype=np.int64),
+            "id": pdf["id"].to_numpy(),
+            "category": pdf["category"].to_numpy(),
+            "ts": pdf["ts"].to_numpy(),
+            "vec": pdf["vec"],
+            "nbrs": [row[row >= 0].tolist() for row in nbrs],
+        }
+    )
+
+
+def build_index(
+    base: DataFrame,
+    cat_thr: float = routing.CAT_GRAPH_THR,
+    m: int = 16,
+    efc: int = 100,
+) -> DataFrame:
+    """Build all graph partitions as one DataFrame job.
+
+    Two partition families, mirroring the reference's sorted replicas
+    (utils.h:352-479): ``cat:<v>`` for every category holding ≥ cat_thr
+    of the corpus (hybrid_graph.cpp:47-70) and ``dec:<d>`` for the ten
+    ts-deciles (hybrid_graph.cpp:72-89). Each group builds its HNSW
+    sequentially inside one task — parallel across groups.
+    """
+    total = base.count()
+    big_cats = (
+        base.groupBy("category")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= cat_thr * total)
+        .select("category")
+    )
+    cat_part = base.join(F.broadcast(big_cats), "category").select(
+        F.concat(F.lit("cat:"), F.col("category").cast("string")).alias("pkey"),
+        "id",
+        "category",
+        "ts",
+        "vec",
+    )
+    dec_part = base.select(
+        F.concat(
+            F.lit("dec:"),
+            F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9)).cast("string"),
+        ).alias("pkey"),
+        "id",
+        "category",
+        "ts",
+        "vec",
+    )
+    both = cat_part.unionByName(dec_part).repartition("pkey")
+    return both.groupBy("pkey").applyInPandas(
+        lambda pdf: _build_group(pdf, m, efc), INDEX_SCHEMA
+    )
+
+
+def _assignments(queries: DataFrame, plan: DataFrame) -> DataFrame:
+    """(pkey, query_id, query_type, v, l, r, qvec) — which index
+    partition serves which graph-routed query (partition pruning,
+    done relationally)."""
+    q = queries.join(plan.select("query_id", "route"), "query_id")
+    graph_q = q.filter(F.col("route") != routing.ROUTE_BF)
+    # type 1/3 → its category graph
+    cat_assign = graph_q.filter(F.col("query_type").isin(1, 3)).select(
+        F.concat(F.lit("cat:"), F.col("v").cast("string")).alias("pkey"),
+        "query_id",
+        "query_type",
+        "v",
+        "l",
+        "r",
+        "qvec",
+    )
+    # type 0 → every decile graph; type 2 → overlapped deciles only
+    deciles = graph_q.filter(F.col("query_type").isin(0, 2)).select(
+        "query_id",
+        "query_type",
+        "v",
+        "l",
+        "r",
+        "qvec",
+        F.explode(
+            F.when(F.col("query_type") == 0, F.sequence(F.lit(0), F.lit(9))).otherwise(
+                F.sequence(
+                    F.greatest(F.floor(F.col("l") * 10).cast("int"), F.lit(0)),
+                    F.least(F.ceil(F.col("r") * 10).cast("int") - 1, F.lit(9)),
+                )
+            )
+        ).alias("dec"),
+    )
+    dec_assign = deciles.select(
+        F.concat(F.lit("dec:"), F.col("dec").cast("string")).alias("pkey"),
+        "query_id",
+        "query_type",
+        "v",
+        "l",
+        "r",
+        "qvec",
+    )
+    return cat_assign.unionByName(dec_assign)
+
+
+def _search_cogroup(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame, k: int, ef: int) -> pd.DataFrame:
+    if index_pdf.empty or q_pdf.empty:
+        return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
+            {"query_id": "int64", "id": "int64", "dist": "float64"}
+        )
+    index_pdf = index_pdf.sort_values("pos").reset_index(drop=True)
+    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in index_pdf["vec"]])
+    n = len(index_pdf)
+    m0 = max((len(x) for x in index_pdf["nbrs"]), default=1) or 1
+    nbrs = np.full((n, m0), -1, dtype=np.int32)
+    for i, row in enumerate(index_pdf["nbrs"]):
+        nbrs[i, : len(row)] = row
+    ids = index_pdf["id"].to_numpy()
+    cats = index_pdf["category"].to_numpy()
+    ts = index_pdf["ts"].to_numpy()
+    out_q, out_i, out_d = [], [], []
+    for qr in q_pdf.itertuples(index=False):
+        qv = np.asarray(qr.qvec, dtype=np.float64)
+        t = int(qr.query_type)
+        allowed = None
+        if t in (1, 3):
+            allowed = cats == qr.v
+        if t in (2, 3):
+            m = (ts >= qr.l) & (ts <= qr.r)
+            allowed = m if allowed is None else (allowed & m)
+        pos, dd = beam_search(vecs, nbrs, qv, k, ef, allowed)
+        out_q.extend([qr.query_id] * len(pos))
+        out_i.extend(ids[pos].tolist())
+        out_d.extend(dd.tolist())
+    return pd.DataFrame(
+        {
+            "query_id": np.asarray(out_q, dtype=np.int64),
+            "id": np.asarray(out_i, dtype=np.int64),
+            "dist": np.asarray(out_d, dtype=np.float64),
+        }
+    )
+
+
+def graph_search(index: DataFrame, assignments: DataFrame, k: int, ef: int = 200) -> DataFrame:
+    """Cogrouped per-partition beam search → candidate rows."""
+    cg = index.groupby("pkey").cogroup(assignments.groupby("pkey"))
+    return cg.applyInPandas(
+        lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef), CAND_SCHEMA
+    )
+
+
+def knn_hybrid(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = workload.K,
+    ef: int = 200,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """The full BatchSearch pipeline: route → bf/graph branches →
+    global top-k. Returns (query_id, id, rnk)."""
+    plan = routing.route_plan(base, queries).cache()
+    bf_queries = queries.join(
+        plan.filter(F.col("route") == routing.ROUTE_BF).select("query_id"), "query_id"
+    )
+    alpha = Q.train_alpha(base)
+    bf_res = bruteforce_sq8.knn_sq8_rerank(base, bf_queries, alpha, k=k).select(
+        "query_id", "id", "rnk"
+    )
+
+    if index is None:
+        index = build_index(base)
+    assigns = _assignments(queries, plan)
+    cands = graph_search(index, assigns, k=k, ef=ef)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    graph_res = (
+        cands.dropDuplicates(["query_id", "id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+    return bf_res.unionByName(graph_res)

@@ -1,0 +1,235 @@
+"""Partitioned HNSW graph index: NumPy build + filtered beam search.
+
+Reference: ``/root/reference/hnswalg.h`` (addPoint 1087-1202,
+searchBaseLayer 525-620, neighbor heuristic 629-656, bidirectional
+connect 682-797), wrapped per partition by ``hnsw.hpp:33-89`` and
+orchestrated per category / per decile by ``hybrid_graph.cpp:29-89``.
+
+Spark mapping (SURVEY §2.5): shared-memory incremental insertion does
+not distribute, so — exactly like the reference, which builds one
+graph per category / decile slice — the unit of parallelism is the
+*partition*: ``groupBy(pkey).applyInPandas(build)`` constructs each
+graph sequentially inside one task, embarrassingly parallel across
+partitions. The index is a plain DataFrame
+``(pkey, pos, id, category, ts, vec, nbrs)`` persisted as Parquet —
+node rows carry their vectors so a search task needs exactly one
+partition of one table.
+
+Determinism: levels are drawn from a NumPy RNG seeded by the partition
+key, and rows are inserted in id order, so a rebuild of the same slice
+yields the same graph (the reference's OMP build is order-racy; we pin
+it — SURVEY §7.6). ANN results are still gated by recall, not
+hash-match.
+
+Scale notes: a partition too big for one task at 100 TB splits into
+sub-shards (coarse split → one graph per shard → search all shards,
+merge by distance); the search path below already merges arbitrary
+many partitions, so sub-sharding changes only the build keying.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class NumpyHNSW:
+    """Single-partition HNSW (reference hnswalg.h semantics, NumPy body).
+
+    M / efConstruction defaults follow hybrid_graph.h:9-12 (M=28,
+    efC=200) scaled down for testdata-sized partitions.
+    """
+
+    def __init__(self, m: int = 16, ef_construction: int = 100, seed: int = 0):
+        self.m = m
+        self.m0 = 2 * m
+        self.efc = ef_construction
+        self.ml = 1.0 / np.log(m)
+        self.rng = np.random.default_rng(seed)
+
+    def build(self, vecs: np.ndarray) -> list[np.ndarray]:
+        """Insert all rows (in index order) → per-node neighbor lists
+        for layer 0 (dense int32 array N×m0, −1 padded). Upper layers
+        are used during build for entry-point descent and then folded
+        into the flat graph (the searcher re-seeds instead — reference
+        keeps an HNSWInitializer; our filtered searches use positional
+        seeding like searcher.hpp:306-313, which subsumes it)."""
+        n = vecs.shape[0]
+        v = vecs.astype(np.float32)
+        levels = np.minimum(
+            np.floor(-np.log(self.rng.random(n)) * self.ml).astype(np.int64), 8
+        )
+        max_level = int(levels.max(initial=0))
+        # adjacency per layer: list of lists (python) — frozen at the end
+        adj: list[list[list[int]]] = [[] for _ in range(max_level + 1)]
+        node_at_layer: list[list[int]] = [[] for _ in range(max_level + 1)]
+        for lc in range(max_level + 1):
+            adj[lc] = [None] * n  # type: ignore[list-item]
+
+        def dist_to(q: np.ndarray, ids) -> np.ndarray:
+            diff = v[ids] - q
+            return np.einsum("ij,ij->i", diff, diff)
+
+        def search_layer(q: np.ndarray, eps: list[int], ef: int, lc: int) -> list[tuple[float, int]]:
+            """Best-first beam (searchBaseLayer, hnswalg.h:525-620)."""
+            visited = set(eps)
+            d = dist_to(q, eps)
+            cand = sorted(zip(d.tolist(), eps))  # min-heap by list (small ef)
+            top = list(cand)  # result pool, kept sorted asc
+            import heapq
+
+            heap = list(cand)
+            heapq.heapify(heap)
+            worst = top[-1][0] if len(top) >= ef else np.inf
+            while heap:
+                dc, c = heapq.heappop(heap)
+                if dc > worst:
+                    break
+                nbrs = [x for x in (adj[lc][c] or []) if x not in visited]
+                if not nbrs:
+                    continue
+                visited.update(nbrs)
+                dn = dist_to(q, nbrs)
+                for dd, nb in zip(dn.tolist(), nbrs):
+                    if len(top) < ef or dd < worst:
+                        heapq.heappush(heap, (dd, nb))
+                        top.append((dd, nb))
+                if len(top) > ef:
+                    top.sort()
+                    del top[ef:]
+                worst = top[-1][0] if len(top) >= ef else np.inf
+            top.sort()
+            return top
+
+        def select_heuristic(q: np.ndarray, cands: list[tuple[float, int]], m: int) -> list[int]:
+            """RNG diversity prune (getNeighborsByHeuristic2,
+            hnswalg.h:629-656): keep c iff c is closer to q than to
+            every already-kept neighbor."""
+            kept: list[int] = []
+            for dc, c in cands:
+                if len(kept) >= m:
+                    break
+                ok = True
+                if kept:
+                    dk = dist_to(v[c], kept)
+                    if (dk < dc).any():
+                        ok = False
+                if ok:
+                    kept.append(c)
+            return kept
+
+        entry = 0
+        entry_level = int(levels[0]) if n else 0
+        for lc in range(entry_level + 1):
+            adj[lc][0] = []
+        for i in range(1, n):
+            q = v[i]
+            lvl = int(levels[i])
+            for lc in range(lvl + 1):
+                adj[lc][i] = []
+            ep = [entry]
+            for lc in range(max(entry_level, lvl), lvl, -1):
+                if lc > entry_level:
+                    continue
+                res = search_layer(q, ep, 1, lc)
+                ep = [res[0][1]]
+            for lc in range(min(lvl, entry_level), -1, -1):
+                cands = search_layer(q, ep, self.efc, lc)
+                mmax = self.m0 if lc == 0 else self.m
+                nbrs = select_heuristic(q, cands, self.m)
+                adj[lc][i] = list(nbrs)
+                for nb in nbrs:
+                    lst = adj[lc][nb]
+                    lst.append(i)
+                    if len(lst) > mmax:
+                        # overflow re-prune (mutuallyConnectNewElement, hnswalg.h:682-797)
+                        dl = dist_to(v[nb], lst)
+                        order = np.argsort(dl, kind="stable")
+                        pruned = select_heuristic(
+                            v[nb], [(float(dl[j]), lst[j]) for j in order], mmax
+                        )
+                        adj[lc][nb] = pruned
+                ep = [c for _, c in cands[:1]] or ep
+            if lvl > entry_level:
+                entry = i
+                entry_level = lvl
+        out = np.full((n, self.m0), -1, dtype=np.int32)
+        for i in range(n):
+            row = adj[0][i] or []
+            out[i, : len(row)] = row[: self.m0]
+        return out
+
+
+def beam_search(
+    vecs: np.ndarray,
+    nbrs: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    ef: int,
+    allowed: np.ndarray | None = None,
+    n_seeds: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Filtered best-first search over the flat graph.
+
+    ``allowed`` is a bool mask over positions (the in-traversal
+    predicate of searcher.hpp:301-374): traversal crosses all edges,
+    but only allowed nodes enter the result pool. Entry points are
+    evenly spaced allowed positions (range seeding, searcher.hpp:306-313).
+    Returns (positions, dists) of ≤k best allowed nodes, float64 exact.
+    """
+    import heapq
+
+    n = vecs.shape[0]
+    v = vecs
+    if allowed is None:
+        allowed = np.ones(n, dtype=bool)
+    idx = np.flatnonzero(allowed)
+    if idx.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    seeds = idx[np.unique(np.linspace(0, idx.size - 1, min(n_seeds, idx.size)).astype(np.int64))]
+    qd = q.astype(np.float64)
+
+    def dist_to(ids):
+        diff = v[ids].astype(np.float64) - qd
+        return np.einsum("ij,ij->i", diff, diff)
+
+    visited = np.zeros(n, dtype=bool)
+    visited[seeds] = True
+    ds = dist_to(seeds)
+    heap = sorted(zip(ds.tolist(), seeds.tolist()))
+    result = [(dd, s) for dd, s in heap if allowed[s]]
+    result.sort()
+    del result[ef:]
+    worst = result[-1][0] if len(result) >= ef else np.inf
+    heap = list(heap)
+    heapq.heapify(heap)
+    while heap:
+        dc, c = heapq.heappop(heap)
+        if dc > worst and len(result) >= ef:
+            break
+        cn = nbrs[c]
+        cn = cn[cn >= 0]
+        cn = cn[~visited[cn]]
+        if cn.size == 0:
+            continue
+        visited[cn] = True
+        dn = dist_to(cn)
+        for dd, nb in zip(dn.tolist(), cn.tolist()):
+            if len(result) < ef or dd < worst:
+                heapq.heappush(heap, (dd, nb))
+                if allowed[nb]:
+                    result.append((dd, nb))
+        if len(result) > ef:
+            result.sort()
+            del result[ef:]
+            worst = result[-1][0]
+        elif result:
+            result.sort()
+            if len(result) >= ef:
+                worst = result[-1][0]
+    result.sort()
+    result = result[:k]
+    if not result:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    pos = np.array([p for _, p in result], dtype=np.int64)
+    dd = np.array([d for d, _ in result], dtype=np.float64)
+    return pos, dd

@@ -1,0 +1,66 @@
+"""HNSW build invariants + hybrid engine recall gates.
+
+ANN paths are nondeterministic in principle (we pin seeds, but graph
+quality varies), so correctness is a recall bound vs the exact oracle
+— the reference's own methodology (utils.h:224-253, SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from conftest import SF_SMOKE
+
+from sigmod_2024_contest_spark.operators import engine, knn
+from sigmod_2024_contest_spark.operators.hnsw import NumpyHNSW, beam_search
+from sigmod_2024_contest_spark.plans import workload
+from sigmod_2024_contest_spark.sources.tables import base_vectors
+
+
+def test_hnsw_local_recall():
+    """Pure NumPy HNSW on a random corpus: top-10 recall >= 0.9."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(2000, 32)).astype(np.float32)
+    nbrs = NumpyHNSW(m=16, ef_construction=100, seed=1).build(vecs)
+    assert nbrs.shape == (2000, 32)
+    # graph invariants (mirrors checkIntegrity, hnswalg.h:1210-1241)
+    valid = nbrs[nbrs >= 0]
+    assert valid.max() < 2000
+    deg = (nbrs >= 0).sum(axis=1)
+    assert (deg[1:] > 0).all()  # every node (but maybe isolated 0th) connected
+
+    hits = 0
+    total = 0
+    for qi in range(50):
+        q = vecs[qi].astype(np.float64)
+        diff = vecs.astype(np.float64) - q
+        exact = np.argsort(np.einsum("ij,ij->i", diff, diff), kind="stable")[:10]
+        pos, _ = beam_search(vecs, nbrs, q, k=10, ef=150)
+        hits += len(set(exact.tolist()) & set(pos.tolist()))
+        total += 10
+    assert hits / total >= 0.9, hits / total
+
+
+def test_hnsw_filtered_search():
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(1000, 16)).astype(np.float32)
+    nbrs = NumpyHNSW(m=12, ef_construction=80, seed=2).build(vecs)
+    allowed = np.zeros(1000, dtype=bool)
+    allowed[::3] = True
+    pos, dists = beam_search(vecs, nbrs, vecs[0].astype(np.float64), k=10, ef=100, allowed=allowed)
+    assert all(allowed[p] for p in pos)
+    assert (np.diff(dists) >= 0).all()
+
+
+def test_hybrid_engine_recall(spark):
+    """Full pipeline recall@k vs exact oracle >= 0.95 (BASELINE.md bar)."""
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base, q).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    assert set(got) == set(exact), "every query must be answered exactly once"
+    recalls = [len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.95, mean_recall
