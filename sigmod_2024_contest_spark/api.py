@@ -14,9 +14,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import quantization as Q
-from .operators import bruteforce_sq8, engine, knn, routing, stats
+from .functions import text as T
+from .operators import bruteforce_sq8, dedup, engine, knn, routing, similarity, stats
 from .plans import workload
-from .sources.tables import base_vectors
+from .sources.tables import base_vectors, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -127,3 +128,54 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("knn_hybrid", _knn_hybrid, None)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (SURVEY §7.5)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+register("text_stats", lambda s, d: T.text_stats(_docs(s, d)), T.TEXT_STATS_SQL)
+register("lang_id", lambda s, d: T.lang_id(_docs(s, d)), T.lang_id_sql())
+register("doc_fingerprint", lambda s, d: T.fingerprint(_docs(s, d)), T.FINGERPRINT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication family
+# ---------------------------------------------------------------------------
+
+
+register("dedup_exact", lambda s, d: dedup.dedup_exact(_docs(s, d)), dedup.DEDUP_EXACT_SQL)
+register("dedup_jaccard", lambda s, d: dedup.jaccard_pairs(_docs(s, d)), dedup.jaccard_pairs_sql())
+register(
+    "dedup_minhash_lsh",
+    lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+    dedup.minhash_lsh_pairs_sql(),
+)
+register("dedup_simhash", lambda s, d: dedup.simhash(_docs(s, d)), dedup.SIMHASH_SQL)
+register(
+    "dedup_embedding_cosine",
+    lambda s, d: dedup.cosine_pairs(load_table(s, d, "embeddings")),
+    dedup.cosine_pairs_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+register(
+    "ann_cosine_topk",
+    lambda s, d: similarity.ann_cosine_topk(load_table(s, d, "embeddings")),
+    similarity.ann_cosine_topk_sql(),
+)
+register(
+    "ann_lsh_topk",
+    lambda s, d: similarity.ann_lsh_topk(load_table(s, d, "embeddings")),
+    similarity.ann_lsh_topk_sql(),
+)

@@ -1,0 +1,140 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting.
+
+Beyond the reference's surface (SURVEY §7.5): these are the
+document-corpus operators a 100 TB text pipeline runs before training.
+All of them are pure column expressions (JVM-side, no Python in the
+hot path); ratio-valued outputs are emitted as integer ppm
+(``floor(x*1e6)``) so oracle comparisons never hash floats.
+
+Spark and DuckDB variants are kept side by side — same arithmetic,
+same fold orders — so every op here is hash-match verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword/marker lists are deliberately small and inlined: at scale
+# these ship as broadcast literals, not data-dependent state.
+STOPWORDS = ("a", "the", "and", "of", "in", "to", "is", "on")
+
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ein", "ist"),
+    "en": ("a", "the", "and", "is", "of"),
+    "es": ("el", "la", "los", "es", "y", "un"),
+    "fr": ("le", "la", "les", "et", "un", "est"),
+}
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def tokens_expr(text: Column | str = "text") -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_calc, n_tokens, n_distinct, avg_token_len_ppm,
+    stopword_ppm, quality_ppm) — the standard quality-filter features
+    (length, redundancy, stopword density) + a combined score."""
+    ws = tokens_expr("text")
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    tok_chars = F.aggregate(F.transform(ws, F.length), F.lit(0), lambda a, x: a + x)
+    sw = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    ntd = n_tokens.cast("double")
+    stop_frac = sw.cast("double") / ntd
+    quality = (
+        F.lit(0.4) * F.least(ntd, F.lit(100.0)) / F.lit(100.0)
+        + F.lit(0.3) * (n_distinct.cast("double") / ntd)
+        + F.lit(0.3) * (F.lit(1.0) - stop_frac)
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.floor(tok_chars.cast("double") / ntd * 1e6).cast("long").alias("avg_token_len_ppm"),
+        F.floor(stop_frac * 1e6).cast("long").alias("stopword_ppm"),
+        F.floor(quality * 1e6).cast("long").alias("quality_ppm"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_calc,
+       len(ws)::BIGINT AS n_tokens,
+       len(list_distinct(ws))::BIGINT AS n_distinct,
+       CAST(floor(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)::DOUBLE * 1e6) AS BIGINT) AS avg_token_len_ppm,
+       CAST(floor(len(list_filter(ws, w -> list_contains([{_sql_list(STOPWORDS)}], w)))::DOUBLE / len(ws)::DOUBLE * 1e6) AS BIGINT) AS stopword_ppm,
+       CAST(floor((0.4 * least(len(ws)::DOUBLE, 100.0) / 100.0
+                 + 0.3 * (len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE)
+                 + 0.3 * (1.0 - len(list_filter(ws, w -> list_contains([{_sql_list(STOPWORDS)}], w)))::DOUBLE / len(ws)::DOUBLE)) * 1e6) AS BIGINT) AS quality_ppm
+FROM t
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, score) — marker-token language heuristic.
+    Winner = highest marker count, ties broken by language code asc,
+    zero hits → 'und'. (n-gram language ID reduced to its word-level
+    core; the mechanism — not the marker lists — is the operator.)"""
+    ws = tokens_expr("text")
+
+    def count_in(markers):
+        # single-param lambda: a 2-arg lambda would be read as
+        # (element, index) by F.filter
+        return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+    scores = {lang: count_in(markers) for lang, markers in sorted(LANG_MARKERS.items())}
+    best = None
+    best_score = None
+    for lang in sorted(scores):  # asc order ⇒ first strict max wins ties
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return docs.select(
+        "doc_id",
+        F.when(best_score > 0, best).otherwise(F.lit("und")).alias("lang_pred"),
+        best_score.cast("long").alias("score"),
+    )
+
+
+def lang_id_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"len(list_filter(ws, w -> list_contains([{_sql_list(m)}], w))) AS s_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    # replicate the fold: first strict max in asc lang order wins
+    best = f"'{langs[0]}'"
+    best_s = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best} END"
+        best_s = f"CASE WHEN s_{lang} > {best_s} THEN s_{lang} ELSE {best_s} END"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id,
+       CASE WHEN {best_s} > 0 THEN {best} ELSE 'und' END AS lang_pred,
+       {best_s}::BIGINT AS score
+FROM s
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — content fingerprint (md5 hex). Exact-dedup key
+    and a portable stand-in for rolling-hash fingerprints."""
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exact baseline) and a hyperplane-LSH bucketed variant (the scale
+path).
+
+Beyond the reference's own L2 workload (SURVEY §7.5) but the same
+shape: candidate generation must never touch the O(n²) pair space.
+The LSH variant mirrors the reference's category partitioning — hash
+buckets play the role of category slices, and search happens only
+inside the query's bucket.
+
+Hyperplane components are generated from a portable LCG formula (not
+engine RNG), so bucket assignment — and therefore the whole result —
+is bit-identical in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_sim_expr
+from ..plans.workload import QUERY_STRIDE
+
+TOPK = 10
+N_PLANES = 8  # → 256 buckets
+DIM = 64
+MOD = 2147483647
+
+
+def _plane(j: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane (portable LCG)."""
+    return [
+        ((1103515245 * (j * dim + i) + 12345) % MOD) / MOD - 0.5 for i in range(dim)
+    ]
+
+
+def ann_cosine_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
+    """(query_id, id, rnk): exact top-k by cosine for the derived query
+    set (every QUERY_STRIDE-th vector), self excluded. The brute-force
+    baseline every ANN variant is measured against."""
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    scored = emb.alias("b").join(q.alias("q"), F.col("q.query_id") != F.col("b.vec_id")).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("b.vec_id").alias("id"),
+        cosine_sim_expr(F.col("q.qvec"), F.col("b.embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_COS = (
+    "list_sum(list_transform(range(1, len(b.embedding) + 1), "
+    "k -> q.qvec[k]::DOUBLE * b.embedding[k]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1), "
+    "k -> q.qvec[k]::DOUBLE * q.qvec[k]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
+    "k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE))))"
+)
+
+
+def ann_cosine_topk_sql(k: int = TOPK) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS id, {_COS} AS cos
+  FROM embeddings b, q WHERE q.query_id != b.vec_id
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """LSH bucket id: bit j = sign(vec · plane_j), folded left-to-right
+    in float64 (portable)."""
+    bucket = F.lit(0).cast("long")
+    for j in range(N_PLANES):
+        plane = F.array([F.lit(x) for x in _plane(j)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def _bucket_sql(vec_sql: str) -> str:
+    terms = []
+    for j in range(N_PLANES):
+        lits = ", ".join(repr(x) for x in _plane(j))
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec_sql}) + 1), "
+            f"k -> {vec_sql}[k]::DOUBLE * ([{lits}])[k]::DOUBLE))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
+    """(query_id, id, rnk): top-k by cosine *within the query's LSH
+    bucket*. The scale path: the join key is the bucket id, so the
+    candidate set per query is |bucket| ≈ n/256 — and at 100 TB the
+    bucket id becomes the physical partition key (same trick as the
+    reference's category_map). Recall vs the exact baseline is the
+    quality metric (tests)."""
+    with_bucket = emb.select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
+    )
+    q = F.broadcast(
+        with_bucket.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = with_bucket.alias("b").join(
+        q.alias("q"),
+        (F.col("q.qbucket") == F.col("b.bucket")) & (F.col("q.query_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("b.vec_id").alias("id"),
+        cosine_sim_expr(F.col("q.qvec"), F.col("b.embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def ann_lsh_topk_sql(k: int = TOPK) -> str:
+    bexpr = _bucket_sql("embedding")
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket FROM wb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS id, {_COS} AS cos
+  FROM wb b JOIN q ON q.qbucket = b.bucket AND q.query_id != b.vec_id
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""

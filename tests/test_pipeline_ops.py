@@ -1,0 +1,91 @@
+"""Training-data pipeline ops (text analysis, dedup family, similarity
+search) vs DuckDB oracles, plus LSH quality gates."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+from sigmod_2024_contest_spark import api
+
+ORACLE_CHECKED = [
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def _check(spark, name):
+    fn = api.queries()[name]
+    sql = api.oracle_sql()[name]
+    assert_matches_oracle(fn(spark, SF_SMOKE), duck_con(SF_SMOKE), sql)
+
+
+def test_text_stats(spark):
+    _check(spark, "text_stats")
+
+
+def test_lang_id(spark):
+    _check(spark, "lang_id")
+
+
+def test_doc_fingerprint(spark):
+    _check(spark, "doc_fingerprint")
+
+
+def test_dedup_exact(spark):
+    _check(spark, "dedup_exact")
+
+
+def test_dedup_jaccard(spark):
+    _check(spark, "dedup_jaccard")
+
+
+def test_dedup_minhash_lsh(spark):
+    _check(spark, "dedup_minhash_lsh")
+
+
+def test_dedup_simhash(spark):
+    _check(spark, "dedup_simhash")
+
+
+def test_dedup_embedding_cosine(spark):
+    _check(spark, "dedup_embedding_cosine")
+
+
+def test_ann_cosine_topk(spark):
+    _check(spark, "ann_cosine_topk")
+
+
+def test_ann_lsh_topk(spark):
+    _check(spark, "ann_lsh_topk")
+
+
+def test_jaccard_finds_near_dups(spark):
+    """The synthetic corpus plants near-duplicates — the op must find them."""
+    from sigmod_2024_contest_spark.operators import dedup
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = dedup.jaccard_pairs(docs).count()
+    assert n > 0, "expected planted near-dup pairs at sf0.001"
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover most true Jaccard pairs (banded
+    MinHash with 4 bands x 3 rows has >90% hit prob at tau=0.5)."""
+    from sigmod_2024_contest_spark.operators import dedup
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    truth = {(r.d1, r.d2) for r in dedup.jaccard_pairs(docs).collect()}
+    got = {(r.d1, r.d2) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert got <= truth, "LSH output must be verified (no false positives)"
+    if truth:
+        assert len(got) / len(truth) >= 0.7, (len(got), len(truth))
