@@ -54,70 +54,60 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# Word dictionary + shingles (shared substrate)
+# Shingles (shared substrate)
 # ---------------------------------------------------------------------------
-# Word ids come from a rank over the sorted global vocabulary — a tiny
-# dimension table (broadcast at scale) that makes every downstream hash
-# engine-portable. Shingle key = ((w1·V)+w2)·V+w3 (collision-free).
+# Shingle key = low-48-bit md5 of the 3-gram string. A pure per-row
+# projection: no vocabulary table, no global sort, no extra shuffle —
+# the property that lets this run over 100 TB of documents (the old
+# rank-over-vocab design needed a single-partition window). Both
+# engines compute the identical integer: Spark via conv(substr(md5)),
+# DuckDB via a strpos hex fold (exact: every term < 2^53).
+
+
+def _hash48_expr(s: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def _hash48_sql(s: str) -> str:
+    # fold variable must not be `i`: callers embed this inside an outer
+    # list_transform whose variable is `i` (DuckDB lambdas shadow)
+    return (
+        "list_sum(list_transform(range(1, 13), "
+        f"hx -> (strpos('0123456789abcdef', substr(md5({s}), hx, 1)) - 1) "
+        "* (2.0 ** (4 * (12 - hx)))))::BIGINT"
+    )
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, skey) — distinct 3-word shingle keys per document."""
-    toks = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    vocab = (
-        toks.select("w")
-        .distinct()
-        .select("w", F.row_number().over(Window.orderBy("w")).cast("long").alias("wid"))
+    """(doc_id, skey) — distinct hashed 3-word shingles per document."""
+    ws = F.split("text", " ")
+    grams = F.when(F.size(ws) >= 3, F.sequence(F.lit(0), F.size(ws) - 3)).otherwise(
+        F.array().cast("array<int>")
     )
-    v_size = vocab.count()
-    wids = (
-        toks.join(vocab, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "wid"))), lambda x: x.wid
-            ).alias("wids")
+    keys = F.array_distinct(
+        F.transform(
+            grams,
+            lambda i: _hash48_expr(
+                F.concat_ws(
+                    " ",
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                    F.element_at(ws, i + 3),
+                )
+            ),
         )
     )
-    v = F.lit(v_size)
-    keys = wids.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("wids") - 3),
-                    lambda i: (
-                        (F.element_at(F.col("wids"), i + 1) * v + F.element_at(F.col("wids"), i + 2))
-                        * v
-                        + F.element_at(F.col("wids"), i + 3)
-                    ).cast("long"),
-                )
-            )
-        ).alias("skey"),
-    )
-    return keys
+    return docs.select("doc_id", F.explode(keys).alias("skey"))
 
 
-_SHINGLES_CTE = """
-toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-         generate_subscripts(string_split(text, ' '), 1) AS pos
-  FROM documents
-),
-vocab AS (
-  SELECT w, row_number() OVER (ORDER BY w) AS wid FROM (SELECT DISTINCT w FROM toks)
-),
-vsize AS (SELECT count(*)::BIGINT AS v FROM vocab),
-wids AS (
-  SELECT t.doc_id, list(vocab.wid ORDER BY t.pos) AS wids
-  FROM toks t JOIN vocab ON vocab.w = t.w
-  GROUP BY t.doc_id
-),
+_SHINGLE_KEY_SQL = _hash48_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
+
+_SHINGLES_CTE = f"""
 shingles AS (
   SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, len(wids) - 1),
-           i -> ((wids[i] * v + wids[i+1]) * v + wids[i+2])::BIGINT))) AS skey
-  FROM wids, vsize
+         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> {_SHINGLE_KEY_SQL}))) AS skey
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 )
 """
 
@@ -197,7 +187,8 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
         .select(
             "doc_id",
             "i",
-            ((F.col("a") * F.col("skey") + F.col("b")) % MOD).alias("h"),
+            # reduce skey below 2^31 first: a·skey would overflow int64
+            ((F.col("a") * (F.col("skey") % MOD) + F.col("b")) % MOD).alias("h"),
         )
         .groupBy("doc_id", "i")
         .agg(F.min("h").alias("mh"))
@@ -242,7 +233,7 @@ sigs AS (
   SELECT doc_id, i // {BAND_ROWS} AS band,
          string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
   FROM (
-    SELECT s.doc_id, p.i, min((p.a * s.skey + p.b) % {MOD}) AS mh
+    SELECT s.doc_id, p.i, min((p.a * (s.skey % {MOD}) + p.b) % {MOD}) AS mh
     FROM shingles s, params p
     GROUP BY s.doc_id, p.i
   )
@@ -277,23 +268,18 @@ SELECT c.d1, c.d2, v.jaccard_ppm FROM cands c JOIN verified v ON c.d1 = v.d1 AND
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash over word multisets with
-    portable word hashes. Near-dups cluster by equal (or Hamming-close)
-    values; grouping by the hash is the dedup blocking step."""
+    """(doc_id, simhash): 32-bit SimHash over word multisets. Word
+    hash = low 48 bits of md5 (portable, no vocabulary table — scale
+    property as in _doc_shingles). Near-dups cluster by equal (or
+    Hamming-close) values; grouping by the hash is the blocking step."""
     spark = docs.sparkSession
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vocab = (
-        toks.select("w")
-        .distinct()
-        .select("w", F.row_number().over(Window.orderBy("w")).cast("long").alias("wid"))
-    )
-    counts = toks.join(vocab, "w").groupBy("doc_id", "wid").agg(F.count("*").alias("cnt"))
-    g = (F.lit(SIM_A) * F.col("wid") + F.lit(SIM_B)) % MOD
+    counts = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     bits = spark.range(SIM_BITS).select(
         F.col("id").cast("int").alias("j"), F.pow(F.lit(2.0), F.col("id")).cast("long").alias("p2")
     )
     contrib = (
-        counts.withColumn("g", g)
+        counts.withColumn("g", _hash48_expr(F.col("w")))
         .crossJoin(F.broadcast(bits))
         .select(
             "doc_id",
@@ -311,18 +297,15 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 SIMHASH_SQL = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-vocab AS (
-  SELECT w, row_number() OVER (ORDER BY w) AS wid FROM (SELECT DISTINCT w FROM toks)
-),
-counts AS (
-  SELECT t.doc_id, v.wid, count(*) AS cnt FROM toks t JOIN vocab v ON v.w = t.w
+WITH counts AS (
+  SELECT doc_id, w, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   GROUP BY 1, 2
 ),
 bits AS (SELECT j, CAST(power(2, j) AS BIGINT) AS p2 FROM (SELECT unnest(range(0, {SIM_BITS})) AS j)),
 contrib AS (
   SELECT doc_id, j, p2,
-         sum((((({SIM_A} * wid + {SIM_B}) % {MOD}) // p2) % 2 * 2 - 1) * cnt) AS s
+         sum((({_hash48_sql('w')} // p2) % 2 * 2 - 1) * cnt) AS s
   FROM counts, bits
   GROUP BY 1, 2, 3
 )
