@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions import quantization as Q
 from .functions import text as T
-from .operators import bruteforce_sq8, dedup, engine, knn, routing, similarity, stats
+from .operators import bruteforce_sq8, dedup, engine, evaluate, knn, routing, similarity, stats
 from .plans import workload
 from .sources.tables import base_vectors, load_table
 
@@ -179,3 +179,29 @@ register(
     lambda s, d: similarity.ann_lsh_topk(load_table(s, d, "embeddings")),
     similarity.ann_lsh_topk_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: recall@k (A7) + per-type workload stats (A8/S10)
+# ---------------------------------------------------------------------------
+
+
+def _recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return evaluate.recall_at_k(
+        similarity.ann_lsh_topk(emb), similarity.ann_cosine_topk(emb)
+    )
+
+
+def _workload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluate.workload_stats(
+        stats.selectivity(base_vectors(spark, sf_dir), workload.queries_df(spark, sf_dir))
+    )
+
+
+register(
+    "recall_lsh_vs_exact",
+    _recall_lsh,
+    evaluate.recall_sql(similarity.ann_lsh_topk_sql(), similarity.ann_cosine_topk_sql()),
+)
+register("workload_stats", _workload_stats, evaluate.workload_stats_sql(stats.selectivity_sql()))

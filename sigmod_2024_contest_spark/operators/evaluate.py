@@ -1,0 +1,88 @@
+"""Evaluation operators: recall@k (A7) and per-type workload stats (A8/S10).
+
+Reference: ``GetKNNRecall`` (``/root/reference/utils.h:224-253``) —
+per-query intersection count vs ground truth, averaged — and the
+per-type time/count rollups of ``getquery.cpp:61-114`` /
+``ReadStats`` (``utils.h:572-625``).
+
+Spark-first: recall is a join on (query_id, id) + groupBy — never an
+array collect on the driver. All ratios are integer ppm so oracle
+comparisons hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recall_at_k(result: DataFrame, truth: DataFrame) -> DataFrame:
+    """(query_id, n_truth, n_hit, recall_ppm): per-query recall of
+    ``result`` against ``truth`` (both (query_id, id, ...) row sets).
+    Mean recall = avg over this output; the per-query rows are kept so
+    failures localize (the reference dumps recall1.bin for the same
+    reason, utils.h:250-251)."""
+    t = truth.select("query_id", "id")
+    hits = (
+        t.join(result.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = t.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("n_hit * 1000000 DIV n_truth").cast("long"),
+        )
+    )
+
+
+def recall_sql(result_sql: str, truth_sql: str) -> str:
+    """DuckDB mirror of recall_at_k over two query bodies."""
+    return f"""
+WITH res AS ({result_sql}),
+tru AS ({truth_sql}),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hit
+  FROM tru t JOIN res r ON r.query_id = t.query_id AND r.id = t.id
+  GROUP BY t.query_id
+),
+per_q AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY query_id)
+SELECT p.query_id,
+       p.n_truth::BIGINT AS n_truth,
+       COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+       (COALESCE(h.n_hit, 0) * 1000000 // p.n_truth)::BIGINT AS recall_ppm
+FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+"""
+
+
+def workload_stats(selectivity: DataFrame) -> DataFrame:
+    """(query_type, n_queries, sel_sum, avg_sel_ppm): the per-type
+    rollup over the selectivity table (A8). avg is computed over
+    per-query integer ppm values, so both engines agree bit-for-bit."""
+    per_q = selectivity.withColumn(
+        "sel_ppm", F.expr("sel_num * 1000000 DIV n_total")
+    )
+    return per_q.groupBy("query_type").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("sel_num").cast("long").alias("sel_sum"),
+        F.floor(F.avg("sel_ppm")).cast("long").alias("avg_sel_ppm"),
+    )
+
+
+def workload_stats_sql(selectivity_sql: str) -> str:
+    return f"""
+WITH sel AS ({selectivity_sql}),
+per_q AS (SELECT *, sel_num * 1000000 // n_total AS sel_ppm FROM sel)
+SELECT query_type,
+       count(*)::BIGINT AS n_queries,
+       sum(sel_num)::BIGINT AS sel_sum,
+       CAST(floor(avg(sel_ppm)) AS BIGINT) AS avg_sel_ppm
+FROM per_q GROUP BY query_type
+"""

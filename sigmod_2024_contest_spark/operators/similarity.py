@@ -111,25 +111,35 @@ def _bucket_sql(vec_sql: str) -> str:
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
-    """(query_id, id, rnk): top-k by cosine *within the query's LSH
-    bucket*. The scale path: the join key is the bucket id, so the
-    candidate set per query is |bucket| ≈ n/256 — and at 100 TB the
-    bucket id becomes the physical partition key (same trick as the
-    reference's category_map). Recall vs the exact baseline is the
-    quality metric (tests)."""
+    """(query_id, id, rnk): top-k by cosine over the query's
+    *multi-probe* LSH candidate set — the home bucket plus every bucket
+    at Hamming distance 1 (flip one hyperplane bit). The scale path:
+    the join key is the bucket id, so each query scans N_PLANES+1
+    buckets ≈ 9n/256 rows — and at 100 TB the bucket id becomes the
+    physical partition key (same trick as the reference's
+    category_map). Multi-probe buys ~4× the single-probe recall for 9×
+    the (still tiny) candidate set; buckets partition the corpus, so
+    probes never produce duplicate candidates. Recall vs the exact
+    baseline is the quality metric (tests)."""
     with_bucket = emb.select(
         "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
     )
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
     q = F.broadcast(
-        with_bucket.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        with_bucket.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
             F.col("bucket").alias("qbucket"),
         )
+        .select("query_id", "qvec", F.explode(probes).alias("probe"))
     )
     scored = with_bucket.alias("b").join(
         q.alias("q"),
-        (F.col("q.qbucket") == F.col("b.bucket")) & (F.col("q.query_id") != F.col("b.vec_id")),
+        (F.col("q.probe") == F.col("b.bucket")) & (F.col("q.query_id") != F.col("b.vec_id")),
     ).select(
         F.col("q.query_id").alias("query_id"),
         F.col("b.vec_id").alias("id"),
@@ -145,15 +155,19 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
 
 def ann_lsh_topk_sql(k: int = TOPK) -> str:
     bexpr = _bucket_sql("embedding")
+    probe_list = "[qbucket] || list_transform(range(0, {n}), j -> xor(qbucket, (2**j)::BIGINT))".format(
+        n=N_PLANES
+    )
     return f"""
 WITH wb AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings),
-q AS (
+q0 AS (
   SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket FROM wb
   WHERE vec_id % {QUERY_STRIDE} = 0
 ),
+q AS (SELECT query_id, qvec, unnest({probe_list}) AS probe FROM q0),
 scored AS (
   SELECT q.query_id, b.vec_id AS id, {_COS} AS cos
-  FROM wb b JOIN q ON q.qbucket = b.bucket AND q.query_id != b.vec_id
+  FROM wb b JOIN q ON q.probe = b.bucket AND q.query_id != b.vec_id
 )
 SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
   SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rnk
