@@ -18,6 +18,7 @@ from .functions import text as T
 from .operators import bruteforce_sq8, dedup, engine, evaluate, knn, routing, similarity, stats
 from .plans import workload
 from .sources.tables import base_vectors, load_table
+from .streaming import pipeline as streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -205,3 +206,30 @@ register(
     evaluate.recall_sql(similarity.ann_lsh_topk_sql(), similarity.ann_cosine_topk_sql()),
 )
 register("workload_stats", _workload_stats, evaluate.workload_stats_sql(stats.selectivity_sql()))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-capable event pipeline (batch registration; the same
+# bodies run under readStream — tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+register(
+    "events_windowed_counts",
+    lambda s, d: streaming.windowed_event_counts(_events(s, d)),
+    streaming.WINDOWED_COUNTS_SQL,
+)
+register(
+    "events_sessionized",
+    lambda s, d: streaming.sessionized(_events(s, d)),
+    streaming.SESSIONIZED_SQL,
+)
+register(
+    "user_totals",
+    lambda s, d: streaming.user_totals_batch(_events(s, d)),
+    streaming.USER_TOTALS_SQL,
+)

@@ -36,6 +36,14 @@ TS_SQL = "(CAST(vec_id % 1000 AS DOUBLE) / 1000.0)"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
+        # reader rejects; read nanos as long and truncate to micros
+        # (integer division — float division loses precision at 1e18).
+        # DuckDB's micro-precision TIMESTAMP truncates identically.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,177 @@
+"""Structured Streaming pipeline over the events stream table.
+
+The reference is a one-shot batch engine (SURVEY §2.9: streaming
+"entirely absent"), so this module is pure Spark-first surface: the
+operators a continuous ingestion pipeline needs, written once against
+the unbounded-table model so the SAME function body serves batch
+DataFrames and streaming DataFrames (the core Structured Streaming
+contract). Batch runs register in the query registry with DuckDB
+oracles; streaming runs are exercised in tests via file-source →
+memory-sink with watermarks.
+
+Money-valued doubles are aggregated as integer cents so oracle
+comparisons never hash floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+WINDOW = "5 minutes"
+SESSION_GAP = "5 minutes"
+WATERMARK = "10 minutes"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def stream_events(spark: SparkSession, events_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of events parquet (the test
+    stand-in for Kafka/Kinesis; swap the reader, keep the plan)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (watermark + windowed agg)
+# ---------------------------------------------------------------------------
+
+
+def windowed_event_counts(events: DataFrame, window: str = WINDOW) -> DataFrame:
+    """(win_start, event_type, n_events, sum_value_cents): tumbling
+    window per event type. On a streaming input the watermark bounds
+    state and admits ≤10 min late data; on a batch input the watermark
+    is a no-op and the result is exact — one body, both worlds."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", WATERMARK)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(_CENTS)).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("win_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        )
+    )
+
+
+WINDOWED_COUNTS_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum({_CENTS})::BIGINT AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based)
+# ---------------------------------------------------------------------------
+
+
+def sessionized(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """(user_id, sess_start, n_events, sum_value_cents): session
+    windows per user — events closer than ``gap`` merge. Streaming uses
+    Spark's native session_window state merging; the DuckDB oracle is
+    the classic gaps-and-islands rewrite (lag → flag → running sum),
+    which also documents the exact merge semantics: a gap ≥ the
+    threshold starts a new session."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", WATERMARK)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(_CENTS)).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("sess_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        )
+    )
+
+
+SESSIONIZED_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '{SESSION_GAP}' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       count(*)::BIGINT AS n_events,
+       sum({_CENTS})::BIGINT AS sum_value_cents
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals
+# (applyInPandasWithState — the reference has no analogue; SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+RUNNING_SCHEMA = "user_id long, n_events long, total_cents long"
+_STATE_SCHEMA = "n long, cents long"
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Streaming: per-user lifetime totals maintained in keyed state,
+    emitted every micro-batch (update mode). The custom-stateful-op
+    pattern (applyInPandasWithState) for logic windows can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pd.Series(pdf["value"]).mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, RUNNING_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """The batch semantics of user_totals_stateful's final state —
+    what the stream converges to once all input is processed."""
+    return events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.expr(_CENTS)).cast("long").alias("total_cents"),
+    )
+
+
+USER_TOTALS_SQL = f"""
+SELECT user_id, count(*)::BIGINT AS n_events, sum({_CENTS})::BIGINT AS total_cents
+FROM events GROUP BY user_id
+"""

@@ -1,0 +1,108 @@
+"""Structured Streaming: the batch-registered bodies must produce the
+same results when run as streams (file source → memory sink), and the
+custom stateful operator must converge to the batch semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sigmod_2024_contest_spark import api
+from sigmod_2024_contest_spark.sources.tables import load_table
+from sigmod_2024_contest_spark.streaming import pipeline as P
+
+from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Events split into 4 time-ordered parquet files so the stream
+    sees multiple micro-batches arriving roughly in event-time order
+    (files are written sequentially: the file source picks them up
+    oldest-modification first, so arrival order ≈ event time and the
+    watermark never drops whole chunks — the realistic regime)."""
+    import time
+
+    out = str(tmp_path / "events_in")
+    os.makedirs(out)
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "tsl", F.unix_micros("ts")
+    ).cache()
+    ts_q = ev.approxQuantile("tsl", [0.25, 0.5, 0.75], 0.0)
+    lo = None
+    for i, hi in enumerate(ts_q + [None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("tsl") > lo)
+        if hi is not None:
+            part = part.filter(F.col("tsl") <= hi)
+        part = part.drop("tsl")
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"chunk{i}"))
+        src = next(
+            f for f in os.listdir(str(tmp_path / f"chunk{i}")) if f.endswith(".parquet")
+        )
+        shutil.copy(str(tmp_path / f"chunk{i}" / src), os.path.join(out, f"part-{i}.parquet"))
+        time.sleep(1.1)  # distinct mtimes → deterministic pickup order
+        lo = hi
+    return out
+
+
+def _run_stream(spark, sdf, mode: str, name: str):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_batch_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["events_windowed_counts"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["events_windowed_counts"])
+
+
+def test_sessionized_batch_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["events_sessionized"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["events_sessionized"])
+
+
+def test_user_totals_batch_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["user_totals"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["user_totals"])
+
+
+def test_windowed_counts_streaming_matches_batch(spark, events_dir):
+    batch = P.windowed_event_counts(spark.read.parquet(events_dir))
+    stream = P.windowed_event_counts(P.stream_events(spark, events_dir))
+    got = _run_stream(spark, stream, "complete", "win_counts")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sessionized_streaming_matches_batch(spark, events_dir):
+    batch = P.sessionized(spark.read.parquet(events_dir))
+    stream = P.sessionized(P.stream_events(spark, events_dir))
+    got = _run_stream(spark, stream, "complete", "sessions")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_user_totals_converges_to_batch(spark, events_dir):
+    """applyInPandasWithState emits per micro-batch; the LAST emission
+    per user must equal the batch aggregate."""
+    batch = {r["user_id"]: (r["n_events"], r["total_cents"])
+             for r in P.user_totals_batch(spark.read.parquet(events_dir)).collect()}
+    stream = P.user_totals_stateful(P.stream_events(spark, events_dir))
+    got_df = _run_stream(spark, stream, "update", "user_totals_state")
+    # memory sink appends every update; the max n_events row per user
+    # is the final state
+    final = {}
+    for r in got_df.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_cents"])
+    assert final == batch
