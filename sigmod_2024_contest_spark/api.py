@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions import multimodal as MM
 from .functions import quantization as Q
 from .functions import text as T
 from .operators import bruteforce_sq8, dedup, engine, evaluate, knn, routing, similarity, stats
@@ -232,4 +233,22 @@ register(
     "user_totals",
     lambda s, d: streaming.user_totals_batch(_events(s, d)),
     streaming.USER_TOTALS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload + typed metadata, Pandas-UDF
+# decode/feature/frame plumbing (functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+register(
+    "media_byte_stats",
+    lambda s, d: MM.byte_stats(MM.pack_media(_docs(s, d))),
+    MM.BYTE_STATS_SQL,
+)
+register(
+    "media_frame_sample",
+    lambda s, d: MM.sample_frames(MM.pack_media(_docs(s, d))),
+    MM.sample_frames_sql(),
 )

@@ -1,0 +1,228 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched Pandas UDF plumbing (SURVEY §7.5 north star).
+
+Design for 100 TB: payloads are opaque ``binary`` cells that travel
+with the row (Parquet keeps them columnar and compressed); metadata is
+a typed struct column so planning-relevant fields (width, frames,
+sample rate) are prunable/filterable WITHOUT touching payload bytes.
+All per-byte work happens in ``mapInPandas`` over Arrow record
+batches — NumPy ``frombuffer`` per row, no Python byte loops.
+
+Decode stubs: this container ships no image/audio codecs, so
+``decode=\"real\"`` raises NotImplementedError at the exact seam where
+PIL/ffmpeg would plug in, and ``decode=\"fake\"`` (default) is a
+deterministic stand-in — payload bytes are interpreted directly as
+pixel/sample values. The fake keeps every downstream kernel (histogram,
+block-mean resize, frame slicing) real, vectorized, and testable; the
+testdata payloads are the documents' UTF-8 bytes, so byte-level results
+are independently verifiable by the DuckDB oracle via ascii()
+arithmetic on the text (api.py entries media_byte_stats,
+media_frame_sample).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BINS = 16  # byte histogram bins (byte >> 4)
+
+META_SCHEMA = "width int, height int, n_frames int, sample_rate int"
+MEDIA_SCHEMA = f"doc_id long, media_type string, payload binary, meta struct<{META_SCHEMA}>"
+
+
+def pack_media(docs: DataFrame) -> DataFrame:
+    """Documents → media table: payload = UTF-8 bytes of the text (the
+    deterministic test payload), metadata derived from doc_id so every
+    row has a stable typed shape. Cycle media_type over the 3 classes."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(8) + F.col("doc_id") % 8).cast("int").alias("width"),
+            (F.lit(4) + F.col("doc_id") % 4).cast("int").alias("height"),
+            (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("n_frames"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytes(payload: bytes, decode: str) -> np.ndarray:
+    if decode == "real":
+        raise NotImplementedError(
+            "real image/audio decode needs PIL/soundfile/ffmpeg — not in "
+            "this container; plug the codec in here"
+        )
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (decode → per-payload stats), mapInPandas
+# ---------------------------------------------------------------------------
+
+BYTE_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, sum_bytes long, sumsq_bytes long, hist array<long>"
+)
+
+
+def byte_stats(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """(doc_id, n_bytes, sum_bytes, sumsq_bytes, hist[16]): the
+    feature-extraction pattern — decode payload, reduce to a fixed-size
+    feature vector. Vectorized per Arrow batch; payload bytes never
+    leave the executor."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, sb, sq, hists = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_bytes(payload, decode)
+                ids.append(doc_id)
+                nb.append(arr.size)
+                a64 = arr.astype(np.int64)
+                sb.append(int(a64.sum()))
+                sq.append(int((a64 * a64).sum()))
+                hists.append(np.bincount(arr >> 4, minlength=N_BINS).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_bytes": np.asarray(nb, dtype=np.int64),
+                    "sum_bytes": np.asarray(sb, dtype=np.int64),
+                    "sumsq_bytes": np.asarray(sq, dtype=np.int64),
+                    "hist": hists,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(gen, BYTE_STATS_SCHEMA)
+
+
+BYTE_STATS_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, ascii(c) AS b
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+),
+hist AS (
+  SELECT doc_id, b // 16 AS bin, count(*) AS cnt FROM chars GROUP BY 1, 2
+),
+bins AS (SELECT unnest(range(0, {N_BINS})) AS bin),
+filled AS (
+  SELECT d.doc_id, bins.bin, COALESCE(h.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT DISTINCT doc_id FROM hist) d
+  CROSS JOIN bins
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = bins.bin
+),
+hist_arr AS (
+  SELECT doc_id, list(cnt ORDER BY bin) AS hist FROM filled GROUP BY doc_id
+)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_bytes,
+       sum(b)::BIGINT AS sum_bytes,
+       sum(b * b)::BIGINT AS sumsq_bytes,
+       any_value(ha.hist) AS hist
+FROM chars c JOIN hist_arr ha ON ha.doc_id = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image resize (fake-decode → 2D grid → block-mean pool), mapInPandas
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, pixels array<long>"
+
+
+def resize_images(media: DataFrame, factor: int = 2, decode: str = "fake") -> DataFrame:
+    """(doc_id, out_w, out_h, pixels): interpret the payload as a
+    meta.height × meta.width gray image (truncated/cycled to fit) and
+    block-mean downsample by ``factor``. The resize kernel is the real
+    thing (NumPy block reduction); only the pixel source is the fake
+    decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "out_w": [], "out_h": [], "pixels": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                arr = _decode_bytes(payload, decode)
+                img = np.resize(arr, (h, w)).astype(np.int64)  # cycle to fit
+                oh, ow = h // factor, w // factor
+                img = img[: oh * factor, : ow * factor]
+                pooled = img.reshape(oh, factor, ow, factor).mean(axis=(1, 3))
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["pixels"].append(np.floor(pooled).astype(np.int64).ravel())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (meta-driven explode + payload slice), mapInPandas
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len long, frame_sum long"
+
+
+def sample_frames(media: DataFrame, every: int = 2, decode: str = "fake") -> DataFrame:
+    """(doc_id, frame_idx, frame_len, frame_sum): split the payload
+    into meta.n_frames equal slices (last takes the remainder), keep
+    every ``every``-th frame. The explode is meta-driven — planning
+    can bound output size without reading payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_sum": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                nf = int(meta["n_frames"])
+                arr = _decode_bytes(payload, decode).astype(np.int64)
+                flen = arr.size // nf
+                for fi in range(0, nf, every):
+                    lo = fi * flen
+                    hi = arr.size if fi == nf - 1 else lo + flen
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_len"].append(hi - lo)
+                    out["frame_sum"].append(int(arr[lo:hi].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                    "frame_idx": np.asarray(out["frame_idx"], dtype=np.int32),
+                    "frame_len": np.asarray(out["frame_len"], dtype=np.int64),
+                    "frame_sum": np.asarray(out["frame_sum"], dtype=np.int64),
+                }
+            )
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(gen, FRAME_SCHEMA)
+
+
+def sample_frames_sql(every: int = 2) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n, (1 + doc_id % 7)::INT AS nf
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, text, n, nf, n // nf AS flen,
+         unnest(range(0, nf, {every})) AS frame_idx
+  FROM m
+),
+sliced AS (
+  SELECT doc_id, frame_idx::INT AS frame_idx,
+         CASE WHEN frame_idx = nf - 1 THEN n - frame_idx * flen ELSE flen END::BIGINT AS frame_len,
+         substr(text, 1 + frame_idx * flen,
+                CASE WHEN frame_idx = nf - 1 THEN n - frame_idx * flen ELSE flen END) AS chunk
+  FROM frames
+)
+SELECT doc_id, frame_idx, frame_len,
+       COALESCE(list_sum(list_transform(string_split(chunk, ''), c -> ascii(c))), 0)::BIGINT AS frame_sum
+FROM sliced
+"""
