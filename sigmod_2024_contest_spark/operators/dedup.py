@@ -78,13 +78,14 @@ def _hash48_sql(s: str) -> str:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, skey) — distinct hashed 3-word shingles per document."""
+def _shingle_keys_expr() -> F.Column:
+    """array<long> of distinct hashed 3-word shingles of ``text`` — a
+    pure projection (no shuffle, no state)."""
     ws = F.split("text", " ")
     grams = F.when(F.size(ws) >= 3, F.sequence(F.lit(0), F.size(ws) - 3)).otherwise(
         F.array().cast("array<int>")
     )
-    keys = F.array_distinct(
+    return F.array_distinct(
         F.transform(
             grams,
             lambda i: _hash48_expr(
@@ -97,7 +98,11 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    return docs.select("doc_id", F.explode(keys).alias("skey"))
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, skey) — distinct hashed 3-word shingles per document."""
+    return docs.select("doc_id", F.explode(_shingle_keys_expr()).alias("skey"))
 
 
 _SHINGLE_KEY_SQL = _hash48_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
@@ -175,34 +180,54 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
 
     12 portable hashes ((aᵢ·skey+bᵢ) mod p) → 4 bands × 3 rows; docs
     sharing any band signature become candidates; candidates are
-    verified exactly. At 100 TB the band join is the only shuffle and
-    its key space (band, sig) is uniformly spread by construction."""
-    sh = _doc_shingles(docs)
-    spark = docs.sparkSession
-    params = spark.createDataFrame(
-        [(i, HASH_A[i], HASH_B[i]) for i in range(N_HASHES)], "i int, a long, b long"
+    verified exactly. Signatures are computed row-local (array_min over
+    a transform of the per-doc shingle array — no explode, no shuffle),
+    so at 100 TB the band self-join is the ONLY shuffle of the
+    candidate phase and its key space (band, sig) is uniformly spread
+    by construction."""
+    # Materialize the per-doc shingle arrays ONCE; signatures, the
+    # exploded shingle table, and verification all derive from this
+    # cache, so the md5-per-3-gram expression runs a single time.
+    arrs = docs.select("doc_id", _shingle_keys_expr().alias("skeys")).cache()
+    sh = arrs.select("doc_id", F.explode("skeys").alias("skey"))
+
+    # All 12 minhashes in ONE fold over the shingle array: the array
+    # is a plain cached column here, referenced exactly once, so
+    # Catalyst's projection collapse can't duplicate the hashing.
+    init = F.struct(*[F.lit(MOD).cast("long").alias(f"h{i}") for i in range(N_HASHES)])
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        # reduce skey below 2^31 first: a·skey would overflow int64
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"h{i}"], (F.lit(HASH_A[i]) * (x % MOD) + F.lit(HASH_B[i])) % MOD
+                ).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+
+    mins = F.aggregate(F.col("skeys"), init, step)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("mins")[f"h{b * BAND_ROWS + j}"].cast("string")
+                        for j in range(BAND_ROWS)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
     )
     sigs = (
-        sh.crossJoin(F.broadcast(params))
-        .select(
-            "doc_id",
-            "i",
-            # reduce skey below 2^31 first: a·skey would overflow int64
-            ((F.col("a") * (F.col("skey") % MOD) + F.col("b")) % MOD).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-        .withColumn("band", F.floor(F.col("i") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x.mh.cast("string"),
-                ),
-            ).alias("sig")
-        )
+        arrs.filter(F.size("skeys") > 0)
+        .select("doc_id", mins.alias("mins"))
+        .select("doc_id", F.explode(bands).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -216,8 +241,33 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, tau_ppm)
-    return cands.join(verified, ["d1", "d2"])
+    # Verify ONLY candidate pairs (the LSH contract): exact Jaccard is
+    # computed by joining each candidate to its two shingle sets, never
+    # by re-running the full inverted-index pair join.
+    sh2 = sh.alias("s1")
+    sh3 = sh.alias("s2")
+    inter = (
+        cands.join(sh2, F.col("d1") == F.col("s1.doc_id"))
+        .join(
+            sh3,
+            (F.col("d2") == F.col("s2.doc_id")) & (F.col("s1.skey") == F.col("s2.skey")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("un", F.col("n1") + F.col("n2") - F.col("inter"))
+    )
+    return j.filter(F.col("inter") * 1_000_000 >= F.lit(tau_ppm) * F.col("un")).select(
+        "d1",
+        "d2",
+        F.floor(F.col("inter").cast("double") / F.col("un").cast("double") * 1e6)
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
 
 
 def minhash_lsh_pairs_sql(tau_ppm: int = JACCARD_TAU_PPM) -> str:
@@ -322,22 +372,34 @@ FROM contrib GROUP BY doc_id
 def cosine_pairs(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
     """(d1, d2, cos_ppm): label-blocked pairs with cosine ≥ τ.
     Blocking keys (here: label; at scale an LSH bucket — see
-    similarity.py) keep the join off the O(n²) pair space."""
-    from ..functions.distance import cosine_sim_expr
+    similarity.py) keep the join off the O(n²) pair space.
 
-    a = emb.alias("a")
-    b = emb.alias("b")
+    Physical plan: one task per block, pairwise similarity as a single
+    NumPy GEMM inside applyInPandas (upper triangle only) — the
+    per-pair expression join this replaces shuffled every pair row
+    through the JVM; here only above-threshold pairs leave the task."""
+    import numpy as np
+    import pandas as pd
+
     tau = tau_ppm / 1e6
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("d1"),
-        F.col("b.vec_id").alias("d2"),
-        cosine_sim_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
-    )
-    return pairs.filter(F.col("cos") >= tau).select(
-        "d1", "d2", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_ppm")
-    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+        S = Vn @ Vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sel = S[iu, ju] >= tau
+        return pd.DataFrame(
+            {
+                "d1": ids[iu[sel]],
+                "d2": ids[ju[sel]],
+                "cos_ppm": np.floor(S[iu[sel], ju[sel]] * 1e6).astype(np.int64),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(fn, "d1 long, d2 long, cos_ppm long")
 
 
 def cosine_pairs_sql(tau_ppm: int = 400_000) -> str:

@@ -35,6 +35,27 @@ from ..functions.distance import l2_sqr_expr
 from ..plans import workload
 
 
+def list_column_matrix(batch, name: str, dtype=np.float64) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) NumPy matrix without
+    materializing Python lists (to_pylist builds n·dim PyObjects — the
+    single biggest overhead of a GEMM-per-batch kernel). Zero-copy when
+    offsets are dense; falls back to to_pylist for ragged input."""
+    col = batch.column(name)
+    try:
+        offs = col.offsets.to_numpy()
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return vals[offs[0] : offs[-1]].reshape(len(col), int(widths[0])).astype(dtype)
+    except AttributeError:
+        pass  # FixedSizeListArray or chunked — fall through
+    try:
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(len(col), -1).astype(dtype)
+    except Exception:
+        return np.asarray(col.to_pylist(), dtype=dtype)
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
@@ -125,7 +146,7 @@ def knn_exact_arrow(
             ids = tbl.column("id").to_numpy(zero_copy_only=False)
             cats = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
             ts = tbl.column("ts").to_numpy(zero_copy_only=False)
-            vecs = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
+            vecs = list_column_matrix(tbl, "vec")
             # one GEMM for the whole (query-batch × row-batch) block
             qq = np.einsum("ij,ij->i", qv, qv)[:, None]
             bb = np.einsum("ij,ij->i", vecs, vecs)[None, :]

@@ -47,8 +47,16 @@ def ship_package(spark: SparkSession) -> None:
 def get_spark(app_name: str = "sigmod2024-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # One BLAS thread per Python worker: Spark already runs `cpus`
+    # workers in parallel; letting each spawn a full OpenBLAS/MKL pool
+    # oversubscribes the box ~cpus× in every GEMM kernel. Workers are
+    # forked from the daemon, which inherits this env.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
