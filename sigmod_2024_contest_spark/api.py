@@ -113,7 +113,14 @@ def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bruteforce_sq8.knn_sq8_rerank(base, workload.queries_df(spark, sf_dir), alpha)
 
 
+def _sq8_asym_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = Q.train_minmax(emb, "embedding")
+    return emb.select("vec_id", Q.encode_asym_expr("embedding", mins, maxs).alias("codes"))
+
+
 register("sq8_encode", _sq8_encode, _SQ8_ENCODE_SQL)
+register("sq8_asym_encode", _sq8_asym_encode, Q.encode_asym_sql())
 register("knn_sq8_rerank", _knn_sq8_rerank, bruteforce_sq8.knn_sq8_rerank_sql())
 
 
@@ -144,6 +151,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("text_stats", lambda s, d: T.text_stats(_docs(s, d)), T.TEXT_STATS_SQL)
 register("lang_id", lambda s, d: T.lang_id(_docs(s, d)), T.lang_id_sql())
 register("doc_fingerprint", lambda s, d: T.fingerprint(_docs(s, d)), T.FINGERPRINT_SQL)
+register("token_counts", lambda s, d: T.token_counts(_docs(s, d)), T.TOKEN_COUNTS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +189,9 @@ register(
     lambda s, d: similarity.ann_lsh_topk(load_table(s, d, "embeddings")),
     similarity.ann_lsh_topk_sql(),
 )
+# IVF: iterative float k-means training → no SQL oracle (rows-only);
+# recall vs the exact baseline is gated in tests/test_pipeline_ops.py
+register("ann_ivf_topk", lambda s, d: similarity.ann_ivf_topk(load_table(s, d, "embeddings")), None)
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,62 @@ CODE_L2_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# SQ8 asymmetric (per-dimension min/max) — reference sq8_quant.hpp:14-99
+# ---------------------------------------------------------------------------
+
+
+def train_minmax(base: DataFrame, vec_col: str = "vec") -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus (sq8_quant.hpp:30-42).
+
+    posexplode + groupBy(dim): min/max partial-aggregate map-side, so
+    only |dims| rows per partition reach the shuffle — scalable to any
+    corpus size. Only the 2×d stats vector reaches the driver."""
+    stats = (
+        base.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"), F.max(F.col("x").cast("double")).alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r["mn"] for r in stats], [r["mx"] for r in stats]
+
+
+def encode_asym_expr(vec: Column | str, mins: list[float], maxs: list[float]) -> Column:
+    """float vec → uint8-range codes: floor(255·(x−mnᵢ)/(mxᵢ−mnᵢ)+0.5),
+    clamped to [0,1] pre-scale; degenerate dims (mx==mn) encode 0."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    mns = F.array(*[F.lit(float(v)) for v in mins])
+    mxs = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def enc(x, i):
+        mn = F.element_at(mns, i + 1)
+        mx = F.element_at(mxs, i + 1)
+        frac = F.least(F.greatest((x.cast("double") - mn) / (mx - mn), F.lit(0.0)), F.lit(1.0))
+        return F.when(mx > mn, F.floor(frac * F.lit(255.0) + F.lit(0.5))).otherwise(F.lit(0)).cast("int")
+
+    return F.transform(vec, enc)
+
+
+def encode_asym_sql(table: str = "embeddings", vec_sql: str = "embedding") -> str:
+    """Self-contained DuckDB mirror: computes the identical per-dim
+    stats in a CTE (min/max are exact, so both engines agree) and
+    applies the identical encode."""
+    return f"""
+WITH e AS (
+  SELECT unnest({vec_sql}) AS x, generate_subscripts({vec_sql}, 1) AS i FROM {table}
+),
+stats AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx FROM e GROUP BY i),
+mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats)
+SELECT vec_id,
+       list_transform(range(1, len({vec_sql}) + 1),
+         j -> CASE WHEN mxs[j] > mns[j]
+                   THEN CAST(floor(least(greatest(({vec_sql}[j]::DOUBLE - mns[j]) / (mxs[j] - mns[j]), 0.0), 1.0) * 255.0 + 0.5) AS INTEGER)
+                   ELSE 0 END) AS codes
+FROM {table}, mm
+"""
+
+
+# ---------------------------------------------------------------------------
 # NumPy variants (Arrow batch path — used inside HNSW build/search)
 # ---------------------------------------------------------------------------
 

@@ -131,6 +131,34 @@ FROM s
 """
 
 
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_distinct_bpe): whitespace
+    tokens vs a BPE-ish regex pre-tokenization (letter runs / digit
+    runs / single punctuation — the GPT-2 pattern reduced to its
+    portable core; Java and RE2 agree on this subset). Pure column
+    expressions — JVM-side, codegen'd."""
+    ws = F.split("text", " ")
+    bpe = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_distinct_bpe"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}')))::BIGINT AS n_distinct_bpe
+FROM documents
+"""
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — content fingerprint (md5 hex). Exact-dedup key
     and a portable stand-in for rolling-hash fingerprints."""

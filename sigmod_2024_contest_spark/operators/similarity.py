@@ -196,6 +196,149 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
     )
 
 
+N_LIST = 16  # IVF cells
+N_PROBE = 4  # cells scanned per query
+
+
+def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):
+    """Deterministic distributed k-means (the IVF coarse quantizer).
+
+    Init = every (n/nlist)-th vector by id rank (seedless, stable).
+    Each Lloyd iteration is ONE job: mapInArrow assigns a batch to its
+    nearest centroid via GEMM and emits per-partition partial sums
+    (nlist rows per partition — not the corpus), which the driver
+    reduces into new centroids. Only the (nlist × dim) centroid table
+    ever reaches the driver; the corpus never moves."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .knn import list_column_matrix
+
+    spark = emb.sparkSession
+    n = emb.count()
+    stride = max(n // nlist, 1)
+    init = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < nlist))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in init], dtype=np.float64)[:nlist]
+    nlist = cents.shape[0]  # sparse/non-dense ids can under-fill the init
+
+    partial_schema = "cluster long, cnt long, vsum array<double>"
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            c = bc.value
+            cc = np.einsum("ij,ij->i", c, c)
+            for batch in batches:
+                V = list_column_matrix(batch, "embedding")
+                d = cc[:, None] - 2.0 * (c @ V.T)  # ||c||² - 2c·v (v² constant per column)
+                assign = np.argmin(d, axis=0)
+                sums = np.zeros((c.shape[0], V.shape[1]))
+                np.add.at(sums, assign, V)
+                cnts = np.bincount(assign, minlength=c.shape[0])
+                nz = np.flatnonzero(cnts)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(nz.astype(np.int64)),
+                        pa.array(cnts[nz].astype(np.int64)),
+                        pa.array(list(sums[nz])),
+                    ],
+                    names=["cluster", "cnt", "vsum"],
+                )
+
+        rows = emb.select("embedding").mapInArrow(partials, partial_schema).collect()
+        cnts = np.zeros(nlist)
+        sums = np.zeros_like(cents)
+        for r in rows:
+            cnts[r["cluster"]] += r["cnt"]
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+        nz = cnts > 0
+        cents[nz] = sums[nz] / cnts[nz, None]
+    return cents
+
+
+def ann_ivf_topk(
+    emb: DataFrame, k: int = TOPK, nlist: int = N_LIST, nprobe: int = N_PROBE
+) -> DataFrame:
+    """(query_id, id, rnk): IVF-style ANN — each query scans only its
+    ``nprobe`` nearest k-means cells (~nprobe/nlist of the corpus).
+    At 100 TB the cell id is the partition key (cluster-then-prune,
+    the same structure as the reference's category_map). Iterative
+    float training ⇒ no SQL oracle (rows-only check); quality is gated
+    in tests as recall vs the exact baseline."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .knn import list_column_matrix
+
+    spark = emb.sparkSession
+    cents = ivf_train(emb, nlist)
+    nlist = cents.shape[0]
+    qrows = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select("vec_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qv = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
+    # probe sets: nprobe nearest centroids per query (cosine order —
+    # queries and corpus share the metric)
+    cn = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+    cn[cn == 0] = 1.0
+    qc = (qv @ cents.T) / (qn[:, None] * cn[None, :])
+    probes = np.argsort(-qc, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
+    np.put_along_axis(probe_mask, probes, True, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qv, qn, cents, probe_mask))
+
+    schema = pa.schema(
+        [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("cos", pa.float64())]
+    )
+
+    def partial(batches):
+        qids_, qv_, qn_, c, pm = bc.value
+        cc = np.einsum("ij,ij->i", c, c)
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            V = list_column_matrix(batch, "embedding")
+            assign = np.argmin(cc[:, None] - 2.0 * (c @ V.T), axis=0)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            sims = (qv_ @ V.T) / (qn_[:, None] * vn[None, :])
+            sims[~pm[:, assign]] = -np.inf  # outside the query's probed cells
+            sims[qids_[:, None] == ids[None, :]] = -np.inf  # self
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q, rows_id, rows_c = [], [], []
+            for i in range(sims.shape[0]):
+                sel = part[i][np.isfinite(sims[i, part[i]])]
+                rows_q.append(np.full(sel.shape[0], qids_[i], dtype=np.int64))
+                rows_id.append(ids[sel].astype(np.int64))
+                rows_c.append(sims[i, sel])
+            if rows_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(rows_q)),
+                        pa.array(np.concatenate(rows_id)),
+                        pa.array(np.concatenate(rows_c)),
+                    ],
+                    schema=schema,
+                )
+
+    cands = emb.select("vec_id", "embedding").mapInArrow(
+        partial, "query_id long, id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def ann_lsh_topk_sql(k: int = TOPK) -> str:
     bexpr = _bucket_sql("embedding")
     probe_list = "[qbucket] || list_transform(range(0, {n}), j -> xor(qbucket, (2**j)::BIGINT))".format(

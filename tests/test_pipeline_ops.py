@@ -89,3 +89,31 @@ def test_minhash_lsh_recall(spark):
     assert got <= truth, "LSH output must be verified (no false positives)"
     if truth:
         assert len(got) / len(truth) >= 0.7, (len(got), len(truth))
+
+
+def test_token_counts_oracle(spark):
+    _check(spark, "token_counts")
+
+
+def test_sq8_asym_encode_oracle(spark):
+    _check(spark, "sq8_asym_encode")
+
+
+def test_ivf_recall_beats_lsh(spark):
+    """IVF probes nprobe/nlist of the corpus; on the near-isotropic
+    testdata its recall must clear the LSH path's (it scans a larger,
+    geometry-aware candidate set)."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.operators import evaluate, similarity
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = similarity.ann_cosine_topk(emb).cache()
+    ivf = similarity.ann_ivf_topk(emb)
+    rec = evaluate.recall_at_k(ivf, exact)
+    mean_ivf = rec.agg(F.avg("recall_ppm")).first()[0]
+    lsh = evaluate.recall_at_k(similarity.ann_lsh_topk(emb), exact)
+    mean_lsh = lsh.agg(F.avg("recall_ppm")).first()[0]
+    assert mean_ivf > mean_lsh, (mean_ivf, mean_lsh)
+    assert mean_ivf > 300_000, mean_ivf
