@@ -16,7 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions import multimodal as MM
 from .functions import quantization as Q
 from .functions import text as T
-from .operators import bruteforce_sq8, dedup, engine, evaluate, knn, routing, similarity, stats
+from .operators import (
+    bruteforce_sq8,
+    dedup,
+    engine,
+    evaluate,
+    knn,
+    relational,
+    routing,
+    similarity,
+    stats,
+)
 from .plans import workload
 from .sources.tables import base_vectors, load_table
 from .streaming import pipeline as streaming
@@ -262,4 +272,33 @@ register(
     "media_frame_sample",
     lambda s, d: MM.sample_frames(MM.pack_media(_docs(s, d))),
     MM.sample_frames_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: star joins, TPC-H-style aggs, JSON, as-of join
+# ---------------------------------------------------------------------------
+
+
+register(
+    "pricing_summary",
+    lambda s, d: relational.pricing_summary(load_table(s, d, "lineitem")),
+    relational.pricing_summary_sql(),
+)
+register(
+    "top_customers",
+    lambda s, d: relational.top_customers(
+        load_table(s, d, "orders"), load_table(s, d, "customer"), load_table(s, d, "nation")
+    ),
+    relational.top_customers_sql(),
+)
+register(
+    "events_json_stats",
+    lambda s, d: relational.events_json_stats(_events(s, d)),
+    relational.EVENTS_JSON_SQL,
+)
+register(
+    "asof_last_error",
+    lambda s, d: relational.asof_last_error(_events(s, d)),
+    relational.ASOF_SQL,
 )

@@ -1,0 +1,176 @@
+"""Relational surface: joins, aggregations, JSON functions, and an
+as-of join — the general-analytics operators the reference engine has
+none of (SURVEY §2.3: "equi/semi/anti/sort-merge/as-of joins: absent")
+but a complete Spark analytics engine must provide.
+
+All plans are Catalyst-native: dimension tables broadcast, aggregates
+partial+final, the as-of join is the union/last-value composition
+(no per-row Python anywhere). Money doubles aggregate as integer cents
+(floor(x·100 + 0.5)) so oracle comparisons never hash floats; dates
+compare as formatted strings (parquet timestamp units differ across
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHIP_CUTOFF = "1999-01-01"
+TOPN_CUSTOMERS = 10
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = SHIP_CUTOFF) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums over lineitem
+    shipped before the cutoff. The date filter reaches the parquet scan
+    (predicate pushdown); aggregation is map-side partial."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("count_order"),
+            F.sum(_cents(F.col("l_quantity"))).cast("long").alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("sum_base_c"),
+            F.sum(_cents(disc_price)).cast("long").alias("sum_disc_c"),
+        )
+    )
+
+
+def pricing_summary_sql(cutoff: str = SHIP_CUTOFF) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS count_order,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_c,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_c,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS sum_disc_c
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, n: int = TOPN_CUSTOMERS
+) -> DataFrame:
+    """Top-n customers by order revenue with their nation — a
+    fact-to-dims star join. Both dimension tables broadcast (they are
+    catalogs, not data); the only shuffle is the per-customer agg."""
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    joined = (
+        rev.join(F.broadcast(customer), rev["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "revenue_c",
+            "n_orders",
+        )
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("custkey").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .select("rnk", "custkey", "name", "nation", "revenue_c", "n_orders")
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+def top_customers_sql(n: int = TOPN_CUSTOMERS) -> str:
+    return f"""
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT o_custkey AS custkey, c_name AS name, n_name AS nation, revenue_c, n_orders
+  FROM rev
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, custkey, name, nation, revenue_c, n_orders FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue_c DESC, custkey ASC) AS rnk FROM j
+) WHERE rnk <= {n}
+"""
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """(event_type, n_events, sum_k): extract the JSON payload field
+    `k` from props and aggregate — the JSON-function surface
+    (get_json_object stays JVM-side / codegen'd)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def asof_last_error(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, last_error_value_c): for every click event,
+    the value of the same user's most recent error event at-or-before
+    its timestamp — the canonical as-of join.
+
+    Spark composition (no built-in ASOF): union both sides with a tag,
+    one window pass per user ordered by (ts, tag) carrying
+    last(error_value, ignoreNulls) forward, then keep the click rows.
+    ONE shuffle (the window partitioning) regardless of table sizes —
+    the classic scale-safe as-of plan. Oracle = DuckDB's native
+    ASOF LEFT JOIN, which pins the exact semantics."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("long").alias("err_c"), F.lit(1).alias("is_probe")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        _cents(F.col("value")).alias("err_c"),
+        F.lit(0).alias("is_probe"),
+    )
+    unioned = clicks.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_error_value_c", F.last("err_c", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            # no-match → -1: nullable ints degrade to NaN floats in
+            # arrow/pandas bridges, which breaks value-hash comparison
+            F.coalesce(F.col("last_error_value_c"), F.lit(-1)).cast("long").alias(
+                "last_error_value_c"
+            ),
+        )
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS err_c
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, COALESCE(e.err_c, -1)::BIGINT AS last_error_value_c
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.ts <= c.ts
+"""
