@@ -58,11 +58,15 @@ def _build_group(pdf: pd.DataFrame, m: int, efc: int) -> pd.DataFrame:
     )
 
 
+MAX_NODES_PER_GRAPH = 8192
+
+
 def build_index(
     base: DataFrame,
     cat_thr: float = routing.CAT_GRAPH_THR,
     m: int = 16,
     efc: int = 100,
+    max_nodes: int = MAX_NODES_PER_GRAPH,
 ) -> DataFrame:
     """Build all graph partitions as one DataFrame job.
 
@@ -71,30 +75,49 @@ def build_index(
     of the corpus (hybrid_graph.cpp:47-70) and ``dec:<d>`` for the ten
     ts-deciles (hybrid_graph.cpp:72-89). Each group builds its HNSW
     sequentially inside one task — parallel across groups.
+
+    **Sub-sharding (the 100 TB piece the reference lacks):** a slice
+    larger than ``max_nodes`` splits into ``ceil(cnt/max_nodes)``
+    shards (``cat:<v>:<s>``, deterministic ``id % nshards``), so one
+    task never builds an unbounded graph and build parallelism grows
+    with the data. Search fans each query out to every shard of its
+    slice via the shard catalog (``shard_catalog``) and the global
+    top-k merge re-unifies — shard count changes cost, never results.
     """
     total = base.count()
     big_cats = (
         base.groupBy("category")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= cat_thr * total)
-        .select("category")
     )
+    dec = F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9))
+    dec_counts = base.groupBy(dec.alias("decile")).agg(F.count("*").alias("cnt"))
+
+    def sharded_key(prefix: F.Column, cnt: F.Column) -> F.Column:
+        nshards = F.ceil(cnt / F.lit(max_nodes)).cast("long")
+        return F.concat(prefix, F.lit(":"), F.pmod(F.col("id"), nshards).cast("string"))
+
     cat_part = base.join(F.broadcast(big_cats), "category").select(
-        F.concat(F.lit("cat:"), F.col("category").cast("string")).alias("pkey"),
-        "id",
-        "category",
-        "ts",
-        "vec",
-    )
-    dec_part = base.select(
-        F.concat(
-            F.lit("dec:"),
-            F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9)).cast("string"),
+        sharded_key(
+            F.concat(F.lit("cat:"), F.col("category").cast("string")), F.col("cnt")
         ).alias("pkey"),
         "id",
         "category",
         "ts",
         "vec",
+    )
+    dec_part = (
+        base.withColumn("decile", dec)
+        .join(F.broadcast(dec_counts), "decile")
+        .select(
+            sharded_key(
+                F.concat(F.lit("dec:"), F.col("decile").cast("string")), F.col("cnt")
+            ).alias("pkey"),
+            "id",
+            "category",
+            "ts",
+            "vec",
+        )
     )
     both = cat_part.unionByName(dec_part).repartition("pkey")
     return both.groupBy("pkey").applyInPandas(
@@ -102,15 +125,35 @@ def build_index(
     )
 
 
-def _assignments(queries: DataFrame, plan: DataFrame) -> DataFrame:
+def shard_catalog(index: DataFrame) -> DataFrame:
+    """(prefix, pkey): slice → its shards. A few hundred rows at most —
+    always the broadcast side of the assignment join. Materialized
+    through the driver (it IS planning metadata, the relational twin of
+    the reference's (start,count) partition maps) — which also detaches
+    its lineage from the index, so the search cogroup is not a
+    self-join."""
+    rows = (
+        index.select("pkey")
+        .distinct()
+        .select(F.regexp_extract("pkey", r"^(.*):\d+$", 1).alias("prefix"), "pkey")
+        .collect()
+    )
+    return index.sparkSession.createDataFrame(
+        [(r["prefix"], r["pkey"]) for r in rows], "prefix string, pkey string"
+    )
+
+
+def _assignments(queries: DataFrame, plan: DataFrame, catalog: DataFrame) -> DataFrame:
     """(pkey, query_id, query_type, v, l, r, qvec) — which index
-    partition serves which graph-routed query (partition pruning,
-    done relationally)."""
+    partitions serve which graph-routed query. Pruning is relational:
+    queries map to slice *prefixes* (their category / overlapped
+    deciles), then the broadcast shard catalog fans each prefix out to
+    its shards."""
     q = queries.join(plan.select("query_id", "route"), "query_id")
     graph_q = q.filter(F.col("route") != routing.ROUTE_BF)
-    # type 1/3 → its category graph
+    # type 1/3 → its category slice
     cat_assign = graph_q.filter(F.col("query_type").isin(1, 3)).select(
-        F.concat(F.lit("cat:"), F.col("v").cast("string")).alias("pkey"),
+        F.concat(F.lit("cat:"), F.col("v").cast("string")).alias("prefix"),
         "query_id",
         "query_type",
         "v",
@@ -118,7 +161,7 @@ def _assignments(queries: DataFrame, plan: DataFrame) -> DataFrame:
         "r",
         "qvec",
     )
-    # type 0 → every decile graph; type 2 → overlapped deciles only
+    # type 0 → every decile slice; type 2 → overlapped deciles only
     deciles = graph_q.filter(F.col("query_type").isin(0, 2)).select(
         "query_id",
         "query_type",
@@ -136,7 +179,7 @@ def _assignments(queries: DataFrame, plan: DataFrame) -> DataFrame:
         ).alias("dec"),
     )
     dec_assign = deciles.select(
-        F.concat(F.lit("dec:"), F.col("dec").cast("string")).alias("pkey"),
+        F.concat(F.lit("dec:"), F.col("dec").cast("string")).alias("prefix"),
         "query_id",
         "query_type",
         "v",
@@ -144,7 +187,8 @@ def _assignments(queries: DataFrame, plan: DataFrame) -> DataFrame:
         "r",
         "qvec",
     )
-    return cat_assign.unionByName(dec_assign)
+    prefixed = cat_assign.unionByName(dec_assign)
+    return prefixed.join(F.broadcast(catalog), "prefix").drop("prefix")
 
 
 def _search_cogroup(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame, k: int, ef: int) -> pd.DataFrame:
@@ -214,7 +258,11 @@ def knn_hybrid(
 
     if index is None:
         index = build_index(base)
-    assigns = _assignments(queries, plan)
+    # persist before the catalog materializes: shard_catalog collects
+    # distinct pkeys, which would otherwise run the whole build job
+    # once for the catalog and AGAIN for the search cogroup
+    index = index.persist()
+    assigns = _assignments(queries, plan, shard_catalog(index))
     cands = graph_search(index, assigns, k=k, ef=ef)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     graph_res = (

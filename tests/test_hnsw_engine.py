@@ -64,3 +64,22 @@ def test_hybrid_engine_recall(spark):
     recalls = [len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.95, mean_recall
+
+
+def test_hybrid_engine_sharded_recall(spark):
+    """Forcing tiny shards (max_nodes=64 → many sub-graphs per slice)
+    must not change the answer quality: the shard fan-out + global
+    merge is the 100 TB build path."""
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    idx = engine.build_index(base, max_nodes=16)
+    nshards = engine.shard_catalog(idx).count()
+    assert nshards > 20, nshards  # sharding actually kicked in
+    exact = {}
+    for r in knn.knn_exact_expr(base, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base, q, index=idx).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
