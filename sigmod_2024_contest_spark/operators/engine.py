@@ -22,8 +22,6 @@ the original vectors, so the global merge needs no extra re-rank join.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -32,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import quantization as Q
 from ..plans import workload
 from . import bruteforce_sq8, routing
-from .hnsw import NumpyHNSW, beam_search
+from .hnsw import beam_search, build_pruned_knn_graph
 
 INDEX_SCHEMA = (
     "pkey string, pos long, id long, category int, ts double, vec array<float>, nbrs array<int>"
@@ -43,8 +41,7 @@ CAND_SCHEMA = "query_id long, id long, dist double"
 def _build_group(pdf: pd.DataFrame, m: int, efc: int) -> pd.DataFrame:
     pdf = pdf.sort_values("id").reset_index(drop=True)
     vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-    seed = zlib.crc32(pdf["pkey"].iloc[0].encode())
-    nbrs = NumpyHNSW(m=m, ef_construction=efc, seed=seed).build(vecs)
+    nbrs = build_pruned_knn_graph(vecs, m=m)
     return pd.DataFrame(
         {
             "pkey": pdf["pkey"],

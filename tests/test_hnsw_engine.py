@@ -83,3 +83,25 @@ def test_hybrid_engine_sharded_recall(spark):
         got.setdefault(r.query_id, set()).add(r.id)
     recalls = [len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact]
     assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
+
+
+def test_pruned_knn_graph_recall():
+    """The default shard build (exact candidates + RNG prune) must beat
+    the incremental-HNSW recall bar at equal m."""
+    from sigmod_2024_contest_spark.operators.hnsw import build_pruned_knn_graph
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(2000, 32)).astype(np.float32)
+    nbrs = build_pruned_knn_graph(vecs, m=16)
+    assert nbrs.shape == (2000, 32)
+    deg = (nbrs >= 0).sum(axis=1)
+    assert (deg > 0).all()
+    hits = total = 0
+    for qi in range(50):
+        q = vecs[qi].astype(np.float64)
+        diff = vecs.astype(np.float64) - q
+        exact = np.argsort(np.einsum("ij,ij->i", diff, diff), kind="stable")[:10]
+        pos, _ = beam_search(vecs, nbrs, q, k=10, ef=150)
+        hits += len(set(exact.tolist()) & set(pos.tolist()))
+        total += 10
+    assert hits / total >= 0.95, hits / total
