@@ -129,8 +129,15 @@ def _sq8_asym_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", Q.encode_asym_expr("embedding", mins, maxs).alias("codes"))
 
 
+def _sq4_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn, mx = Q.train_global_minmax(emb, "embedding")
+    return emb.select("vec_id", Q.encode_sq4_expr("embedding", mn, mx).alias("codes"))
+
+
 register("sq8_encode", _sq8_encode, _SQ8_ENCODE_SQL)
 register("sq8_asym_encode", _sq8_asym_encode, Q.encode_asym_sql())
+register("sq4_encode", _sq4_encode, Q.encode_sq4_sql())
 register("knn_sq8_rerank", _knn_sq8_rerank, bruteforce_sq8.knn_sq8_rerank_sql())
 
 

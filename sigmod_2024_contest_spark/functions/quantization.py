@@ -137,6 +137,60 @@ FROM {table}, mm
 
 
 # ---------------------------------------------------------------------------
+# SQ4 (global min/max, 4-bit packed) — reference sq4_quant.hpp:15-108
+# ---------------------------------------------------------------------------
+
+
+def train_global_minmax(base: DataFrame, vec_col: str = "vec") -> tuple[float, float]:
+    """Global (min, max) over every vector element (sq4_quant.hpp
+    trains one scale for the whole corpus)."""
+    row = base.select(
+        F.min(F.array_min(F.col(vec_col))).cast("double").alias("mn"),
+        F.max(F.array_max(F.col(vec_col))).cast("double").alias("mx"),
+    ).collect()[0]
+    return float(row["mn"]), float(row["mx"])
+
+
+def encode_sq4_expr(vec: Column | str, mn: float, mx: float) -> Column:
+    """float vec → packed 4-bit codes, two per byte (low nibble =
+    even dim): byte_j = c₂ⱼ + 16·c₂ⱼ₊₁ with
+    c = floor(15·clamp((x−mn)/(mx−mn), 0, 1) + 0.5). Odd dims pad 0."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    scale = float(mx - mn) if mx > mn else 1.0
+
+    def nib(x):
+        frac = F.least(F.greatest((x.cast("double") - F.lit(float(mn))) / F.lit(scale), F.lit(0.0)), F.lit(1.0))
+        return F.floor(frac * F.lit(15.0) + F.lit(0.5)).cast("int")
+
+    half = F.ceil(F.size(vec) / F.lit(2)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), half - 1),
+        lambda j: nib(F.element_at(vec, 2 * j + 1))
+        + F.lit(16) * F.coalesce(
+            F.when(2 * j + 2 <= F.size(vec), nib(F.element_at(vec, 2 * j + 2))), F.lit(0)
+        ),
+    )
+
+
+def encode_sq4_sql(table: str = "embeddings", vec_sql: str = "embedding") -> str:
+    nib = (
+        "CAST(floor(least(greatest(({v}::DOUBLE - mm.mn) / (CASE WHEN mm.mx > mm.mn THEN mm.mx - mm.mn ELSE 1.0 END), 0.0), 1.0) * 15.0 + 0.5) AS INTEGER)"
+    )
+    lo = nib.format(v=f"{vec_sql}[2*j + 1]")
+    hi = nib.format(v=f"{vec_sql}[2*j + 2]")
+    return f"""
+WITH mm AS (
+  SELECT min(list_min({vec_sql}))::DOUBLE AS mn, max(list_max({vec_sql}))::DOUBLE AS mx
+  FROM {table}
+)
+SELECT vec_id,
+       list_transform(range(0, CAST(ceil(len({vec_sql}) / 2.0) AS BIGINT)),
+         j -> {lo} + 16 * (CASE WHEN 2*j + 2 <= len({vec_sql}) THEN {hi} ELSE 0 END)) AS codes
+FROM {table}, mm
+"""
+
+
+# ---------------------------------------------------------------------------
 # NumPy variants (Arrow batch path — used inside HNSW build/search)
 # ---------------------------------------------------------------------------
 

@@ -54,3 +54,39 @@ def test_sq8_recall_vs_exact(spark):
     approx = {(r.query_id, r.id) for r in bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.99, recall
+
+
+def test_sq4_encode_oracle(spark):
+    from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+    from sigmod_2024_contest_spark import api
+
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["sq4_encode"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["sq4_encode"])
+
+
+def test_sq4_roundtrip_error_bounded(spark):
+    """Decoded SQ4 values must sit within half a quantization step."""
+    import numpy as np
+
+    from conftest import SF_SMOKE
+
+    from sigmod_2024_contest_spark import api
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mn, mx = Q.train_global_minmax(emb, "embedding")
+    rows = api.queries()["sq4_encode"](spark, SF_SMOKE).orderBy("vec_id").limit(20).collect()
+    orig = {r["vec_id"]: r["embedding"] for r in emb.orderBy("vec_id").limit(20).collect()}
+    step = (mx - mn) / 15.0
+    for r in rows:
+        vec = np.asarray(orig[r["vec_id"]], dtype=np.float64)
+        codes = np.asarray(r["codes"], dtype=np.int64)
+        nibs = np.empty(codes.size * 2, dtype=np.int64)
+        nibs[0::2] = codes % 16
+        nibs[1::2] = codes // 16
+        dec = mn + nibs[: vec.size] * step
+        clamped = np.clip(vec, mn, mx)
+        assert np.abs(dec - clamped).max() <= step / 2 + 1e-9
