@@ -141,44 +141,49 @@ def knn_exact_arrow(
         qid = qm[:, 0].astype(np.int64)
         qtype = qm[:, 1].astype(np.int64)
         vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
-        for batch in batches:
-            tbl = batch
-            ids = tbl.column("id").to_numpy(zero_copy_only=False)
-            cats = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
-            ts = tbl.column("ts").to_numpy(zero_copy_only=False)
-            vecs = list_column_matrix(tbl, "vec")
-            # one GEMM for the whole (query-batch × row-batch) block
-            qq = np.einsum("ij,ij->i", qv, qv)[:, None]
-            bb = np.einsum("ij,ij->i", vecs, vecs)[None, :]
-            dists = qq + bb - 2.0 * (qv @ vecs.T)
-            np.maximum(dists, 0.0, out=dists)
-            # type-dispatched predicate mask (Filter functor, searcher.hpp:23-44)
-            cat_ok = cats[None, :] == vv[:, None]
-            ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
-            mask = (
-                (qtype[:, None] == 0)
-                | ((qtype[:, None] == 1) & cat_ok)
-                | ((qtype[:, None] == 2) & ts_ok)
-                | ((qtype[:, None] == 3) & cat_ok & ts_ok)
-            )
-            dists = np.where(mask, dists, np.inf)
-            kk = min(k, dists.shape[1])
-            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-            rows_q, rows_id, rows_d = [], [], []
-            for i in range(dists.shape[0]):
-                sel = part[i][np.isfinite(dists[i, part[i]])]
-                rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
-                rows_id.append(ids[sel].astype(np.int64))
-                rows_d.append(dists[i, sel])
-            if rows_q:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(rows_q)),
-                        pa.array(np.concatenate(rows_id)),
-                        pa.array(np.concatenate(rows_d)),
-                    ],
-                    schema=result_type,
+        chunk = max(1, (1 << 22) // max(len(qid), 1))  # ≈32 MB dist blocks
+        for tbl in batches:
+            ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
+            cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
+            ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
+            vecs_all = list_column_matrix(tbl, "vec")
+            for cs in range(0, vecs_all.shape[0], chunk):
+                ids = ids_all[cs : cs + chunk]
+                cats = cats_all[cs : cs + chunk]
+                ts = ts_all[cs : cs + chunk]
+                vecs = vecs_all[cs : cs + chunk]
+                # one GEMM for the (query-batch × row-chunk) block
+                qq = np.einsum("ij,ij->i", qv, qv)[:, None]
+                bb = np.einsum("ij,ij->i", vecs, vecs)[None, :]
+                dists = qq + bb - 2.0 * (qv @ vecs.T)
+                np.maximum(dists, 0.0, out=dists)
+                # type-dispatched predicate mask (Filter functor, searcher.hpp:23-44)
+                cat_ok = cats[None, :] == vv[:, None]
+                ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
+                mask = (
+                    (qtype[:, None] == 0)
+                    | ((qtype[:, None] == 1) & cat_ok)
+                    | ((qtype[:, None] == 2) & ts_ok)
+                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
+                dists = np.where(mask, dists, np.inf)
+                kk = min(k, dists.shape[1])
+                part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+                rows_q, rows_id, rows_d = [], [], []
+                for i in range(dists.shape[0]):
+                    sel = part[i][np.isfinite(dists[i, part[i]])]
+                    rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
+                    rows_id.append(ids[sel].astype(np.int64))
+                    rows_d.append(dists[i, sel])
+                if rows_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(rows_q)),
+                            pa.array(np.concatenate(rows_id)),
+                            pa.array(np.concatenate(rows_d)),
+                        ],
+                        schema=result_type,
+                    )
 
     candidates = base.select("id", "category", "ts", "vec").mapInArrow(partial_topk, out_schema)
     return _topk_window(candidates, k)

@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_sim_expr
 from ..plans.workload import QUERY_STRIDE
 
 TOPK = 10
@@ -64,29 +63,33 @@ def ann_cosine_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
 
     def partial(batches):
         qids_, qv_, qn_ = bc.value
+        chunk = max(1, (1 << 22) // max(len(qids_), 1))  # ≈32 MB sim blocks
         for batch in batches:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            V = list_column_matrix(batch, "embedding")
-            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-            sims = (qv_ @ V.T) / (qn_[:, None] * vn[None, :])
-            sims[qids_[:, None] == ids[None, :]] = -np.inf  # self
-            kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows_q, rows_id, rows_c = [], [], []
-            for i in range(sims.shape[0]):
-                sel = part[i][np.isfinite(sims[i, part[i]])]
-                rows_q.append(np.full(sel.shape[0], qids_[i], dtype=np.int64))
-                rows_id.append(ids[sel].astype(np.int64))
-                rows_c.append(sims[i, sel])
-            if rows_q:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(rows_q)),
-                        pa.array(np.concatenate(rows_id)),
-                        pa.array(np.concatenate(rows_c)),
-                    ],
-                    schema=schema,
-                )
+            ids_all = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            V_all = list_column_matrix(batch, "embedding")
+            for s in range(0, V_all.shape[0], chunk):
+                V = V_all[s : s + chunk]
+                ids = ids_all[s : s + chunk]
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                sims = (qv_ @ V.T) / (qn_[:, None] * vn[None, :])
+                sims[qids_[:, None] == ids[None, :]] = -np.inf  # self
+                kk = min(k, sims.shape[1])
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                rows_q, rows_id, rows_c = [], [], []
+                for i in range(sims.shape[0]):
+                    sel = part[i][np.isfinite(sims[i, part[i]])]
+                    rows_q.append(np.full(sel.shape[0], qids_[i], dtype=np.int64))
+                    rows_id.append(ids[sel].astype(np.int64))
+                    rows_c.append(sims[i, sel])
+                if rows_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(rows_q)),
+                            pa.array(np.concatenate(rows_id)),
+                            pa.array(np.concatenate(rows_c)),
+                        ],
+                        schema=schema,
+                    )
 
     cands = emb.select("vec_id", "embedding").mapInArrow(
         partial, "query_id long, id long, cos double"
@@ -156,23 +159,31 @@ def _bucket_sql(vec_sql: str) -> str:
 def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
     """(query_id, id, rnk): top-k by cosine over the query's
     *multi-probe* LSH candidate set — the home bucket plus every bucket
-    at Hamming distance 1 (flip one hyperplane bit). The scale path:
-    the join key is the bucket id, so each query scans N_PLANES+1
-    buckets ≈ 9n/256 rows — and at 100 TB the bucket id becomes the
-    physical partition key (same trick as the reference's
-    category_map). Multi-probe buys ~4× the single-probe recall for 9×
-    the (still tiny) candidate set; buckets partition the corpus, so
-    probes never produce duplicate candidates. Recall vs the exact
-    baseline is the quality metric (tests)."""
-    with_bucket = emb.select(
-        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
-    )
+    at Hamming distance 1 (flip one hyperplane bit). Multi-probe buys
+    ~4× the single-probe recall for 9× the (still tiny) candidate set;
+    buckets partition the corpus, so probes never produce duplicate
+    candidates.
+
+    Physical plan = bucket cogroup: the corpus shuffles ONCE on its
+    bucket id, queries (exploded to their 9 probes) cogroup in, and
+    each task runs one GEMM of (queries probing this bucket ×
+    bucket rows) — total compute is the true LSH fraction
+    (≈9/2^planes of brute force) and no (qvec, vec) pair row is ever
+    materialized. At 100 TB the bucket id becomes the physical
+    partition key (the reference's category_map trick). Recall vs the
+    exact baseline is the quality metric (tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from .knn import list_column_matrix  # noqa: F401  (shared helper)
+
+    wb = emb.select("vec_id", "embedding", _bucket_expr("embedding").alias("bucket"))
     probes = F.array(
         F.col("qbucket"),
         *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
     )
-    q = F.broadcast(
-        with_bucket.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    qp = (
+        wb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
@@ -180,13 +191,43 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
         )
         .select("query_id", "qvec", F.explode(probes).alias("probe"))
     )
-    scored = with_bucket.alias("b").join(
-        q.alias("q"),
-        (F.col("q.probe") == F.col("b.bucket")) & (F.col("q.query_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("q.query_id").alias("query_id"),
-        F.col("b.vec_id").alias("id"),
-        cosine_sim_expr(F.col("q.qvec"), F.col("b.embedding")).alias("cos"),
+
+    def per_bucket(b_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "id": [], "cos": []}).astype(
+            {"query_id": "int64", "id": "int64", "cos": "float64"}
+        )
+        if b_pdf.empty or q_pdf.empty:
+            return empty
+        ids = b_pdf["vec_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["embedding"]])
+        qids = q_pdf["query_id"].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["qvec"]])
+        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        sims = (Q @ V.T) / (qn[:, None] * vn[None, :])
+        sims[qids[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_id, rows_c = [], [], []
+        for i in range(sims.shape[0]):
+            sel = part[i][np.isfinite(sims[i, part[i]])]
+            rows_q.append(np.full(sel.shape[0], qids[i], dtype=np.int64))
+            rows_id.append(ids[sel].astype(np.int64))
+            rows_c.append(sims[i, sel])
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "id": np.concatenate(rows_id),
+                "cos": np.concatenate(rows_c),
+            }
+        )
+
+    scored = (
+        wb.groupby("bucket")
+        .cogroup(qp.groupby("probe"))
+        .applyInPandas(per_bucket, "query_id long, id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
@@ -302,31 +343,35 @@ def ann_ivf_topk(
     def partial(batches):
         qids_, qv_, qn_, c, pm = bc.value
         cc = np.einsum("ij,ij->i", c, c)
+        chunk = max(1, (1 << 22) // max(len(qids_), 1))  # ≈32 MB sim blocks
         for batch in batches:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            V = list_column_matrix(batch, "embedding")
-            assign = np.argmin(cc[:, None] - 2.0 * (c @ V.T), axis=0)
-            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-            sims = (qv_ @ V.T) / (qn_[:, None] * vn[None, :])
-            sims[~pm[:, assign]] = -np.inf  # outside the query's probed cells
-            sims[qids_[:, None] == ids[None, :]] = -np.inf  # self
-            kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows_q, rows_id, rows_c = [], [], []
-            for i in range(sims.shape[0]):
-                sel = part[i][np.isfinite(sims[i, part[i]])]
-                rows_q.append(np.full(sel.shape[0], qids_[i], dtype=np.int64))
-                rows_id.append(ids[sel].astype(np.int64))
-                rows_c.append(sims[i, sel])
-            if rows_q:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(rows_q)),
-                        pa.array(np.concatenate(rows_id)),
-                        pa.array(np.concatenate(rows_c)),
-                    ],
-                    schema=schema,
-                )
+            ids_all = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            V_all = list_column_matrix(batch, "embedding")
+            for s in range(0, V_all.shape[0], chunk):
+                ids = ids_all[s : s + chunk]
+                V = V_all[s : s + chunk]
+                assign = np.argmin(cc[:, None] - 2.0 * (c @ V.T), axis=0)
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                sims = (qv_ @ V.T) / (qn_[:, None] * vn[None, :])
+                sims[~pm[:, assign]] = -np.inf  # outside the query's probed cells
+                sims[qids_[:, None] == ids[None, :]] = -np.inf  # self
+                kk = min(k, sims.shape[1])
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                rows_q, rows_id, rows_c = [], [], []
+                for i in range(sims.shape[0]):
+                    sel = part[i][np.isfinite(sims[i, part[i]])]
+                    rows_q.append(np.full(sel.shape[0], qids_[i], dtype=np.int64))
+                    rows_id.append(ids[sel].astype(np.int64))
+                    rows_c.append(sims[i, sel])
+                if rows_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(rows_q)),
+                            pa.array(np.concatenate(rows_id)),
+                            pa.array(np.concatenate(rows_c)),
+                        ],
+                        schema=schema,
+                    )
 
     cands = emb.select("vec_id", "embedding").mapInArrow(
         partial, "query_id long, id long, cos double"
