@@ -40,7 +40,117 @@ def knn_sq8_rerank(
     """(query_id, id, rnk) — exact-reranked SQ8 brute force, all 4
     query types. Identical to exact kNN whenever the true top-k
     survives the 140-deep quantized cut (the reference's operating
-    assumption)."""
+    assumption).
+
+    Physical plan: ONE corpus scan, ZERO joins. Queries (with their
+    int16 codes) broadcast; per Arrow chunk the kernel runs an integer
+    GEMM over codes, takes the partial top-refine_k per query, and
+    exact-rescores just those rows with the float vectors already in
+    hand. The merge is two windows over the tiny candidate set: global
+    top-refine_k by (cdist, id) — the reference's quantized cut —
+    then top-k by exact (dist, id). Integer distances are
+    order-independent, so GEMM ≡ the SQL oracle's fold bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .knn import list_column_matrix
+
+    spark = base.sparkSession
+    qrows = queries.select("query_id", "query_type", "v", "l", "r", "qvec").collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    qmeta = np.array(
+        [(r["query_id"], r["query_type"], r["v"], r["l"], r["r"]) for r in qrows],
+        dtype=np.float64,
+    )
+    qcodes = Q.encode_np(np.array([r["qvec"] for r in qrows], dtype=np.float64), alpha)
+    qvecs = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qmeta, qcodes, qvecs, float(alpha)))
+
+    schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("id", pa.int64()),
+            pa.field("cdist", pa.int64()),
+            pa.field("dist", pa.float64()),
+        ]
+    )
+
+    def partial(batches):
+        qm, qc, qv, a = bc.value
+        qid = qm[:, 0].astype(np.int64)
+        qtype = qm[:, 1].astype(np.int64)
+        vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
+        chunk = max(1, (1 << 22) // max(len(qid), 1))
+        for tbl in batches:
+            ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
+            cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
+            ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
+            vecs_all = list_column_matrix(tbl, "vec")
+            for cs in range(0, vecs_all.shape[0], chunk):
+                ids = ids_all[cs : cs + chunk]
+                cats = cats_all[cs : cs + chunk]
+                ts = ts_all[cs : cs + chunk]
+                vecs = vecs_all[cs : cs + chunk]
+                codes = Q.encode_np(vecs, a)
+                cd = Q.code_l2_sqr_np(qc, codes)
+                cat_ok = cats[None, :] == vv[:, None]
+                ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
+                mask = (
+                    (qtype[:, None] == 0)
+                    | ((qtype[:, None] == 1) & cat_ok)
+                    | ((qtype[:, None] == 2) & ts_ok)
+                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
+                )
+                big = np.int64(1) << 62
+                cd = np.where(mask, cd, big)
+                kk = min(refine_k, cd.shape[1])
+                part = np.argpartition(cd, kk - 1, axis=1)[:, :kk]
+                rows_q, rows_id, rows_cd, rows_d = [], [], [], []
+                for i in range(cd.shape[0]):
+                    sel = part[i][cd[i, part[i]] < big]
+                    if sel.size == 0:
+                        continue
+                    diff = vecs[sel] - qv[i]
+                    rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
+                    rows_id.append(ids[sel].astype(np.int64))
+                    rows_cd.append(cd[i, sel])
+                    rows_d.append(np.einsum("ij,ij->i", diff, diff))
+                if rows_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(rows_q)),
+                            pa.array(np.concatenate(rows_id)),
+                            pa.array(np.concatenate(rows_cd)),
+                            pa.array(np.concatenate(rows_d)),
+                        ],
+                        schema=schema,
+                    )
+
+    cands = base.select("id", "category", "ts", "vec").mapInArrow(
+        partial, "query_id long, id long, cdist long, dist double"
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        cands.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= refine_k)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def knn_sq8_rerank_expr(
+    base: DataFrame,
+    queries: DataFrame,
+    alpha: float,
+    k: int = workload.K,
+    refine_k: int = BF_REFINE_K,
+) -> DataFrame:
+    """Declarative variant (per-pair expression join) — kept as the
+    fully-Catalyst physical strategy and used in tests to pin the
+    Arrow path's semantics."""
     q = queries.select(
         "query_id", "query_type", "v", "l", "r", "qvec", Q.encode_expr("qvec", alpha).alias("qcodes")
     )

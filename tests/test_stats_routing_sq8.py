@@ -90,3 +90,21 @@ def test_sq4_roundtrip_error_bounded(spark):
         dec = mn + nibs[: vec.size] * step
         clamped = np.clip(vec, mn, mx)
         assert np.abs(dec - clamped).max() <= step / 2 + 1e-9
+
+
+def test_sq8_arrow_matches_expr_path(spark):
+    """The Arrow int-GEMM path and the declarative expression path are
+    two physical strategies for the same logical op — identical rows."""
+    from conftest import SF_SMOKE
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import bruteforce_sq8
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base)
+    fast = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect()))
+    slow = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank_expr(base, q, alpha).collect()))
+    assert fast == slow
