@@ -18,6 +18,7 @@ hashes), so every op here is hash-match verifiable against DuckDB.
 
 from __future__ import annotations
 
+import numpy as _np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,9 +101,52 @@ def _shingle_keys_expr() -> F.Column:
     )
 
 
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, skeys array<long>, mh array<long>): distinct hashed
+    3-gram shingles AND the 12 minhash values, one Arrow pass.
+
+    hashlib.md5 produces the identical 48-bit keys as the JVM
+    expression (`_shingle_keys_expr`) and the oracle's hex fold — the
+    Python kernel exists because the md5-per-gram *expression* pays
+    multi-second whole-stage-codegen compilation per query, while this
+    kernel is a flat per-row map with NumPy minhash reduction. Still a
+    pure projection: no shuffle, no state, scales per-partition."""
+    a_arr = _np.array(HASH_A, dtype="int64")[:, None]
+    b_arr = _np.array(HASH_B, dtype="int64")[:, None]
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_keys, out_mh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                keys = {
+                    int(hashlib.md5((" ".join(ws[i : i + 3])).encode()).hexdigest()[:12], 16)
+                    for i in range(len(ws) - 2)
+                }
+                ks = np.fromiter(keys, dtype=np.int64, count=len(keys))
+                if ks.size:
+                    # reduce below 2^31 first: a·skey would overflow int64
+                    mh = ((a_arr * (ks[None, :] % MOD) + b_arr) % MOD).min(axis=1)
+                else:
+                    mh = np.full(N_HASHES, MOD, dtype=np.int64)
+                out_id.append(doc_id)
+                out_keys.append(ks)
+                out_mh.append(mh)
+            yield pd.DataFrame({"doc_id": out_id, "skeys": out_keys, "mh": out_mh})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, skeys array<long>, mh array<long>"
+    )
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, skey) — distinct hashed 3-word shingles per document."""
-    return docs.select("doc_id", F.explode(_shingle_keys_expr()).alias("skey"))
+    return _shingle_table(docs).select("doc_id", F.explode("skeys").alias("skey"))
 
 
 _SHINGLE_KEY_SQL = _hash48_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
@@ -185,29 +229,12 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
     so at 100 TB the band self-join is the ONLY shuffle of the
     candidate phase and its key space (band, sig) is uniformly spread
     by construction."""
-    # Materialize the per-doc shingle arrays ONCE; signatures, the
-    # exploded shingle table, and verification all derive from this
-    # cache, so the md5-per-3-gram expression runs a single time.
-    arrs = docs.select("doc_id", _shingle_keys_expr().alias("skeys")).cache()
+    # Materialize the per-doc (shingles, minhashes) table ONCE;
+    # signatures, the exploded shingle table, and verification all
+    # derive from this cache, so hashing runs a single time.
+    arrs = _shingle_table(docs).cache()
     sh = arrs.select("doc_id", F.explode("skeys").alias("skey"))
 
-    # All 12 minhashes in ONE fold over the shingle array: the array
-    # is a plain cached column here, referenced exactly once, so
-    # Catalyst's projection collapse can't duplicate the hashing.
-    init = F.struct(*[F.lit(MOD).cast("long").alias(f"h{i}") for i in range(N_HASHES)])
-
-    def step(acc: F.Column, x: F.Column) -> F.Column:
-        # reduce skey below 2^31 first: a·skey would overflow int64
-        return F.struct(
-            *[
-                F.least(
-                    acc[f"h{i}"], (F.lit(HASH_A[i]) * (x % MOD) + F.lit(HASH_B[i])) % MOD
-                ).alias(f"h{i}")
-                for i in range(N_HASHES)
-            ]
-        )
-
-    mins = F.aggregate(F.col("skeys"), init, step)
     bands = F.array(
         *[
             F.struct(
@@ -215,7 +242,7 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
                 F.concat_ws(
                     ",",
                     *[
-                        F.col("mins")[f"h{b * BAND_ROWS + j}"].cast("string")
+                        F.element_at("mh", b * BAND_ROWS + j + 1).cast("string")
                         for j in range(BAND_ROWS)
                     ],
                 ).alias("sig"),
@@ -225,7 +252,6 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
     )
     sigs = (
         arrs.filter(F.size("skeys") > 0)
-        .select("doc_id", mins.alias("mins"))
         .select("doc_id", F.explode(bands).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
