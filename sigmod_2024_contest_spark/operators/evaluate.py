@@ -23,18 +23,16 @@ def recall_at_k(result: DataFrame, truth: DataFrame) -> DataFrame:
     failures localize (the reference dumps recall1.bin for the same
     reason, utils.h:250-251)."""
     t = truth.select("query_id", "id")
-    hits = (
-        t.join(result.select("query_id", "id"), ["query_id", "id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    per_q = t.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    r = result.select("query_id", "id", F.lit(1).alias("hit"))
+    # single left join + one groupBy: each input plan (often itself an
+    # expensive kNN job) is evaluated exactly once — the two-aggregate
+    # formulation would recompute `truth` per aggregate
     return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.col("n_truth").cast("long").alias("n_truth"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        t.join(r, ["query_id", "id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.count("hit").cast("long").alias("n_hit"),
         )
         .withColumn(
             "recall_ppm",
