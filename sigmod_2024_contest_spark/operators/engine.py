@@ -188,7 +188,68 @@ def _assignments(queries: DataFrame, plan: DataFrame, catalog: DataFrame) -> Dat
     return prefixed.join(F.broadcast(catalog), "prefix").drop("prefix")
 
 
-def _search_cogroup(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame, k: int, ef: int) -> pd.DataFrame:
+# Below this shard size one batched GEMM over all of the shard's queries
+# beats per-query graph traversal — the reference's SMALL→bruteforce
+# routing (hybrid_graph.cpp:399-419) applied at shard granularity. The
+# GEMM path is also exact, so small shards contribute perfect candidates.
+GEMM_SHARD_THR = 4096
+
+
+def _search_shard_gemm(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    cats: np.ndarray,
+    ts: np.ndarray,
+    q_pdf: pd.DataFrame,
+    k: int,
+) -> pd.DataFrame:
+    V = vecs.astype(np.float64)
+    vv = np.einsum("ij,ij->i", V, V)
+    qv = np.asarray([np.asarray(x, dtype=np.float64) for x in q_pdf["qvec"]])
+    t = q_pdf["query_type"].to_numpy()
+    vp = q_pdf["v"].to_numpy()
+    lp = q_pdf["l"].to_numpy()
+    rp = q_pdf["r"].to_numpy()
+    qids = q_pdf["query_id"].to_numpy()
+    out_q, out_i, out_d = [], [], []
+    chunk = max(1, (1 << 22) // max(len(ids), 1))  # bound the sim block
+    for s in range(0, len(qids), chunk):
+        e = min(s + chunk, len(qids))
+        Q = qv[s:e]
+        D = np.einsum("ij,ij->i", Q, Q)[:, None] + vv[None, :] - 2.0 * (Q @ V.T)
+        need_cat = np.isin(t[s:e], (1, 3))[:, None]
+        need_ts = np.isin(t[s:e], (2, 3))[:, None]
+        ok = (~need_cat | (cats[None, :] == vp[s:e, None])) & (
+            ~need_ts | ((ts[None, :] >= lp[s:e, None]) & (ts[None, :] <= rp[s:e, None]))
+        )
+        D[~ok] = np.inf
+        kk = min(k, D.shape[1])
+        part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+        for i in range(D.shape[0]):
+            sel = part[i][np.isfinite(D[i, part[i]])]
+            out_q.append(np.full(sel.shape[0], qids[s + i], dtype=np.int64))
+            out_i.append(ids[sel].astype(np.int64))
+            out_d.append(np.maximum(D[i, sel], 0.0))
+    if not out_q:
+        return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
+            {"query_id": "int64", "id": "int64", "dist": "float64"}
+        )
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "id": np.concatenate(out_i),
+            "dist": np.concatenate(out_d),
+        }
+    )
+
+
+def _search_cogroup(
+    index_pdf: pd.DataFrame,
+    q_pdf: pd.DataFrame,
+    k: int,
+    ef: int,
+    gemm_thr: int = GEMM_SHARD_THR,
+) -> pd.DataFrame:
     if index_pdf.empty or q_pdf.empty:
         return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
             {"query_id": "int64", "id": "int64", "dist": "float64"}
@@ -196,13 +257,15 @@ def _search_cogroup(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame, k: int, ef: in
     index_pdf = index_pdf.sort_values("pos").reset_index(drop=True)
     vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in index_pdf["vec"]])
     n = len(index_pdf)
+    ids = index_pdf["id"].to_numpy()
+    cats = index_pdf["category"].to_numpy()
+    ts = index_pdf["ts"].to_numpy()
+    if n <= gemm_thr:
+        return _search_shard_gemm(vecs, ids, cats, ts, q_pdf, k)
     m0 = max((len(x) for x in index_pdf["nbrs"]), default=1) or 1
     nbrs = np.full((n, m0), -1, dtype=np.int32)
     for i, row in enumerate(index_pdf["nbrs"]):
         nbrs[i, : len(row)] = row
-    ids = index_pdf["id"].to_numpy()
-    cats = index_pdf["category"].to_numpy()
-    ts = index_pdf["ts"].to_numpy()
     out_q, out_i, out_d = [], [], []
     for qr in q_pdf.itertuples(index=False):
         qv = np.asarray(qr.qvec, dtype=np.float64)
@@ -226,11 +289,19 @@ def _search_cogroup(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame, k: int, ef: in
     )
 
 
-def graph_search(index: DataFrame, assignments: DataFrame, k: int, ef: int = 200) -> DataFrame:
-    """Cogrouped per-partition beam search → candidate rows."""
+def graph_search(
+    index: DataFrame,
+    assignments: DataFrame,
+    k: int,
+    ef: int = 200,
+    gemm_thr: int = GEMM_SHARD_THR,
+) -> DataFrame:
+    """Cogrouped per-partition search → candidate rows. Shards at or
+    under ``gemm_thr`` rows answer all their queries with one exact
+    GEMM; larger shards run the per-query filtered beam search."""
     cg = index.groupby("pkey").cogroup(assignments.groupby("pkey"))
     return cg.applyInPandas(
-        lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef), CAND_SCHEMA
+        lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef, gemm_thr), CAND_SCHEMA
     )
 
 
@@ -241,6 +312,7 @@ def knn_hybrid(
     k: int = workload.K,
     ef: int = 200,
     index: DataFrame | None = None,
+    gemm_thr: int = GEMM_SHARD_THR,
 ) -> DataFrame:
     """The full BatchSearch pipeline: route → bf/graph branches →
     global top-k. Returns (query_id, id, rnk)."""
@@ -260,7 +332,7 @@ def knn_hybrid(
     # once for the catalog and AGAIN for the search cogroup
     index = index.persist()
     assigns = _assignments(queries, plan, shard_catalog(index))
-    cands = graph_search(index, assigns, k=k, ef=ef)
+    cands = graph_search(index, assigns, k=k, ef=ef, gemm_thr=gemm_thr)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     graph_res = (
         cands.dropDuplicates(["query_id", "id"])

@@ -85,6 +85,22 @@ def test_hybrid_engine_sharded_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
 
 
+def test_hybrid_engine_graph_path_recall(spark):
+    """gemm_thr=0 forces every shard through the distributed beam
+    search (the >GEMM_SHARD_THR path at 100 TB); recall bar must hold
+    there too, independent of the small-shard GEMM fast path."""
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base, q, gemm_thr=0).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
+
+
 def test_pruned_knn_graph_recall():
     """The default shard build (exact candidates + RNG prune) must beat
     the incremental-HNSW recall bar at equal m."""
