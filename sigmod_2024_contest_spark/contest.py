@@ -1,0 +1,64 @@
+"""End-to-end contest pipeline — the reference-user entry point.
+
+Reference: ``main`` in ``/root/reference/baseline.cpp:28-168`` (read
+.bin base + queries, build indexes, BatchSearch, SaveKNN). A user of
+the reference runs exactly that; this module is the drop-in Spark
+equivalent: the same .bin wire formats in and out, the same four query
+types, the same hybrid (routed brute-force + partitioned-graph) search
+in between — but every stage a DataFrame job that scales past one
+machine.
+
+CLI: ``python -m sigmod_2024_contest_spark.contest BASE.bin QUERIES.bin
+OUT.bin [k] [exact|hybrid]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import engine, knn
+from .sources import bin_format
+
+
+def contest_run(
+    spark: SparkSession,
+    base_path: str,
+    queries_path: str,
+    out_path: str | None = None,
+    k: int = 100,
+    mode: str = "hybrid",
+) -> DataFrame:
+    """Run the full contest pipeline. Returns (query_id, id, rnk);
+    writes the reference's Nq×k uint32 matrix when ``out_path`` given.
+
+    mode='hybrid' → the routed engine (BatchSearch parity);
+    mode='exact'  → the brute-force oracle path (ground-truth parity,
+    generate_groundtruth.cpp:4-45)."""
+    base = bin_format.read_base_bin(spark, base_path)
+    queries = bin_format.read_queries_bin(spark, queries_path)
+    if mode == "exact":
+        result = knn.knn_exact_arrow(spark, base, queries, k=k)
+    else:
+        result = engine.knn_hybrid(spark, base, queries, k=k)
+    if out_path is not None:
+        bin_format.write_knn_bin(result, out_path, k=k)
+    return result
+
+
+def main(argv: list[str]) -> None:
+    from .session import get_spark, ship_package
+
+    base_path, queries_path, out_path = argv[:3]
+    k = int(argv[3]) if len(argv) > 3 else 100
+    mode = argv[4] if len(argv) > 4 else "hybrid"
+    spark = get_spark("contest-run")
+    ship_package(spark)
+    contest_run(spark, base_path, queries_path, out_path, k=k, mode=mode)
+    print(f"wrote {out_path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])
