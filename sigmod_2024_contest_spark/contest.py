@@ -34,7 +34,13 @@ def contest_run(
     mode='hybrid' → the routed engine (BatchSearch parity);
     mode='exact'  → the brute-force oracle path (ground-truth parity,
     generate_groundtruth.cpp:4-45)."""
-    base = bin_format.read_base_bin(spark, base_path)
+    # the pipeline reads base ~6× (stats, quantizer train, bf scan,
+    # index build); persist the decoded columns once — the .bin decode
+    # is the expensive part, and MEMORY_AND_DISK spills rather than
+    # OOMs when the corpus outgrows executor memory
+    from pyspark import StorageLevel
+
+    base = bin_format.read_base_bin(spark, base_path).persist(StorageLevel.MEMORY_AND_DISK)
     queries = bin_format.read_queries_bin(spark, queries_path)
     if mode == "exact":
         result = knn.knn_exact_arrow(spark, base, queries, k=k)

@@ -37,8 +37,16 @@ ROUTE_CAT_GRAPH = "cat_graph"
 ROUTE_TIME_GRAPH = "time_graph"
 ROUTE_GLOBAL_GRAPH = "global_graph"
 
+# ts histogram resolution for routing selectivity: bin mass ≈ 0.1 % of
+# the corpus — far below every routing threshold — while keeping the
+# stats table bounded at |cats|×1000 rows for any corpus size (the
+# reference's sorted-replica binary search, as a histogram).
+ROUTING_TS_BINS = 1000
 
-def route_plan(base: DataFrame, queries: DataFrame) -> DataFrame:
+
+def route_plan(
+    base: DataFrame, queries: DataFrame, ts_bins: int | None = ROUTING_TS_BINS
+) -> DataFrame:
     """(query_id, query_type, sel_num, n_total, route).
 
     sel < bf_thr → brute force over the predicate slice;
@@ -46,7 +54,7 @@ def route_plan(base: DataFrame, queries: DataFrame) -> DataFrame:
     type 2 above threshold → decile graphs (SplitInterval downstream);
     type 0 → global/decile graphs.
     """
-    sel = selectivity(base, queries)
+    sel = selectivity(base, queries, ts_bins=ts_bins)
     frac = F.col("sel_num").cast("double") / F.col("n_total").cast("double")
     thr = F.when(F.col("query_type") == 3, F.lit(BF_THR_T3)).otherwise(F.lit(BF_THR))
     route = (
@@ -58,11 +66,11 @@ def route_plan(base: DataFrame, queries: DataFrame) -> DataFrame:
     return sel.select("query_id", "query_type", "sel_num", "n_total", route.alias("route"))
 
 
-def route_plan_sql() -> str:
+def route_plan_sql(ts_bins: int | None = ROUTING_TS_BINS) -> str:
     from .stats import selectivity_sql
 
     return f"""
-WITH sel AS ({selectivity_sql()})
+WITH sel AS ({selectivity_sql(ts_bins)})
 SELECT query_id, query_type, sel_num, n_total,
        CASE
          WHEN sel_num::DOUBLE / n_total::DOUBLE <

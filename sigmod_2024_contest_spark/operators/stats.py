@@ -40,39 +40,97 @@ FROM b GROUP BY category
 """
 
 
-def cat_ts_counts(base: DataFrame) -> DataFrame:
+def cat_ts_counts(base: DataFrame, ts_bins: int | None = None) -> DataFrame:
     """The stats table selectivity arithmetic runs against:
-    (category, ts) → count. Bounded by |cats|×|distinct ts|."""
-    return base.groupBy("category", "ts").agg(F.count("*").alias("cnt"))
+    (category, ts) → count.
+
+    With ``ts_bins`` the timestamp is quantized to the left edge of its
+    bin — the Spark replacement for the reference's sorted-replica
+    binary search (hybrid_graph.cpp:176-200): the stats table is then
+    bounded by |cats|×ts_bins rows no matter the corpus size. Without
+    it the table is exact but grows with |distinct ts| — fine for
+    discrete timestamps, corpus-sized for continuous ones."""
+    ts = F.col("ts")
+    if ts_bins is not None:
+        ts = F.floor(ts * ts_bins) / float(ts_bins)
+    return base.groupBy("category", ts.alias("ts")).agg(F.count("*").alias("cnt"))
 
 
-def selectivity(base: DataFrame, queries: DataFrame) -> DataFrame:
-    """A3: exact per-query selectivity via broadcast join of queries
-    against the stats table (not the corpus).
+def selectivity(base: DataFrame, queries: DataFrame, ts_bins: int | None = None) -> DataFrame:
+    """A3: per-query selectivity via per-type broadcast joins of
+    queries against small histograms (never the corpus).
 
-    Returns (query_id, query_type, sel_num, n_total) with sel_num the
-    number of predicate-satisfying rows — integers only, so the oracle
-    hash-matches without float care.
+    Physical plan — one branch per query type, unioned:
+    type 0 → no join (sel = N); type 1 → equi-join on the category
+    histogram (|cats| rows); type 2 → range join on the ts histogram
+    (≤ ts_bins distinct ts); type 3 → equi-join on category (hash
+    join) + range residual on the (category, ts) table. A single
+    OR-of-all-types theta join would force a nested-loop over the full
+    stats table for every query — the per-type split keeps each join's
+    build side minimal and lets Spark use hash joins wherever there is
+    an equality key.
+
+    Returns (query_id, query_type, sel_num, n_total); integers only,
+    so the oracle hash-matches without float care. ``ts_bins`` makes
+    sel approximate within one bin's mass (routing thresholds don't
+    care) while keeping the table bounded at scale.
     """
-    total = base.count()
-    stats = cat_ts_counts(base).alias("b")
-    q = F.broadcast(queries.alias("q"))
-    cond = workload.predicate_expr(stats, q)
-    joined = q.join(stats, cond, "left")
-    return joined.groupBy("q.query_id", "q.query_type").agg(
-        F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("sel_num")
-    ).select(
-        F.col("query_id"),
-        F.col("query_type"),
-        F.col("sel_num").cast("long").alias("sel_num"),
-        F.lit(total).cast("long").alias("n_total"),
+    # one corpus scan total: the (category, ts) table is cached (it is
+    # tiny — ≤ |cats|×bins rows) and every other stat derives from it,
+    # including N. Without this, each histogram branch AND the count
+    # would re-evaluate the base lineage — ruinous when base is an
+    # expensive source (.bin decode) rather than a parquet scan.
+    cat_ts = cat_ts_counts(base, ts_bins).cache()
+    total = cat_ts.agg(F.sum("cnt")).collect()[0][0] or 0
+    ts_hist = cat_ts.groupBy("ts").agg(F.sum("cnt").alias("cnt"))
+    cat_hist = cat_ts.groupBy("category").agg(F.sum("cnt").alias("cnt"))
+
+    q = queries.select("query_id", "query_type", "v", "l", "r")
+    q0 = q.filter(F.col("query_type") == 0).select(
+        "query_id", "query_type", F.lit(total).alias("sel_num")
+    )
+    q1 = (
+        q.filter(F.col("query_type") == 1)
+        .join(F.broadcast(cat_hist), F.col("v") == cat_hist["category"], "left")
+        .groupBy("query_id", "query_type")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("sel_num"))
+    )
+    q2 = (
+        q.filter(F.col("query_type") == 2)
+        .join(F.broadcast(ts_hist), ts_hist["ts"].between(F.col("l"), F.col("r")), "left")
+        .groupBy("query_id", "query_type")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("sel_num"))
+    )
+    q3 = (
+        q.filter(F.col("query_type") == 3)
+        .join(
+            F.broadcast(cat_ts),
+            (F.col("v") == cat_ts["category"]) & cat_ts["ts"].between(F.col("l"), F.col("r")),
+            "left",
+        )
+        .groupBy("query_id", "query_type")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("sel_num"))
+    )
+    return (
+        q0.unionByName(q1)
+        .unionByName(q2)
+        .unionByName(q3)
+        .select(
+            "query_id",
+            "query_type",
+            F.col("sel_num").cast("long").alias("sel_num"),
+            F.lit(total).cast("long").alias("n_total"),
+        )
     )
 
 
-def selectivity_sql() -> str:
+def selectivity_sql(ts_bins: int | None = None) -> str:
+    ts = TS_SQL
+    if ts_bins is not None:
+        ts = f"(floor({TS_SQL} * {ts_bins}) / {float(ts_bins)})"
     return f"""
 WITH b AS (
-  SELECT label AS category, {TS_SQL} AS ts, count(*) AS cnt
+  SELECT label AS category, {ts} AS ts, count(*) AS cnt
   FROM embeddings GROUP BY 1, 2
 ),
 q AS ({workload.queries_cte_sql()}),
