@@ -196,20 +196,28 @@ def build_pruned_knn_graph(
         cdist[s:e] = D[rows, part][rows, order]
     nbrs = np.full((n, m0), -1, dtype=np.int32)
     deg = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        cs = cands[i]
-        cv = v[cs]
-        cc = np.einsum("ij,ij->i", cv, cv)
-        CC = cc[:, None] + cc[None, :] - 2.0 * (cv @ cv.T)
-        kept: list[int] = []
-        for j in range(len(cs)):
-            if len(kept) >= m:
-                break
-            if not kept or not (CC[j, kept] < cdist[i, j]).any():
-                kept.append(j)
-        kk = cs[kept]
-        nbrs[i, : len(kk)] = kk
-        deg[i] = len(kk)
+    # candidate-to-candidate distances batched per block (one batched
+    # GEMM instead of n small ones); the prune itself is sequential per
+    # node by construction (each keep decision depends on prior keeps)
+    # but then touches only precomputed C×C slices
+    prune_block = max(1, (1 << 24) // (C * C))
+    for s in range(0, n, prune_block):
+        e = min(s + prune_block, n)
+        CV = v[cands[s:e]]  # (B, C, d)
+        cc = np.einsum("bcd,bcd->bc", CV, CV)
+        CC = cc[:, :, None] + cc[:, None, :] - 2.0 * np.einsum("bcd,bed->bce", CV, CV)
+        for i in range(s, e):
+            CCi = CC[i - s]
+            di = cdist[i]
+            kept: list[int] = []
+            for j in range(C):
+                if len(kept) >= m:
+                    break
+                if not kept or not (CCi[j, kept] < di[j]).any():
+                    kept.append(j)
+            kk = cands[i][kept]
+            nbrs[i, : len(kk)] = kk
+            deg[i] = len(kk)
     for i in range(n):
         for j in nbrs[i, : deg[i]]:
             if deg[j] < m0 and i not in nbrs[j, : deg[j]]:
