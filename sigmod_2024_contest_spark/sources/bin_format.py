@@ -97,20 +97,74 @@ def write_knn_bin(result: DataFrame, path: str, k: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _decode_shards(batches, row_floats: int, emit):
+def _decode_shards(batches, row_floats: int, emit, seq_of_path: dict[str, int]):
     for pdf in batches:
-        for file_seq, (_, rec) in enumerate(pdf.iterrows()):
+        for _, rec in pdf.iterrows():
             raw = bytes(rec["content"])
             (n,) = struct.unpack_from("<I", raw, 0)
             rows = np.frombuffer(raw, dtype="<f4", offset=4, count=n * row_floats)
             rows = rows.reshape(n, row_floats)
-            base_id = file_seq * SHARD_STRIDE if len(pdf) > 1 else 0
+            # shard sequence assigned from the sorted file listing on
+            # the driver — batch-local enumeration would collide ids
+            # when Spark delivers files in separate Arrow batches
+            name = rec["path"].rsplit("/", 1)[-1]
+            base_id = seq_of_path[name] * SHARD_STRIDE if len(seq_of_path) > 1 else 0
             yield emit(rows, base_id)
+
+
+# 8k rows ≈ 3 MB per task: small enough that the per-row emit cost
+# (NumPy→Arrow list column) spreads across all cores, and under the
+# Arrow maxRecordsPerBatch so each range is exactly one batch
+ROWS_PER_TASK = 1 << 13
+
+
+def _read_bin_df(
+    spark: SparkSession,
+    path: str,
+    row_floats: int,
+    emit,
+    schema: str,
+    rows_per_task: int = ROWS_PER_TASK,
+) -> DataFrame:
+    """Shared scan body. A directory of shard files parallelizes per
+    file (binaryFile); a SINGLE file — the contest layout, one header +
+    dense rows — is split into row ranges on the driver (only the
+    4-byte header is read there) and each task seeks into its disjoint
+    slice. Without the split, one 10M-row data.bin would decode in one
+    task — the classic unsplittable-format bottleneck. Requires the
+    path to be visible from executors (local FS here; on a cluster the
+    same seek-read pattern runs against a shared/remote FS)."""
+    import os
+
+    if os.path.isdir(path):
+        seq_of_path = {name: i for i, name in enumerate(sorted(os.listdir(path)))}
+        files = spark.read.format("binaryFile").load(path).select("path", "content")
+        return files.mapInPandas(
+            lambda it: _decode_shards(it, row_floats, emit, seq_of_path), schema
+        )
+
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<I", f.read(4))
+    row_bytes = 4 * row_floats
+    ranges = [(s, min(rows_per_task, n - s)) for s in range(0, n, rows_per_task)] or [(0, 0)]
+    rdf = spark.createDataFrame(ranges, "start long, cnt long").repartition(len(ranges))
+
+    def decode(batches):
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                if rec.cnt <= 0:
+                    continue
+                with open(path, "rb") as f:
+                    f.seek(4 + rec.start * row_bytes)
+                    raw = f.read(rec.cnt * row_bytes)
+                rows = np.frombuffer(raw, dtype="<f4").reshape(-1, row_floats)
+                yield emit(rows, int(rec.start))
+
+    return rdf.mapInPandas(decode, schema)
 
 
 def read_base_bin(spark: SparkSession, path: str, dim: int = 100) -> DataFrame:
     """S2: .bin base scan → (id, category, ts, vec)."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def emit(rows: np.ndarray, base_id: int) -> pd.DataFrame:
         n = rows.shape[0]
@@ -123,15 +177,13 @@ def read_base_bin(spark: SparkSession, path: str, dim: int = 100) -> DataFrame:
             }
         )
 
-    return files.mapInPandas(
-        lambda it: _decode_shards(it, dim + 2, emit),
-        "id long, category int, ts double, vec array<float>",
+    return _read_bin_df(
+        spark, path, dim + 2, emit, "id long, category int, ts double, vec array<float>"
     )
 
 
 def read_queries_bin(spark: SparkSession, path: str, dim: int = 100) -> DataFrame:
     """S4: .bin query scan → (query_id, query_type, v, l, r, qvec)."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def emit(rows: np.ndarray, base_id: int) -> pd.DataFrame:
         n = rows.shape[0]
@@ -146,22 +198,33 @@ def read_queries_bin(spark: SparkSession, path: str, dim: int = 100) -> DataFram
             }
         )
 
-    return files.mapInPandas(
-        lambda it: _decode_shards(it, dim + 4, emit),
+    return _read_bin_df(
+        spark,
+        path,
+        dim + 4,
+        emit,
         "query_id long, query_type int, v int, l double, r double, qvec array<float>",
     )
 
 
 def read_knn_bin(spark: SparkSession, path: str, k: int) -> DataFrame:
     """S7: Nq×k uint32 matrix → (query_id, knn array<long>)."""
+    import os
+
+    seq_of_path = (
+        {name: i for i, name in enumerate(sorted(os.listdir(path)))}
+        if os.path.isdir(path)
+        else {}
+    )
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def gen(batches):
         for pdf in batches:
-            for file_seq, (_, rec) in enumerate(pdf.iterrows()):
+            for _, rec in pdf.iterrows():
                 raw = bytes(rec["content"])
                 mat = np.frombuffer(raw, dtype="<u4").reshape(-1, k)
-                base_id = file_seq * SHARD_STRIDE if len(pdf) > 1 else 0
+                name = rec["path"].rsplit("/", 1)[-1]
+                base_id = seq_of_path[name] * SHARD_STRIDE if len(seq_of_path) > 1 else 0
                 yield pd.DataFrame(
                     {
                         "query_id": np.arange(mat.shape[0], dtype=np.int64) + base_id,
