@@ -38,10 +38,16 @@ INDEX_SCHEMA = (
 CAND_SCHEMA = "query_id long, id long, dist double"
 
 
-def _build_group(pdf: pd.DataFrame, m: int, efc: int) -> pd.DataFrame:
+def _build_group(pdf: pd.DataFrame, m: int, efc: int, graph_min_nodes: int) -> pd.DataFrame:
     pdf = pdf.sort_values("id").reset_index(drop=True)
-    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-    nbrs = build_pruned_knn_graph(vecs, m=m)
+    if len(pdf) <= graph_min_nodes:
+        # this shard will be answered by the exact-GEMM search path —
+        # skip the O(n²) graph construction entirely
+        nbr_lists: list[list[int]] = [[] for _ in range(len(pdf))]
+    else:
+        vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+        nbrs = build_pruned_knn_graph(vecs, m=m)
+        nbr_lists = [row[row >= 0].tolist() for row in nbrs]
     return pd.DataFrame(
         {
             "pkey": pdf["pkey"],
@@ -50,7 +56,7 @@ def _build_group(pdf: pd.DataFrame, m: int, efc: int) -> pd.DataFrame:
             "category": pdf["category"].to_numpy(),
             "ts": pdf["ts"].to_numpy(),
             "vec": pdf["vec"],
-            "nbrs": [row[row >= 0].tolist() for row in nbrs],
+            "nbrs": nbr_lists,
         }
     )
 
@@ -64,6 +70,7 @@ def build_index(
     m: int = 16,
     efc: int = 100,
     max_nodes: int = MAX_NODES_PER_GRAPH,
+    graph_min_nodes: int = 0,
 ) -> DataFrame:
     """Build all graph partitions as one DataFrame job.
 
@@ -80,6 +87,12 @@ def build_index(
     with the data. Search fans each query out to every shard of its
     slice via the shard catalog (``shard_catalog``) and the global
     top-k merge re-unifies — shard count changes cost, never results.
+
+    ``graph_min_nodes``: shards at or under this size get empty
+    neighbor lists (no O(n²) build) — pass the search's ``gemm_thr``
+    so exactly the shards the exact-GEMM path serves skip the build.
+    Must be ≤ the gemm_thr used at search time (``knn_hybrid`` couples
+    them automatically when it builds the index itself).
     """
     total = base.count()
     big_cats = (
@@ -118,7 +131,7 @@ def build_index(
     )
     both = cat_part.unionByName(dec_part).repartition("pkey")
     return both.groupBy("pkey").applyInPandas(
-        lambda pdf: _build_group(pdf, m, efc), INDEX_SCHEMA
+        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes), INDEX_SCHEMA
     )
 
 
@@ -326,7 +339,7 @@ def knn_hybrid(
     )
 
     if index is None:
-        index = build_index(base)
+        index = build_index(base, graph_min_nodes=gemm_thr)
     # persist before the catalog materializes: shard_catalog collects
     # distinct pkeys, which would otherwise run the whole build job
     # once for the catalog and AGAIN for the search cogroup
