@@ -22,6 +22,8 @@ the original vectors, so the global merge needs no extra re-rank join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -64,6 +66,57 @@ def _build_group(pdf: pd.DataFrame, m: int, efc: int, graph_min_nodes: int) -> p
 MAX_NODES_PER_GRAPH = 8192
 
 
+def _shard_plan(
+    base: DataFrame, cat_thr: float, max_nodes: int
+) -> dict[str, int]:
+    """``{slice prefix: shard count}`` for every slice that gets an
+    index partition — the driver-side twin of the reference's replica
+    maps (utils.h:352-479). ONE bounded job: per-category and
+    per-decile counts union into a |cats|+10-row stats table, a global
+    window adds the corpus total (deciles partition the corpus, so
+    their sum IS the total), and only big categories + the ten deciles
+    come back to the driver (≤ 1/cat_thr + 10 rows at any corpus
+    size). Knowing shard counts up front means the shard catalog is
+    plain metadata — search never has to materialize the index just to
+    learn which shards exist."""
+    dec = F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9))
+    cats = (
+        base.groupBy(F.col("category").cast("long").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("kind", F.lit("cat"))
+    )
+    decs = (
+        base.groupBy(dec.cast("long").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("kind", F.lit("dec"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    total = F.sum(F.when(F.col("kind") == "dec", F.col("cnt"))).over(w)
+    rows = (
+        cats.unionByName(decs)
+        .withColumn("total", total)
+        .filter(
+            (F.col("kind") == "dec")
+            | (F.col("cnt") >= F.lit(cat_thr) * F.col("total"))
+        )
+        .collect()
+    )
+    return {
+        f"{r['kind']}:{r['key']}": math.ceil(r["cnt"] / max_nodes) for r in rows
+    }
+
+
+def _pkey_expr(plan: dict[str, int], prefix_expr: F.Column) -> F.Column:
+    """pkey = ``<prefix>:<id % nshards>`` with nshards looked up in a
+    literal map — big-cat/decile cardinality is bounded, so the map is
+    a constant expression, not a join."""
+    pairs: list[F.Column] = []
+    for prefix, nshards in plan.items():
+        pairs += [F.lit(prefix), F.lit(nshards)]
+    ns = F.element_at(F.create_map(*pairs), prefix_expr).cast("long")
+    return F.concat(prefix_expr, F.lit(":"), F.pmod(F.col("id"), ns).cast("string"))
+
+
 def build_index(
     base: DataFrame,
     cat_thr: float = routing.CAT_GRAPH_THR,
@@ -71,6 +124,7 @@ def build_index(
     efc: int = 100,
     max_nodes: int = MAX_NODES_PER_GRAPH,
     graph_min_nodes: int = 0,
+    shard_plan: dict[str, int] | None = None,
 ) -> DataFrame:
     """Build all graph partitions as one DataFrame job.
 
@@ -94,45 +148,50 @@ def build_index(
     Must be ≤ the gemm_thr used at search time (``knn_hybrid`` couples
     them automatically when it builds the index itself).
     """
-    total = base.count()
-    big_cats = (
-        base.groupBy("category")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= cat_thr * total)
-    )
+    if shard_plan is None:
+        shard_plan = _shard_plan(base, cat_thr, max_nodes)
+    big_cats = [
+        int(p.split(":")[1]) for p in shard_plan if p.startswith("cat:")
+    ]
     dec = F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9))
-    dec_counts = base.groupBy(dec.alias("decile")).agg(F.count("*").alias("cnt"))
-
-    def sharded_key(prefix: F.Column, cnt: F.Column) -> F.Column:
-        nshards = F.ceil(cnt / F.lit(max_nodes)).cast("long")
-        return F.concat(prefix, F.lit(":"), F.pmod(F.col("id"), nshards).cast("string"))
-
-    cat_part = base.join(F.broadcast(big_cats), "category").select(
-        sharded_key(
-            F.concat(F.lit("cat:"), F.col("category").cast("string")), F.col("cnt")
+    cat_part = base.filter(F.col("category").cast("long").isin(big_cats)).select(
+        _pkey_expr(
+            shard_plan, F.concat(F.lit("cat:"), F.col("category").cast("long"))
         ).alias("pkey"),
         "id",
         "category",
         "ts",
         "vec",
     )
-    dec_part = (
-        base.withColumn("decile", dec)
-        .join(F.broadcast(dec_counts), "decile")
-        .select(
-            sharded_key(
-                F.concat(F.lit("dec:"), F.col("decile").cast("string")), F.col("cnt")
-            ).alias("pkey"),
-            "id",
-            "category",
-            "ts",
-            "vec",
-        )
+    dec_part = base.select(
+        _pkey_expr(shard_plan, F.concat(F.lit("dec:"), dec.cast("long"))).alias(
+            "pkey"
+        ),
+        "id",
+        "category",
+        "ts",
+        "vec",
     )
-    both = cat_part.unionByName(dec_part).repartition("pkey")
+    # no explicit repartition: groupBy().applyInPandas already hash-
+    # shuffles on pkey — a repartition here would shuffle the vectors twice
+    both = cat_part.unionByName(dec_part)
     return both.groupBy("pkey").applyInPandas(
         lambda pdf: _build_group(pdf, m, efc, graph_min_nodes), INDEX_SCHEMA
     )
+
+
+def catalog_from_plan(spark: SparkSession, shard_plan: dict[str, int]) -> DataFrame:
+    """(prefix, pkey) catalog derived from the shard plan — pure
+    metadata, no index scan. The analytic twin of ``shard_catalog``:
+    use this when the plan is in hand (index built this run); use
+    ``shard_catalog`` when only the index DataFrame exists (loaded
+    from disk)."""
+    rows = [
+        (prefix, f"{prefix}:{s}")
+        for prefix, nshards in shard_plan.items()
+        for s in range(nshards)
+    ]
+    return spark.createDataFrame(rows, "prefix string, pkey string")
 
 
 def shard_catalog(index: DataFrame) -> DataFrame:
@@ -339,12 +398,19 @@ def knn_hybrid(
     )
 
     if index is None:
-        index = build_index(base, graph_min_nodes=gemm_thr)
-    # persist before the catalog materializes: shard_catalog collects
-    # distinct pkeys, which would otherwise run the whole build job
-    # once for the catalog and AGAIN for the search cogroup
-    index = index.persist()
-    assigns = _assignments(queries, plan, shard_catalog(index))
+        # analytic catalog: the shard plan is known before the build,
+        # so the catalog is metadata and the index job runs exactly
+        # once (inside the search cogroup) — nothing to persist
+        splan = _shard_plan(base, routing.CAT_GRAPH_THR, MAX_NODES_PER_GRAPH)
+        index = build_index(base, graph_min_nodes=gemm_thr, shard_plan=splan)
+        catalog = catalog_from_plan(spark, splan)
+    else:
+        # externally supplied (e.g. loaded from parquet): the catalog
+        # must come from the data; persist so the distinct-pkey scan
+        # does not rebuild the index a second time for the cogroup
+        index = index.persist()
+        catalog = shard_catalog(index)
+    assigns = _assignments(queries, plan, catalog)
     cands = graph_search(index, assigns, k=k, ef=ef, gemm_thr=gemm_thr)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     graph_res = (
