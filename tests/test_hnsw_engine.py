@@ -101,6 +101,34 @@ def test_hybrid_engine_graph_path_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
 
 
+def test_analytic_catalog_covers_built_shards(spark):
+    """The analytic catalog (shard plan → metadata, no index scan) must
+    enumerate every shard the build actually emits — a missed pkey
+    would silently drop that shard from every search. Superset is fine:
+    id-mod hashing can leave a planned shard empty, and an empty
+    cogroup side contributes nothing."""
+    base = base_vectors(spark, SF_SMOKE)
+    from sigmod_2024_contest_spark.operators import routing
+
+    splan = engine._shard_plan(base, routing.CAT_GRAPH_THR, max_nodes=16)
+    idx = engine.build_index(base, max_nodes=16, shard_plan=splan)
+    built = {r.pkey for r in engine.shard_catalog(idx).collect()}
+    planned = {
+        r.pkey for r in engine.catalog_from_plan(spark, splan).collect()
+    }
+    assert built <= planned, built - planned
+    # and the two catalog paths answer identically end-to-end
+    q = workload.queries_df(spark, SF_SMOKE)
+    via_plan = sorted(
+        (r.query_id, r.id) for r in engine.knn_hybrid(spark, base, q).collect()
+    )
+    via_index = sorted(
+        (r.query_id, r.id)
+        for r in engine.knn_hybrid(spark, base, q, index=engine.build_index(base)).collect()
+    )
+    assert via_plan == via_index
+
+
 def test_pruned_knn_graph_recall():
     """The default shard build (exact candidates + RNG prune) must beat
     the incremental-HNSW recall bar at equal m."""
