@@ -24,6 +24,7 @@ from .operators import (
     knn,
     relational,
     routing,
+    sampling,
     similarity,
     stats,
 )
@@ -184,6 +185,11 @@ register(
     dedup.minhash_lsh_pairs_sql(),
 )
 register("dedup_simhash", lambda s, d: dedup.simhash(_docs(s, d)), dedup.SIMHASH_SQL)
+register(
+    "sample_balanced_splits",
+    lambda s, d: sampling.balanced_sample_splits(_docs(s, d)),
+    sampling.balanced_sample_splits_sql(),
+)
 register(
     "dedup_embedding_cosine",
     lambda s, d: dedup.cosine_pairs(load_table(s, d, "embeddings")),

@@ -59,6 +59,27 @@ def test_dedup_embedding_cosine(spark):
     _check(spark, "dedup_embedding_cosine")
 
 
+def test_sample_balanced_splits(spark):
+    _check(spark, "sample_balanced_splits")
+
+
+def test_sample_split_stability(spark):
+    """A doc's split assignment must not change when the corpus does —
+    the property that keeps held-out sets honest across re-runs."""
+    from sigmod_2024_contest_spark.operators.sampling import balanced_sample_splits
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {r.doc_id: r.split for r in balanced_sample_splits(docs).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in balanced_sample_splits(docs.filter("doc_id % 2 = 0")).collect()
+    }
+    # every doc sampled in both runs keeps its split; strata stay balanced
+    overlap = set(full) & set(half)
+    assert overlap and all(full[d] == half[d] for d in overlap)
+
+
 def test_ann_cosine_topk(spark):
     _check(spark, "ann_cosine_topk")
 
