@@ -186,6 +186,11 @@ register(
 )
 register("dedup_simhash", lambda s, d: dedup.simhash(_docs(s, d)), dedup.SIMHASH_SQL)
 register(
+    "dedup_clusters",
+    lambda s, d: dedup.dedup_clusters(dedup.jaccard_pairs(_docs(s, d))),
+    dedup.dedup_clusters_sql(dedup.jaccard_pairs_sql()),
+)
+register(
     "sample_balanced_splits",
     lambda s, d: sampling.balanced_sample_splits(_docs(s, d)),
     sampling.balanced_sample_splits_sql(),

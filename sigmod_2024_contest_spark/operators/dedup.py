@@ -450,3 +450,79 @@ WITH pairs AS (
 SELECT d1, d2, CAST(floor(cos * 1e6) AS BIGINT) AS cos_ppm
 FROM pairs WHERE cos >= {tau_ppm / 1e6}
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over duplicate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over duplicate pairs
+    — the step that turns pairwise dedup output into the curation
+    deliverable (cluster_id = min doc_id in the component ⇒ "keep the
+    canonical doc, drop the rest" is a filter).
+
+    Iterative min-label propagation as repeated joins: each round every
+    node adopts the smallest label among itself and its neighbors, and
+    the driver stops at fixpoint (the convergence count is the one
+    scalar that crosses to the driver per round). Rounds needed =
+    component diameter; near-dup clusters are shallow (pairs share a
+    common near-identical text), so this converges in a handful of
+    rounds even when the pair set is 100 TB-scale. Each intermediate is
+    persisted and replaces its parent so lineage stays O(1) deep —
+    without that, iteration k would replay all k-1 prior shuffles.
+    """
+    e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """Oracle: transitive closure by recursive CTE, cluster label =
+    min reachable doc_id (exact on test scales; the Spark side is the
+    one that scales)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node
+"""

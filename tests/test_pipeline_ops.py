@@ -63,6 +63,22 @@ def test_sample_balanced_splits(spark):
     _check(spark, "sample_balanced_splits")
 
 
+def test_dedup_clusters_oracle(spark):
+    _check(spark, "dedup_clusters")
+
+
+def test_dedup_clusters_multihop(spark):
+    """A 4-node chain needs several propagation rounds — pins that the
+    fixpoint loop actually iterates past round one."""
+    from sigmod_2024_contest_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "d1 long, d2 long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
 def test_sample_split_stability(spark):
     """A doc's split assignment must not change when the corpus does —
     the property that keeps held-out sets honest across re-runs."""
