@@ -490,8 +490,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.join(labels, edges["a"] == labels["node"])
             .select(F.col("b").alias("node"), "lbl")
         )
+        # pointer jumping: adopt the label's own label too — halves the
+        # remaining path each round, so rounds = O(log diameter), and
+        # at scale every round is the expensive part (a full shuffle)
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
+        )
         new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).persist()
+            labels.unionByName(prop)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
         )
         changed = (
             new_labels.alias("n")
