@@ -136,9 +136,24 @@ def _sq4_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", Q.encode_sq4_expr("embedding", mn, mx).alias("codes"))
 
 
-register("sq8_encode", _sq8_encode, _SQ8_ENCODE_SQL)
-register("sq8_asym_encode", _sq8_asym_encode, Q.encode_asym_sql())
-register("sq4_encode", _sq4_encode, Q.encode_sq4_sql())
+# Registry emits the hashable digest projection (the driver's pandas
+# canonicalizer can't sort array cells); raw-code shapes stay available
+# to tests/engine via the underscore functions above.
+register(
+    "sq8_encode",
+    lambda s, d: Q.codes_digest(_sq8_encode(s, d), "id"),
+    Q.codes_digest_sql(_SQ8_ENCODE_SQL, "id"),
+)
+register(
+    "sq8_asym_encode",
+    lambda s, d: Q.codes_digest(_sq8_asym_encode(s, d), "vec_id"),
+    Q.codes_digest_sql(Q.encode_asym_sql(), "vec_id"),
+)
+register(
+    "sq4_encode",
+    lambda s, d: Q.codes_digest(_sq4_encode(s, d), "vec_id"),
+    Q.codes_digest_sql(Q.encode_sq4_sql(), "vec_id"),
+)
 register("knn_sq8_rerank", _knn_sq8_rerank, bruteforce_sq8.knn_sq8_rerank_sql())
 
 
@@ -245,6 +260,40 @@ register(
     _recall_lsh,
     evaluate.recall_sql(similarity.ann_lsh_topk_sql(), similarity.ann_cosine_topk_sql()),
 )
+
+RECALL_BAR_PPM = 950_000  # ≥0.95 mean recall (BASELINE.md quality bar)
+
+
+def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the graph-search path: mean recall of
+    knn_hybrid vs the exact filtered-kNN truth (which hash-matches
+    DuckDB), emitted as a single oracle-predictable row."""
+    base = base_vectors(spark, sf_dir)
+    qdf = workload.queries_df(spark, sf_dir)
+    return evaluate.recall_gate(
+        engine.knn_hybrid(spark, base, qdf),
+        knn.knn_exact_arrow(spark, base, qdf),
+        RECALL_BAR_PPM,
+    )
+
+
+def _recall_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return evaluate.recall_gate(
+        similarity.ann_ivf_topk(emb), similarity.ann_cosine_topk(emb), RECALL_BAR_PPM
+    )
+
+
+register(
+    "recall_hybrid_vs_exact",
+    _recall_hybrid_gate,
+    evaluate.recall_gate_sql(knn.knn_oracle_sql(), RECALL_BAR_PPM),
+)
+register(
+    "recall_ivf_vs_exact",
+    _recall_ivf_gate,
+    evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), RECALL_BAR_PPM),
+)
 register("workload_stats", _workload_stats, evaluate.workload_stats_sql(stats.selectivity_sql()))
 
 
@@ -283,8 +332,8 @@ register(
 
 register(
     "media_byte_stats",
-    lambda s, d: MM.byte_stats(MM.pack_media(_docs(s, d))),
-    MM.BYTE_STATS_SQL,
+    lambda s, d: MM.byte_stats_hashable(MM.pack_media(_docs(s, d))),
+    MM.BYTE_STATS_HASHABLE_SQL,
 )
 register(
     "media_frame_sample",

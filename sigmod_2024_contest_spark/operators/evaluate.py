@@ -60,6 +60,33 @@ FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
 """
 
 
+def recall_gate(result: DataFrame, truth: DataFrame, bar_ppm: int) -> DataFrame:
+    """(n_queries, bar_ppm, recall_ge_bar): single-row quality gate for
+    ANN paths whose candidate generation is not SQL-expressible (graph
+    search, trained IVF). The oracle can't reproduce the ANN result,
+    but it CAN predict this row when quality holds: n_queries is the
+    distinct-query count of the *exact* side (which hash-matches
+    DuckDB) and recall_ge_bar must be true. Mean recall dropping below
+    the bar flips the boolean → driver hash mismatch → red row. This
+    turns a rows-only blind spot into a value-checked gate."""
+    rec = recall_at_k(result, truth)
+    return rec.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(int(bar_ppm)).cast("long").alias("bar_ppm"),
+        (F.floor(F.avg("recall_ppm")) >= F.lit(int(bar_ppm))).alias("recall_ge_bar"),
+    )
+
+
+def recall_gate_sql(truth_sql: str, bar_ppm: int) -> str:
+    """DuckDB mirror of :func:`recall_gate`'s expected-green row."""
+    return f"""
+SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
+       {int(bar_ppm)}::BIGINT AS bar_ppm,
+       TRUE AS recall_ge_bar
+FROM ({truth_sql})
+"""
+
+
 def workload_stats(selectivity: DataFrame) -> DataFrame:
     """(query_type, n_queries, sel_sum, avg_sel_ppm): the per-type
     rollup over the selectivity table (A8). avg is computed over

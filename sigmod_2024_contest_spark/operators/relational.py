@@ -75,12 +75,26 @@ def top_customers(
             "n_orders",
         )
     )
-    w = Window.orderBy(F.col("revenue_c").desc(), F.col("custkey").asc())
+    # Top-n via orderBy().limit(): Catalyst plans TakeOrderedAndProject —
+    # per-partition heaps + a driver merge of n·P rows — instead of the
+    # single-partition global WindowExec that a bare Window.orderBy()
+    # would force (every customer aggregate funneled into ONE task).
+    # Ranks over the surviving ≤ n rows come from a broadcast rank-join
+    # (count of strictly-better rows + 1): n² ≤ 100 pairs, no window at
+    # all — a constant-partition window would be folded by Catalyst
+    # back into the empty-partition single-task plan.
+    top = joined.orderBy(F.col("revenue_c").desc(), F.col("custkey").asc()).limit(n)
+    better = top.select(
+        F.col("revenue_c").alias("b_rev"), F.col("custkey").alias("b_key")
+    )
+    cond = (F.col("b_rev") > F.col("revenue_c")) | (
+        (F.col("b_rev") == F.col("revenue_c")) & (F.col("b_key") < F.col("custkey"))
+    )
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n)
+        top.join(F.broadcast(better), cond, "left")
+        .groupBy("custkey", "name", "nation", "revenue_c", "n_orders")
+        .agg((F.count("b_key") + 1).cast("long").alias("rnk"))
         .select("rnk", "custkey", "name", "nation", "revenue_c", "n_orders")
-        .withColumn("rnk", F.col("rnk").cast("long"))
     )
 
 

@@ -15,6 +15,8 @@ is bit-identical in Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -306,79 +308,96 @@ def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):
 def ann_ivf_topk(
     emb: DataFrame, k: int = TOPK, nlist: int = N_LIST, nprobe: int = N_PROBE
 ) -> DataFrame:
-    """(query_id, id, rnk): IVF-style ANN — each query scans only its
-    ``nprobe`` nearest k-means cells (~nprobe/nlist of the corpus).
-    At 100 TB the cell id is the partition key (cluster-then-prune,
-    the same structure as the reference's category_map). Iterative
-    float training ⇒ no SQL oracle (rows-only check); quality is gated
-    in tests as recall vs the exact baseline."""
-    import numpy as np
-    import pyarrow as pa
+    """(query_id, id, rnk): IVF ANN — each query scans ONLY its
+    ``nprobe`` nearest k-means cells.
 
-    from .knn import list_column_matrix
-
+    Physical plan = cell cogroup (the same shape as
+    :func:`ann_lsh_topk`'s bucket cogroup): the corpus gets a ``cell``
+    column (one Arrow pass: argmin distance to the broadcast centroid
+    table) and shuffles ONCE on it; queries explode to their nprobe
+    probe cells and cogroup in; each task GEMMs (queries probing this
+    cell × cell rows). Per-query compute fraction is genuinely
+    nprobe/nlist — vectors outside probed cells are never scored (the
+    earlier formulation scored the whole corpus and masked, i.e. a full
+    scan in IVF clothing). At 100 TB ``cell`` is the physical partition
+    key — cluster-then-prune, the reference's category_map structure.
+    Iterative float training ⇒ no SQL oracle; quality is driver-gated
+    via ``recall_ivf_vs_exact`` (mean recall vs the exact baseline)."""
     spark = emb.sparkSession
     cents = ivf_train(emb, nlist)
-    nlist = cents.shape[0]
-    qrows = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select("vec_id", "embedding").collect()
-    if not qrows:
-        return spark.createDataFrame([], "query_id long, id long, rnk long")
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qv = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
-    # probe sets: nprobe nearest centroids per query (cosine order —
-    # queries and corpus share the metric)
-    cn = np.sqrt(np.einsum("ij,ij->i", cents, cents))
-    cn[cn == 0] = 1.0
-    qc = (qv @ cents.T) / (qn[:, None] * cn[None, :])
-    probes = np.argsort(-qc, axis=1)[:, :nprobe]
-    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
-    np.put_along_axis(probe_mask, probes, True, axis=1)
-    bc = spark.sparkContext.broadcast((qids, qv, qn, cents, probe_mask))
+    nprobe = min(nprobe, cents.shape[0])
+    bc = spark.sparkContext.broadcast(cents)
 
-    schema = pa.schema(
-        [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("cos", pa.float64())]
+    @F.pandas_udf("long")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        c = bc.value
+        cc = np.einsum("ij,ij->i", c, c)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        # ||c||² − 2c·v: argmin over cells (||v||² constant per row)
+        return pd.Series(np.argmin(cc[:, None] - 2.0 * (c @ V.T), axis=0).astype(np.int64))
+
+    @F.pandas_udf("array<long>")
+    def probes_of(embs: pd.Series) -> pd.Series:
+        c = bc.value
+        cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+        cn[cn == 0] = 1.0
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        qn[qn == 0] = 1.0
+        qc = (Q @ c.T) / (qn[:, None] * cn[None, :])
+        top = np.argsort(-qc, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int64)))
+
+    wc = emb.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+    qp = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode(probes_of("embedding")).alias("probe"),
+        )
     )
 
-    def partial(batches):
-        qids_, qv_, qn_, c, pm = bc.value
-        cc = np.einsum("ij,ij->i", c, c)
-        chunk = max(1, (1 << 22) // max(len(qids_), 1))  # ≈32 MB sim blocks
-        for batch in batches:
-            ids_all = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            V_all = list_column_matrix(batch, "embedding")
-            for s in range(0, V_all.shape[0], chunk):
-                ids = ids_all[s : s + chunk]
-                V = V_all[s : s + chunk]
-                assign = np.argmin(cc[:, None] - 2.0 * (c @ V.T), axis=0)
-                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-                sims = (qv_ @ V.T) / (qn_[:, None] * vn[None, :])
-                sims[~pm[:, assign]] = -np.inf  # outside the query's probed cells
-                sims[qids_[:, None] == ids[None, :]] = -np.inf  # self
-                kk = min(k, sims.shape[1])
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                rows_q, rows_id, rows_c = [], [], []
-                for i in range(sims.shape[0]):
-                    sel = part[i][np.isfinite(sims[i, part[i]])]
-                    rows_q.append(np.full(sel.shape[0], qids_[i], dtype=np.int64))
-                    rows_id.append(ids[sel].astype(np.int64))
-                    rows_c.append(sims[i, sel])
-                if rows_q:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(np.concatenate(rows_q)),
-                            pa.array(np.concatenate(rows_id)),
-                            pa.array(np.concatenate(rows_c)),
-                        ],
-                        schema=schema,
-                    )
+    def per_cell(b_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "id": [], "cos": []}).astype(
+            {"query_id": "int64", "id": "int64", "cos": "float64"}
+        )
+        if b_pdf.empty or q_pdf.empty:
+            return empty
+        ids = b_pdf["vec_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["embedding"]])
+        qids = q_pdf["query_id"].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["qvec"]])
+        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        sims = (Q @ V.T) / (qn[:, None] * vn[None, :])
+        sims[qids[:, None] == ids[None, :]] = -np.inf  # self
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_id, rows_c = [], [], []
+        for i in range(sims.shape[0]):
+            sel = part[i][np.isfinite(sims[i, part[i]])]
+            rows_q.append(np.full(sel.shape[0], qids[i], dtype=np.int64))
+            rows_id.append(ids[sel].astype(np.int64))
+            rows_c.append(sims[i, sel])
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "id": np.concatenate(rows_id),
+                "cos": np.concatenate(rows_c),
+            }
+        )
 
-    cands = emb.select("vec_id", "embedding").mapInArrow(
-        partial, "query_id long, id long, cos double"
+    scored = (
+        wc.groupby("cell")
+        .cogroup(qp.groupby("probe"))
+        .applyInPandas(per_cell, "query_id long, id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
-        cands.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
