@@ -239,8 +239,8 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
     )
 
 
-N_LIST = 16  # IVF cells
-N_PROBE = 4  # cells scanned per query
+N_LIST = 64  # IVF cells
+N_PROBE = 16  # cells scanned per query (compute fraction = 16/64 = 0.25)
 
 
 def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):

@@ -78,7 +78,7 @@ def test_sq4_roundtrip_error_bounded(spark):
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     mn, mx = Q.train_global_minmax(emb, "embedding")
-    rows = api.queries()["sq4_encode"](spark, SF_SMOKE).orderBy("vec_id").limit(20).collect()
+    rows = api._sq4_encode(spark, SF_SMOKE).orderBy("vec_id").limit(20).collect()
     orig = {r["vec_id"]: r["embedding"] for r in emb.orderBy("vec_id").limit(20).collect()}
     step = (mx - mn) / 15.0
     for r in rows:
