@@ -269,6 +269,54 @@ def _assignments(queries: DataFrame, plan: DataFrame, catalog: DataFrame) -> Dat
 # GEMM path is also exact, so small shards contribute perfect candidates.
 GEMM_SHARD_THR = 4096
 
+# Adaptive beam width (P4): the reference interpolates ef per query from
+# the query type, category size and range selectivity instead of one
+# global knob (SearchParams, hybrid_graph.h:14-34; applied at
+# hybrid_graph.cpp:153-154 ef-slopes, :261-268 type-2 FULL bands,
+# :421-448 type-1/3 category slope + type-2 MEDIUM bands). The bands
+# below are the reference's ef/K ratios (K=100), applied to our k:
+#   type 0:  ef0_full=425            → 4.25·k per decile shard
+#   type 1:  ef1min..max=1800..2500  → (18..25)·k by category size
+#   type 3:  ef3min..max=1800..2800  → (18..28)·k by category size
+#   type 2:  FULL decile  480/630/780 → (4.8..7.8)·k by selectivity
+#            MEDIUM decile 680/780/1180 → (6.8..11.8)·k by selectivity
+# The category-size slope uses the shard row count (sub-sharding caps it
+# at MAX_NODES_PER_GRAPH, so n/MAX is the within-bounds position); the
+# type-2 bands use the shard-local allowed fraction — exactly the
+# per-decile coverage the reference's SplitInterval tags encode.
+EF0_RATIO = 4.25
+EF1_MIN_RATIO, EF1_MAX_RATIO = 18.0, 25.0
+EF3_MIN_RATIO, EF3_MAX_RATIO = 18.0, 28.0
+EF2_FULL_RATIO = 6.3  # mid band: a fully-covered decile has frac == 1
+EF2_LARGE_RATIO, EF2_MED_RATIO, EF2_SMALL_RATIO = 6.8, 7.8, 11.8
+
+
+def adaptive_ef(
+    query_type: int, n: int, n_allowed: int, k: int, max_nodes: int = MAX_NODES_PER_GRAPH
+) -> int:
+    """Per-query beam width for one shard (reference semantics above).
+    Capped by the allowed-node count (a pool deeper than the filtered
+    population buys nothing) and floored at k."""
+    if query_type == 0:
+        ratio = EF0_RATIO
+    elif query_type in (1, 3):
+        lo, hi = (EF1_MIN_RATIO, EF1_MAX_RATIO) if query_type == 1 else (
+            EF3_MIN_RATIO, EF3_MAX_RATIO
+        )
+        ratio = lo + (hi - lo) * min(1.0, n / max_nodes)
+    else:  # type 2
+        frac = n_allowed / n if n else 1.0
+        if frac >= 1.0:
+            ratio = EF2_FULL_RATIO
+        elif frac > 0.6:
+            ratio = EF2_LARGE_RATIO
+        elif frac > 0.3:
+            ratio = EF2_MED_RATIO
+        else:
+            ratio = EF2_SMALL_RATIO
+    ef = int(math.ceil(ratio * k))
+    return max(k, min(ef, max(k, n_allowed)))
+
 
 def _search_shard_gemm(
     vecs: np.ndarray,
@@ -322,7 +370,7 @@ def _search_cogroup(
     index_pdf: pd.DataFrame,
     q_pdf: pd.DataFrame,
     k: int,
-    ef: int,
+    ef: int | None,
     gemm_thr: int = GEMM_SHARD_THR,
 ) -> pd.DataFrame:
     if index_pdf.empty or q_pdf.empty:
@@ -351,7 +399,9 @@ def _search_cogroup(
         if t in (2, 3):
             m = (ts >= qr.l) & (ts <= qr.r)
             allowed = m if allowed is None else (allowed & m)
-        pos, dd = beam_search(vecs, nbrs, qv, k, ef, allowed)
+        n_allowed = int(allowed.sum()) if allowed is not None else n
+        ef_q = adaptive_ef(t, n, n_allowed, k) if ef is None else ef
+        pos, dd = beam_search(vecs, nbrs, qv, k, ef_q, allowed)
         out_q.extend([qr.query_id] * len(pos))
         out_i.extend(ids[pos].tolist())
         out_d.extend(dd.tolist())
@@ -368,12 +418,14 @@ def graph_search(
     index: DataFrame,
     assignments: DataFrame,
     k: int,
-    ef: int = 200,
+    ef: int | None = None,
     gemm_thr: int = GEMM_SHARD_THR,
 ) -> DataFrame:
     """Cogrouped per-partition search → candidate rows. Shards at or
     under ``gemm_thr`` rows answer all their queries with one exact
-    GEMM; larger shards run the per-query filtered beam search."""
+    GEMM; larger shards run the per-query filtered beam search.
+    ``ef=None`` (default) = per-query adaptive beam width; pass an int
+    to pin a fixed width (tests, ablations)."""
     cg = index.groupby("pkey").cogroup(assignments.groupby("pkey"))
     return cg.applyInPandas(
         lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef, gemm_thr), CAND_SCHEMA
@@ -385,7 +437,7 @@ def knn_hybrid(
     base: DataFrame,
     queries: DataFrame,
     k: int = workload.K,
-    ef: int = 200,
+    ef: int | None = None,
     index: DataFrame | None = None,
     gemm_thr: int = GEMM_SHARD_THR,
 ) -> DataFrame:

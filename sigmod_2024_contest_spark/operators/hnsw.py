@@ -241,12 +241,25 @@ def beam_search(
     predicate of searcher.hpp:301-374): traversal crosses all edges,
     but only allowed nodes enter the result pool. Entry points are
     evenly spaced allowed positions (range seeding, searcher.hpp:306-313).
+
+    **2-hop starvation expansion** (searcher.hpp:226-260 ``two_hop``,
+    used by ``SearchCategoryRangeImpl`` at searcher.hpp:330-374): when a
+    popped node's filtered 1-hop harvest falls short of its unfiltered
+    harvest (count1 < count2 — the predicate is rejecting neighbors),
+    the search additionally walks that node's 2-hop neighborhood and
+    pools the allowed nodes found there, until the deficit is repaid.
+    Without this, an ultra-selective in-graph predicate starves the
+    result pool: the allowed nodes form islands the 1-hop walk cannot
+    reach. Each node's 2-hop fan-out runs at most once (the reference's
+    ``vis1`` bitset).
+
     Returns (positions, dists) of ≤k best allowed nodes, float64 exact.
     """
     import heapq
 
     n = vecs.shape[0]
     v = vecs
+    filtered = allowed is not None
     if allowed is None:
         allowed = np.ones(n, dtype=bool)
     idx = np.flatnonzero(allowed)
@@ -260,6 +273,7 @@ def beam_search(
         return np.einsum("ij,ij->i", diff, diff)
 
     visited = np.zeros(n, dtype=bool)
+    expanded = np.zeros(n, dtype=bool) if filtered else None
     visited[seeds] = True
     ds = dist_to(seeds)
     heap = sorted(zip(ds.tolist(), seeds.tolist()))
@@ -275,16 +289,44 @@ def beam_search(
             break
         cn = nbrs[c]
         cn = cn[cn >= 0]
-        cn = cn[~visited[cn]]
-        if cn.size == 0:
+        new = cn[~visited[cn]]
+        if new.size:
+            visited[new] = True
+            dn = dist_to(new)
+            for dd, nb in zip(dn.tolist(), new.tolist()):
+                if len(result) < ef or dd < worst:
+                    heapq.heappush(heap, (dd, nb))
+                    if allowed[nb]:
+                        result.append((dd, nb))
+        if filtered:
+            count2 = int(new.size)
+            count1 = int(allowed[new].sum()) if new.size else 0
+            if count1 < count2:
+                # harvest allowed 2-hop neighbors until the deficit is
+                # repaid (searcher.hpp:345-373)
+                for nei in cn.tolist():
+                    if count1 >= count2:
+                        break
+                    if expanded[nei]:
+                        continue
+                    expanded[nei] = True
+                    nn = nbrs[nei]
+                    nn = nn[nn >= 0]
+                    nn = nn[~visited[nn]]
+                    if nn.size == 0:
+                        continue
+                    visited[nn] = True
+                    ok = nn[allowed[nn]]
+                    if ok.size == 0:
+                        continue
+                    dn2 = dist_to(ok)
+                    for dd, nb in zip(dn2.tolist(), ok.tolist()):
+                        if len(result) < ef or dd < worst:
+                            heapq.heappush(heap, (dd, nb))
+                            result.append((dd, nb))
+                    count1 += int(ok.size)
+        if new.size == 0 and not filtered:
             continue
-        visited[cn] = True
-        dn = dist_to(cn)
-        for dd, nb in zip(dn.tolist(), cn.tolist()):
-            if len(result) < ef or dd < worst:
-                heapq.heappush(heap, (dd, nb))
-                if allowed[nb]:
-                    result.append((dd, nb))
         if len(result) > ef:
             result.sort()
             del result[ef:]

@@ -149,3 +149,49 @@ def test_pruned_knn_graph_recall():
         hits += len(set(exact.tolist()) & set(pos.tolist()))
         total += 10
     assert hits / total >= 0.95, hits / total
+
+
+def test_starved_filter_two_hop_recall():
+    """K10/K6 regression (searcher.hpp:226-260): a type-3-style
+    predicate keeping <1% of a >gemm_thr shard must still reach
+    recall >= 0.9 — the 2-hop expansion harvests allowed islands the
+    1-hop walk cannot reach."""
+    from sigmod_2024_contest_spark.operators.hnsw import build_pruned_knn_graph
+
+    rng = np.random.default_rng(11)
+    n, d = 6000, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    nbrs = build_pruned_knn_graph(vecs, m=16)
+    allowed = np.zeros(n, dtype=bool)
+    allowed[rng.choice(n, 55, replace=False)] = True  # sel < 1%
+    idx = np.flatnonzero(allowed)
+    hits = total = 0
+    for qi in range(30):
+        q = rng.normal(size=d).astype(np.float64)
+        dv = vecs[idx].astype(np.float64) - q
+        exact = set(idx[np.argsort(np.einsum("ij,ij->i", dv, dv), kind="stable")[:10]].tolist())
+        ef = engine.adaptive_ef(3, n, int(allowed.sum()), 10)
+        pos, _ = beam_search(vecs, nbrs, q, k=10, ef=ef, allowed=allowed)
+        hits += len(exact & set(pos.tolist()))
+        total += 10
+    assert hits / total >= 0.9, hits / total
+
+
+def test_adaptive_ef_bands():
+    """P4 (hybrid_graph.h:14-34): per-query ef follows the reference's
+    type/selectivity bands, floored at k and capped by the filtered
+    population."""
+    k, n = 10, engine.MAX_NODES_PER_GRAPH
+    assert engine.adaptive_ef(0, n, n, k) == 43  # ceil(4.25k)
+    # category slope: bigger shard -> deeper beam
+    assert engine.adaptive_ef(1, n, n, k) == 250
+    assert engine.adaptive_ef(1, n // 2, n // 2, k) == 215
+    assert engine.adaptive_ef(3, n, n, k) == 280
+    # type-2 selectivity bands: lower coverage -> deeper beam
+    assert engine.adaptive_ef(2, n, n, k) == 63
+    assert engine.adaptive_ef(2, n, int(n * 0.65), k) == 68
+    assert engine.adaptive_ef(2, n, int(n * 0.5), k) == 78
+    assert engine.adaptive_ef(2, n, int(n * 0.1), k) == 118
+    # pool cap: ef never exceeds the allowed population (floor k)
+    assert engine.adaptive_ef(3, n, 55, k) == 55
+    assert engine.adaptive_ef(3, n, 4, k) == k
