@@ -36,36 +36,39 @@ def knn_sq8_rerank(
     alpha: float,
     k: int = workload.K,
     refine_k: int = BF_REFINE_K,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """(query_id, id, rnk) — exact-reranked SQ8 brute force, all 4
     query types. Identical to exact kNN whenever the true top-k
     survives the 140-deep quantized cut (the reference's operating
     assumption).
 
-    Physical plan: ONE corpus scan, ZERO joins. Queries (with their
-    int16 codes) broadcast; per Arrow chunk the kernel runs an integer
-    GEMM over codes, takes the partial top-refine_k per query, and
-    exact-rescores just those rows with the float vectors already in
-    hand. The merge is two windows over the tiny candidate set: global
-    top-refine_k by (cdist, id) — the reference's quantized cut —
-    then top-k by exact (dist, id). Integer distances are
+    Physical plan: ONE corpus scan per query batch, ZERO joins.
+    Queries (with their int16 codes) broadcast in bounded batches
+    (``knn.QUERY_BATCH_ROWS``) so 1M-query workloads never hold the
+    full query table on the driver; per Arrow chunk the kernel runs an
+    integer GEMM over codes, takes the partial top-refine_k per query,
+    and exact-rescores just those rows with the float vectors already
+    in hand. The merge is two windows over the tiny candidate set:
+    global top-refine_k by (cdist, id) — the reference's quantized cut
+    — then top-k by exact (dist, id). Integer distances are
     order-independent, so GEMM ≡ the SQL oracle's fold bit-for-bit."""
     import numpy as np
     import pyarrow as pa
 
+    from . import knn
     from .knn import list_column_matrix
 
     spark = base.sparkSession
-    qrows = queries.select("query_id", "query_type", "v", "l", "r", "qvec").collect()
-    if not qrows:
-        return spark.createDataFrame([], "query_id long, id long, rnk long")
-    qmeta = np.array(
-        [(r["query_id"], r["query_type"], r["v"], r["l"], r["r"]) for r in qrows],
-        dtype=np.float64,
-    )
-    qcodes = Q.encode_np(np.array([r["qvec"] for r in qrows], dtype=np.float64), alpha)
-    qvecs = np.array([r["qvec"] for r in qrows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((qmeta, qcodes, qvecs, float(alpha)))
+
+    def payload(qrows):
+        qmeta = np.array(
+            [(r["query_id"], r["query_type"], r["v"], r["l"], r["r"]) for r in qrows],
+            dtype=np.float64,
+        )
+        qcodes = Q.encode_np(np.array([r["qvec"] for r in qrows], dtype=np.float64), alpha)
+        qvecs = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        return qmeta, qcodes, qvecs, float(alpha)
 
     schema = pa.schema(
         [
@@ -76,7 +79,10 @@ def knn_sq8_rerank(
         ]
     )
 
-    def partial(batches):
+    def make_kernel(bc):
+        return lambda batches: partial(bc, batches)
+
+    def partial(bc, batches):
         qm, qc, qv, a = bc.value
         qid = qm[:, 0].astype(np.int64)
         qtype = qm[:, 1].astype(np.int64)
@@ -127,9 +133,16 @@ def knn_sq8_rerank(
                         schema=schema,
                     )
 
-    cands = base.select("id", "category", "ts", "vec").mapInArrow(
-        partial, "query_id long, id long, cdist long, dist double"
+    cands = knn.chunked_broadcast_scan(
+        base.select("id", "category", "ts", "vec"),
+        queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
+        payload,
+        make_kernel,
+        "query_id long, id long, cdist long, dist double",
+        batch_rows or knn.QUERY_BATCH_ROWS,
     )
+    if cands is None:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
     wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (

@@ -56,6 +56,69 @@ def list_column_matrix(batch, name: str, dtype=np.float64) -> np.ndarray:
         return np.asarray(col.to_pylist(), dtype=dtype)
 
 
+# The contest workload is 1M queries × 100 floats ≈ 800 MB as one
+# driver collect + broadcast — too big a single object. Query-broadcast
+# kernels therefore loop over bounded batches: ≤ batch_rows queries are
+# ever live on the driver, each batch broadcasts, scans the corpus, and
+# its candidates (nq_batch×k×P rows) are eagerly materialized so the
+# batch's broadcast can be dropped before the next one loads. The
+# single-batch case (every test/bench scale) stays fully lazy —
+# identical plan to the un-chunked original.
+QUERY_BATCH_ROWS = 65536
+
+
+def query_batches(queries: DataFrame, batch_rows: int = QUERY_BATCH_ROWS):
+    """Stream the query table to the driver in bounded Row batches
+    (``toLocalIterator`` holds one partition, not the whole table)."""
+    buf: list = []
+    for row in queries.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def chunked_broadcast_scan(
+    scan: DataFrame,
+    queries: DataFrame,
+    payload_fn,
+    kernel_fn,
+    out_schema: str,
+    batch_rows: int = QUERY_BATCH_ROWS,
+) -> DataFrame | None:
+    """Per query batch: broadcast ``payload_fn(rows)``, run
+    ``mapInArrow(kernel_fn(bc), out_schema)`` over the corpus scan,
+    union the candidate sets. Returns None when there are no queries.
+
+    Multi-batch runs trade extra corpus scans (one per batch) for O(1)
+    driver/broadcast memory — the corpus side is the scan of codes or
+    vecs only, so each extra pass is the cheap wide phase, and the
+    eager ``localCheckpoint`` caps live broadcasts at one."""
+    from itertools import chain
+
+    spark = scan.sparkSession
+    gen = query_batches(queries, batch_rows)
+    first = next(gen, None)
+    if first is None:
+        return None
+    second = next(gen, None)
+    if second is None:
+        bc = spark.sparkContext.broadcast(payload_fn(first))
+        return scan.mapInArrow(kernel_fn(bc), out_schema)
+    parts = []
+    for rows in chain([first, second], gen):
+        bc = spark.sparkContext.broadcast(payload_fn(rows))
+        cand = scan.mapInArrow(kernel_fn(bc), out_schema).localCheckpoint(eager=True)
+        bc.unpersist()
+        parts.append(cand)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
@@ -110,33 +173,40 @@ SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}
 # ---------------------------------------------------------------------------
 
 
+def _exact_payload(qrows) -> tuple[np.ndarray, np.ndarray]:
+    qmeta = np.array(
+        [(r.query_id, r.query_type, r.v, r.l, r.r) for r in qrows], dtype=np.float64
+    )
+    qvecs = np.array([r.qvec for r in qrows], dtype=np.float64)
+    return qmeta, qvecs
+
+
 def knn_exact_arrow(
-    spark: SparkSession, base: DataFrame, queries: DataFrame, k: int = workload.K
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = workload.K,
+    batch_rows: int = QUERY_BATCH_ROWS,
 ) -> DataFrame:
     """Partial-top-k-per-partition exact kNN (the distributed plan).
 
     Queries ship to every base partition via a Spark broadcast (they
     are the small side by construction — reference batches 1M queries
     against 10M×100 floats; at 100 TB the corpus is the big side by
-    orders of magnitude). Per partition: one float64 GEMM per Arrow
-    batch + ``argpartition`` partial top-k. The only shuffle is the
-    candidate set (≤ nq×k per partition) into the merge window.
+    orders of magnitude), in batches of ``batch_rows`` so the driver
+    never holds the full query table. Per partition: one float64 GEMM
+    per Arrow batch + ``argpartition`` partial top-k. The only shuffle
+    is the candidate set (≤ nq×k per partition) into the merge window.
     """
-    qrows = queries.select("query_id", "query_type", "v", "l", "r", "qvec").collect()
-    if not qrows:
-        return spark.createDataFrame([], "query_id long, id long, rnk long")
-    qmeta = np.array(
-        [(r.query_id, r.query_type, r.v, r.l, r.r) for r in qrows], dtype=np.float64
-    )
-    qvecs = np.array([r.qvec for r in qrows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((qmeta, qvecs))
-
     out_schema = "query_id long, id long, dist double"
     result_type = pa.schema(
         [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("dist", pa.float64())]
     )
 
-    def partial_topk(batches):
+    def make_kernel(bc):
+        return lambda batches: partial_topk(bc, batches)
+
+    def partial_topk(bc, batches):
         qm, qv = bc.value
         qid = qm[:, 0].astype(np.int64)
         qtype = qm[:, 1].astype(np.int64)
@@ -185,5 +255,14 @@ def knn_exact_arrow(
                         schema=result_type,
                     )
 
-    candidates = base.select("id", "category", "ts", "vec").mapInArrow(partial_topk, out_schema)
+    candidates = chunked_broadcast_scan(
+        base.select("id", "category", "ts", "vec"),
+        queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
+        _exact_payload,
+        make_kernel,
+        out_schema,
+        batch_rows,
+    )
+    if candidates is None:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
     return _topk_window(candidates, k)

@@ -41,29 +41,33 @@ def ann_cosine_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
     baseline every ANN variant is measured against.
 
     Physical plan = the same partial/final top-k split as
-    knn.knn_exact_arrow: queries broadcast as a NumPy matrix, one GEMM
-    per Arrow batch of the corpus, per-partition top-k, then a window
-    merges candidates (shuffle is nq×k×P rows — corpus never moves).
-    ~10× the throughput of the per-pair Catalyst fold this replaces."""
+    knn.knn_exact_arrow: queries broadcast as a NumPy matrix (in
+    bounded batches — driver never holds the full query table), one
+    GEMM per Arrow batch of the corpus, per-partition top-k, then a
+    window merges candidates (shuffle is nq×k×P rows — corpus never
+    moves). ~10× the throughput of the per-pair Catalyst fold this
+    replaces."""
     import numpy as np
     import pyarrow as pa
 
-    from .knn import list_column_matrix
+    from .knn import chunked_broadcast_scan, list_column_matrix
 
     spark = emb.sparkSession
-    qrows = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select("vec_id", "embedding").collect()
-    if not qrows:
-        return spark.createDataFrame([], "query_id long, id long, rnk long")
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qv = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
-    bc = spark.sparkContext.broadcast((qids, qv, qn))
+
+    def payload(qrows):
+        qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        qv = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
+        return qids, qv, qn
 
     schema = pa.schema(
         [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("cos", pa.float64())]
     )
 
-    def partial(batches):
+    def make_kernel(bc):
+        return lambda batches: partial(bc, batches)
+
+    def partial(bc, batches):
         qids_, qv_, qn_ = bc.value
         chunk = max(1, (1 << 22) // max(len(qids_), 1))  # ≈32 MB sim blocks
         for batch in batches:
@@ -93,9 +97,15 @@ def ann_cosine_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
                         schema=schema,
                     )
 
-    cands = emb.select("vec_id", "embedding").mapInArrow(
-        partial, "query_id long, id long, cos double"
+    cands = chunked_broadcast_scan(
+        emb.select("vec_id", "embedding"),
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select("vec_id", "embedding"),
+        payload,
+        make_kernel,
+        "query_id long, id long, cos double",
     )
+    if cands is None:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
         cands.withColumn("rnk", F.row_number().over(w))

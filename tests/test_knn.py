@@ -36,3 +36,40 @@ def test_every_query_answered(spark):
     nq = q.count()
     answered = res.select("query_id").distinct().count()
     assert answered == nq
+
+
+def test_knn_arrow_chunked_batches_match(spark):
+    """Chunked query broadcast (batch_rows smaller than the query set)
+    must produce exactly the single-batch result — the union of
+    per-batch candidate sets feeds one global merge window."""
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    whole = rows_set(knn.knn_exact_arrow(spark, base, q).collect())
+    chunked = rows_set(knn.knn_exact_arrow(spark, base, q, batch_rows=7).collect())
+    assert whole == chunked
+
+
+def test_knn_arrow_100k_queries_bounded_driver(spark):
+    """Contest-scale query-count stress (1M queries in production;
+    100k here): the batched broadcast loop must complete without the
+    driver ever holding the full query table."""
+    from pyspark.sql import functions as F
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE).filter(F.col("query_type") == 0).limit(10)
+    reps = spark.range(10000).select(F.col("id").alias("rep"))
+    big = (
+        q.crossJoin(reps)
+        .select(
+            (F.col("query_id") * 10000 + F.col("rep")).alias("query_id"),
+            "query_type",
+            "v",
+            "l",
+            "r",
+            "qvec",
+        )
+    )
+    n_q = big.count()
+    assert n_q == 100_000
+    res = knn.knn_exact_arrow(spark, base, big, k=3)
+    assert res.count() == n_q * 3
