@@ -16,8 +16,10 @@ boundaries are shuffles:
 Index partitions are built once (``build_index``) as a Parquet-able
 DataFrame; search ships each query group to exactly the partitions its
 predicate can touch (partition pruning done relationally — queries ⨝
-partition catalog). Graph search computes exact float64 distances on
-the original vectors, so the global merge needs no extra re-rank join.
+partition catalog). The index stores SQ8 codes only (Q6, matching the
+reference's codes-only HNSW storage, hnswalg.h:237-297); search ranks
+in integer code space and a K12 exact re-rank join over the merged
+candidates restores float ranks.
 """
 
 from __future__ import annotations
@@ -30,26 +32,40 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import quantization as Q
+from ..functions.distance import l2_sqr_expr
 from ..plans import workload
 from . import bruteforce_sq8, routing
 from .hnsw import beam_search, build_pruned_knn_graph
 
+# Codes-only index (Q6): node rows carry SQ8 codes, never float
+# vectors — the reference HNSW likewise stores only the 112-byte code
+# block per vector (hnswalg.h:237-297). One global α makes code-space
+# integer distances comparable across every shard, so search and the
+# cross-shard merge run entirely on codes; exact float ranks are
+# restored by the K12 re-rank join over merged candidates only. Index
+# bytes/row: d bytes (binary) vs 4d+ for array<float> — 4× less
+# memory, shuffle and parquet at any scale.
 INDEX_SCHEMA = (
-    "pkey string, pos long, id long, category int, ts double, vec array<float>, nbrs array<int>"
+    "pkey string, pos long, id long, category int, ts double, codes binary, nbrs array<int>"
 )
-CAND_SCHEMA = "query_id long, id long, dist double"
+CAND_SCHEMA = "query_id long, id long, cdist double"
 
 
-def _build_group(pdf: pd.DataFrame, m: int, efc: int, graph_min_nodes: int) -> pd.DataFrame:
+def _build_group(
+    pdf: pd.DataFrame, m: int, efc: int, graph_min_nodes: int, alpha: float
+) -> pd.DataFrame:
     pdf = pdf.sort_values("id").reset_index(drop=True)
+    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
     if len(pdf) <= graph_min_nodes:
-        # this shard will be answered by the exact-GEMM search path —
+        # this shard will be answered by the code-GEMM search path —
         # skip the O(n²) graph construction entirely
         nbr_lists: list[list[int]] = [[] for _ in range(len(pdf))]
     else:
-        vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+        # graph built on the float vecs in hand (build task already
+        # holds them); only codes are persisted
         nbrs = build_pruned_knn_graph(vecs, m=m)
         nbr_lists = [row[row >= 0].tolist() for row in nbrs]
+    codes = Q.encode_np(vecs, alpha).astype(np.int8) if len(pdf) else np.empty((0, 0), np.int8)
     return pd.DataFrame(
         {
             "pkey": pdf["pkey"],
@@ -57,7 +73,7 @@ def _build_group(pdf: pd.DataFrame, m: int, efc: int, graph_min_nodes: int) -> p
             "id": pdf["id"].to_numpy(),
             "category": pdf["category"].to_numpy(),
             "ts": pdf["ts"].to_numpy(),
-            "vec": pdf["vec"],
+            "codes": [row.tobytes() for row in codes],
             "nbrs": nbr_lists,
         }
     )
@@ -128,6 +144,7 @@ def build_index(
     max_nodes: int = MAX_NODES_PER_GRAPH,
     graph_min_nodes: int = 0,
     shard_plan: dict[str, int] | None = None,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Build all graph partitions as one DataFrame job.
 
@@ -151,6 +168,8 @@ def build_index(
     Must be ≤ the gemm_thr used at search time (``knn_hybrid`` couples
     them automatically when it builds the index itself).
     """
+    if alpha is None:
+        alpha = Q.train_alpha(base)
     if shard_plan is None:
         shard_plan = _shard_plan(base, cat_thr, max_nodes)
     big_cats = [
@@ -178,8 +197,9 @@ def build_index(
     # no explicit repartition: groupBy().applyInPandas already hash-
     # shuffles on pkey — a repartition here would shuffle the vectors twice
     both = cat_part.unionByName(dec_part)
+    a = float(alpha)
     return both.groupBy("pkey").applyInPandas(
-        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes), INDEX_SCHEMA
+        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a), INDEX_SCHEMA
     )
 
 
@@ -318,50 +338,64 @@ def adaptive_ef(
     return max(k, min(ef, max(k, n_allowed)))
 
 
+# Per-shard candidate depth: the reference's searches return
+# refine_k = 1.5·K candidates per sub-search for the float re-rank
+# (graph_full_refine_k = 150, hybrid_graph.h:81-85). Code-space
+# ranking is approximate, so each shard emits 1.5k candidates and the
+# global K12 re-rank restores exact order.
+SHARD_REFINE_MULT = 1.5
+
+
+def _empty_cands() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [], "id": [], "cdist": []}).astype(
+        {"query_id": "int64", "id": "int64", "cdist": "float64"}
+    )
+
+
 def _search_shard_gemm(
-    vecs: np.ndarray,
+    codes: np.ndarray,
     ids: np.ndarray,
     cats: np.ndarray,
     ts: np.ndarray,
     q_pdf: pd.DataFrame,
     k: int,
+    alpha: float,
 ) -> pd.DataFrame:
-    V = vecs.astype(np.float64)
-    vv = np.einsum("ij,ij->i", V, V)
+    """All-queries-at-once integer GEMM over the shard's codes
+    (bruteforce.h:244-265 semantics at shard granularity)."""
     qv = np.asarray([np.asarray(x, dtype=np.float64) for x in q_pdf["qvec"]])
+    qc = Q.encode_np(qv, alpha)
     t = q_pdf["query_type"].to_numpy()
     vp = q_pdf["v"].to_numpy()
     lp = q_pdf["l"].to_numpy()
     rp = q_pdf["r"].to_numpy()
     qids = q_pdf["query_id"].to_numpy()
     out_q, out_i, out_d = [], [], []
+    kk_target = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
     chunk = max(1, (1 << 22) // max(len(ids), 1))  # bound the sim block
     for s in range(0, len(qids), chunk):
         e = min(s + chunk, len(qids))
-        Q = qv[s:e]
-        D = np.einsum("ij,ij->i", Q, Q)[:, None] + vv[None, :] - 2.0 * (Q @ V.T)
+        D = Q.code_l2_sqr_np(qc[s:e], codes).astype(np.float64)
         need_cat = np.isin(t[s:e], (1, 3))[:, None]
         need_ts = np.isin(t[s:e], (2, 3))[:, None]
         ok = (~need_cat | (cats[None, :] == vp[s:e, None])) & (
             ~need_ts | ((ts[None, :] >= lp[s:e, None]) & (ts[None, :] <= rp[s:e, None]))
         )
         D[~ok] = np.inf
-        kk = min(k, D.shape[1])
+        kk = min(kk_target, D.shape[1])
         part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
         for i in range(D.shape[0]):
             sel = part[i][np.isfinite(D[i, part[i]])]
             out_q.append(np.full(sel.shape[0], qids[s + i], dtype=np.int64))
             out_i.append(ids[sel].astype(np.int64))
-            out_d.append(np.maximum(D[i, sel], 0.0))
+            out_d.append(D[i, sel])
     if not out_q:
-        return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
-            {"query_id": "int64", "id": "int64", "dist": "float64"}
-        )
+        return _empty_cands()
     return pd.DataFrame(
         {
             "query_id": np.concatenate(out_q),
             "id": np.concatenate(out_i),
-            "dist": np.concatenate(out_d),
+            "cdist": np.concatenate(out_d),
         }
     )
 
@@ -371,27 +405,33 @@ def _search_cogroup(
     q_pdf: pd.DataFrame,
     k: int,
     ef: int | None,
-    gemm_thr: int = GEMM_SHARD_THR,
+    gemm_thr: int,
+    alpha: float,
 ) -> pd.DataFrame:
     if index_pdf.empty or q_pdf.empty:
-        return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
-            {"query_id": "int64", "id": "int64", "dist": "float64"}
-        )
+        return _empty_cands()
     index_pdf = index_pdf.sort_values("pos").reset_index(drop=True)
-    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in index_pdf["vec"]])
     n = len(index_pdf)
+    codes = np.frombuffer(b"".join(index_pdf["codes"]), dtype=np.int8).reshape(n, -1)
     ids = index_pdf["id"].to_numpy()
     cats = index_pdf["category"].to_numpy()
     ts = index_pdf["ts"].to_numpy()
     if n <= gemm_thr:
-        return _search_shard_gemm(vecs, ids, cats, ts, q_pdf, k)
+        return _search_shard_gemm(codes, ids, cats, ts, q_pdf, k, alpha)
     m0 = max((len(x) for x in index_pdf["nbrs"]), default=1) or 1
     nbrs = np.full((n, m0), -1, dtype=np.int32)
     for i, row in enumerate(index_pdf["nbrs"]):
         nbrs[i, : len(row)] = row
+    # the beam walks the codes directly: int8 codes cast to float32 are
+    # exact, and float64 accumulation of their squared diffs (≤ 254² per
+    # dim) is exact integer arithmetic — identical ranking to the int
+    # kernel, at 1/4 the memory of a float-vec graph
+    cvecs = codes.astype(np.float32)
+    kk = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
     out_q, out_i, out_d = [], [], []
     for qr in q_pdf.itertuples(index=False):
         qv = np.asarray(qr.qvec, dtype=np.float64)
+        qc = Q.encode_np(qv[None, :], alpha)[0].astype(np.float64)
         t = int(qr.query_type)
         allowed = None
         if t in (1, 3):
@@ -400,8 +440,8 @@ def _search_cogroup(
             m = (ts >= qr.l) & (ts <= qr.r)
             allowed = m if allowed is None else (allowed & m)
         n_allowed = int(allowed.sum()) if allowed is not None else n
-        ef_q = adaptive_ef(t, n, n_allowed, k) if ef is None else ef
-        pos, dd = beam_search(vecs, nbrs, qv, k, ef_q, allowed)
+        ef_q = max(kk, adaptive_ef(t, n, n_allowed, k)) if ef is None else max(kk, ef)
+        pos, dd = beam_search(cvecs, nbrs, qc, kk, ef_q, allowed)
         out_q.extend([qr.query_id] * len(pos))
         out_i.extend(ids[pos].tolist())
         out_d.extend(dd.tolist())
@@ -409,7 +449,7 @@ def _search_cogroup(
         {
             "query_id": np.asarray(out_q, dtype=np.int64),
             "id": np.asarray(out_i, dtype=np.int64),
-            "dist": np.asarray(out_d, dtype=np.float64),
+            "cdist": np.asarray(out_d, dtype=np.float64),
         }
     )
 
@@ -418,17 +458,22 @@ def graph_search(
     index: DataFrame,
     assignments: DataFrame,
     k: int,
+    alpha: float,
     ef: int | None = None,
     gemm_thr: int = GEMM_SHARD_THR,
 ) -> DataFrame:
-    """Cogrouped per-partition search → candidate rows. Shards at or
-    under ``gemm_thr`` rows answer all their queries with one exact
-    GEMM; larger shards run the per-query filtered beam search.
-    ``ef=None`` (default) = per-query adaptive beam width; pass an int
-    to pin a fixed width (tests, ablations)."""
+    """Cogrouped per-partition search → candidate rows
+    ``(query_id, id, cdist)`` in SQ8 code space (the index stores only
+    codes). Shards at or under ``gemm_thr`` rows answer all their
+    queries with one integer GEMM; larger shards run the per-query
+    filtered beam search. Both emit ~1.5k candidates per (query,
+    shard) for the downstream exact re-rank. ``ef=None`` (default) =
+    per-query adaptive beam width; pass an int to pin a fixed width
+    (tests, ablations)."""
+    a = float(alpha)
     cg = index.groupby("pkey").cogroup(assignments.groupby("pkey"))
     return cg.applyInPandas(
-        lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef, gemm_thr), CAND_SCHEMA
+        lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef, gemm_thr, a), CAND_SCHEMA
     )
 
 
@@ -457,7 +502,7 @@ def knn_hybrid(
         # so the catalog is metadata and the index job runs exactly
         # once (inside the search cogroup) — nothing to persist
         splan = _shard_plan(base, routing.CAT_GRAPH_THR, MAX_NODES_PER_GRAPH)
-        index = build_index(base, graph_min_nodes=gemm_thr, shard_plan=splan)
+        index = build_index(base, graph_min_nodes=gemm_thr, shard_plan=splan, alpha=alpha)
         catalog = catalog_from_plan(spark, splan)
     else:
         # externally supplied (e.g. loaded from parquet): the catalog
@@ -466,11 +511,21 @@ def knn_hybrid(
         index = index.persist()
         catalog = shard_catalog(index)
     assigns = _assignments(queries, plan, catalog)
-    cands = graph_search(index, assigns, k=k, ef=ef, gemm_thr=gemm_thr)
+    cands = graph_search(index, assigns, k=k, alpha=alpha, ef=ef, gemm_thr=gemm_thr)
+    # K12 exact re-rank (hybrid_graph.cpp:207-228 / quant reorder):
+    # the index is codes-only, so candidate ranks are approximate —
+    # fetch float vecs for the merged candidates ONLY (nq × 1.5k ×
+    # nshards rows, independent of corpus size; AQE broadcasts the
+    # candidate side against the corpus scan) and rank by exact L2.
+    rer = (
+        cands.dropDuplicates(["query_id", "id"])
+        .join(base.select("id", "vec"), "id")
+        .join(queries.select("query_id", "qvec"), "query_id")
+        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     graph_res = (
-        cands.dropDuplicates(["query_id", "id"])
-        .withColumn("rnk", F.row_number().over(w))
+        rer.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
