@@ -17,6 +17,7 @@ from .functions import multimodal as MM
 from .functions import quantization as Q
 from .functions import text as T
 from .operators import (
+    bruteforce_quant,
     bruteforce_sq8,
     dedup,
     engine,
@@ -155,6 +156,22 @@ register(
     Q.codes_digest_sql(Q.encode_sq4_sql(), "vec_id"),
 )
 register("knn_sq8_rerank", _knn_sq8_rerank, bruteforce_sq8.knn_sq8_rerank_sql())
+
+
+def _knn_asym_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = base_vectors(spark, sf_dir)
+    mins, maxs = Q.train_minmax(base, "vec")
+    return bruteforce_quant.knn_asym_rerank(base, workload.queries_df(spark, sf_dir), mins, maxs)
+
+
+def _knn_sq4_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = base_vectors(spark, sf_dir)
+    mn, mx = Q.train_global_minmax(base, "vec")
+    return bruteforce_quant.knn_sq4_rerank(base, workload.queries_df(spark, sf_dir), mn, mx)
+
+
+register("knn_asym_rerank", _knn_asym_rerank, bruteforce_quant.knn_asym_rerank_sql())
+register("knn_sq4_rerank", _knn_sq4_rerank, bruteforce_quant.knn_sq4_rerank_sql())
 
 
 # ---------------------------------------------------------------------------

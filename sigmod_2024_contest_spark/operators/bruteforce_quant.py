@@ -1,0 +1,330 @@
+"""Asymmetric-SQ8 and SQ4 brute-force search kernels (D4/D5).
+
+Reference: ``/root/reference/pyglass/glass/simd/distance.hpp``:
+
+- ``L2SqrSQ8_ext`` (:268-301) — the asymmetric kernel: the query stays
+  float, stored uint8 codes are decoded on the fly
+  (``y → (y+0.5)·difᵢ + 255·miᵢ`` against ``255·x``).
+- ``L2SqrSQ4`` (:399-436) — the 4-bit kernel: both sides are packed
+  nibbles, distance is the integer Σ(xnib−ynib)² over unpacked dims.
+
+Round 1 shipped the encoders (Q2/Q3, ``functions/quantization.py``) but
+nothing consumed them; these two operators close that gap with the same
+two-phase plan as ``bruteforce_sq8``: a quantized candidate cut over
+codes (top ``refine_k`` by (cdist, id)) followed by an exact float64
+re-rank (K12) of the candidates only.
+
+Determinism note (SURVEY §7.6): the reference's asymmetric distance is
+a float sum, whose fold order a GEMM cannot reproduce bit-for-bit. We
+pin it by quantizing the *query side* in fixed point at 256× the code
+resolution: ``A = floor(clamp((x−mi)/dif,0,1)·255·256)`` vs
+``B = 256·y + 128`` (= ``(y+0.5)·256``) — the identical
+decode-on-the-fly geometry, scaled by 256/dif per dim, with ≤2⁻⁸ of a
+code step of query distortion, and the whole cut becomes
+order-independent integer arithmetic that DuckDB reproduces exactly.
+The SQ4 cut is integer natively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import l2_sqr_expr
+from ..plans import workload
+from . import knn
+from .bruteforce_sq8 import BF_REFINE_K
+
+ASYM_QRES = 256  # query fixed-point sub-steps per code step
+
+
+def _asym_fixed_codes(vecs: np.ndarray, mins: np.ndarray, difs: np.ndarray) -> np.ndarray:
+    """Query-side fixed-point encode: floor(clamp((x−mi)/dif,0,1)·255·256)."""
+    safe = np.where(difs > 0, difs, 1.0)
+    frac = np.clip((vecs - mins[None, :]) / safe[None, :], 0.0, 1.0)
+    frac = np.where(difs[None, :] > 0, frac, 0.0)
+    return np.floor(frac * (255.0 * ASYM_QRES)).astype(np.int64)
+
+
+def _asym_base_codes(vecs: np.ndarray, mins: np.ndarray, difs: np.ndarray) -> np.ndarray:
+    """Base-side uint8 encode (quantization.encode_asym_expr semantics)
+    lifted to the fixed-point grid: 256·code + 128 = (code+0.5)·256."""
+    safe = np.where(difs > 0, difs, 1.0)
+    frac = np.clip((vecs - mins[None, :]) / safe[None, :], 0.0, 1.0)
+    frac = np.where(difs[None, :] > 0, frac, 0.0)
+    codes = np.floor(frac * 255.0 + 0.5).astype(np.int64)
+    return codes * ASYM_QRES + ASYM_QRES // 2
+
+
+def _nibble_codes(vecs: np.ndarray, mn: float, mx: float) -> np.ndarray:
+    """SQ4 per-dim nibbles 0..15 (quantization.encode_sq4_expr without
+    the byte packing — L2SqrSQ4 unpacks before differencing anyway)."""
+    scale = (mx - mn) if mx > mn else 1.0
+    frac = np.clip((vecs - mn) / scale, 0.0, 1.0)
+    return np.floor(frac * 15.0 + 0.5).astype(np.int64)
+
+
+def _int_cut_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    encode_q,
+    encode_b,
+    k: int,
+    refine_k: int,
+    batch_rows: int | None = None,
+) -> DataFrame:
+    """Shared two-phase plan: integer code distance cut → exact re-rank.
+
+    ONE corpus scan per query batch, ZERO joins (float vecs ride along
+    in the scan for the in-kernel exact phase, exactly as
+    ``bruteforce_sq8.knn_sq8_rerank``). ``encode_q``/``encode_b`` map a
+    float matrix to int64 code matrices on a shared grid.
+    """
+    import pyarrow as pa
+
+    from ..functions import quantization as Q
+    from .knn import list_column_matrix
+
+    spark = base.sparkSession
+
+    def payload(qrows):
+        qmeta = np.array(
+            [(r["query_id"], r["query_type"], r["v"], r["l"], r["r"]) for r in qrows],
+            dtype=np.float64,
+        )
+        qvecs = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        return qmeta, encode_q(qvecs), qvecs
+
+    schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("id", pa.int64()),
+            pa.field("cdist", pa.int64()),
+            pa.field("dist", pa.float64()),
+        ]
+    )
+
+    def make_kernel(bc):
+        return lambda batches: kernel(bc, batches)
+
+    def kernel(bc, batches):
+        qm, qc, qv = bc.value
+        qid = qm[:, 0].astype(np.int64)
+        qtype = qm[:, 1].astype(np.int64)
+        vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
+        chunk = max(1, (1 << 22) // max(len(qid), 1))
+        for tbl in batches:
+            ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
+            cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
+            ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
+            vecs_all = list_column_matrix(tbl, "vec")
+            for cs in range(0, vecs_all.shape[0], chunk):
+                ids = ids_all[cs : cs + chunk]
+                cats = cats_all[cs : cs + chunk]
+                ts = ts_all[cs : cs + chunk]
+                vecs = vecs_all[cs : cs + chunk]
+                bcodes = encode_b(vecs)
+                cd = Q.code_l2_sqr_np(qc, bcodes)
+                cat_ok = cats[None, :] == vv[:, None]
+                ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
+                mask = (
+                    (qtype[:, None] == 0)
+                    | ((qtype[:, None] == 1) & cat_ok)
+                    | ((qtype[:, None] == 2) & ts_ok)
+                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
+                )
+                big = np.int64(1) << 62
+                cd = np.where(mask, cd, big)
+                kk = min(refine_k, cd.shape[1])
+                part = np.argpartition(cd, kk - 1, axis=1)[:, :kk]
+                rows_q, rows_id, rows_cd, rows_d = [], [], [], []
+                for i in range(cd.shape[0]):
+                    sel = part[i][cd[i, part[i]] < big]
+                    if sel.size == 0:
+                        continue
+                    diff = vecs[sel] - qv[i]
+                    rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
+                    rows_id.append(ids[sel].astype(np.int64))
+                    rows_cd.append(cd[i, sel])
+                    rows_d.append(np.einsum("ij,ij->i", diff, diff))
+                if rows_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(rows_q)),
+                            pa.array(np.concatenate(rows_id)),
+                            pa.array(np.concatenate(rows_cd)),
+                            pa.array(np.concatenate(rows_d)),
+                        ],
+                        schema=schema,
+                    )
+
+    cands = knn.chunked_broadcast_scan(
+        base.select("id", "category", "ts", "vec"),
+        queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
+        payload,
+        make_kernel,
+        "query_id long, id long, cdist long, dist double",
+        batch_rows or knn.QUERY_BATCH_ROWS,
+    )
+    if cands is None:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        cands.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= refine_k)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def knn_asym_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k: int = workload.K,
+    refine_k: int = BF_REFINE_K,
+    batch_rows: int | None = None,
+) -> DataFrame:
+    """(query_id, id, rnk) — asymmetric-SQ8 brute force with exact
+    re-rank (D4, distance.hpp:268-301): per-dim (min,max) grid, stored
+    codes decoded on the fly against the (fixed-point) float query."""
+    mn = np.asarray(mins, dtype=np.float64)
+    dif = np.asarray(maxs, dtype=np.float64) - mn
+    return _int_cut_rerank(
+        base,
+        queries,
+        lambda qv: _asym_fixed_codes(qv, mn, dif),
+        lambda bv: _asym_base_codes(bv, mn, dif),
+        k,
+        refine_k,
+        batch_rows,
+    )
+
+
+def knn_sq4_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    mn: float,
+    mx: float,
+    k: int = workload.K,
+    refine_k: int = BF_REFINE_K,
+    batch_rows: int | None = None,
+) -> DataFrame:
+    """(query_id, id, rnk) — SQ4 brute force with exact re-rank (D5,
+    distance.hpp:399-436): global (min,max) grid, symmetric integer
+    nibble distance. 4-bit codes are coarse, so the 140-deep cut does
+    the heavy lifting and the float re-rank restores exact order."""
+    return _int_cut_rerank(
+        base,
+        queries,
+        lambda qv: _nibble_codes(qv, mn, mx),
+        lambda bv: _nibble_codes(bv, mn, mx),
+        k,
+        refine_k,
+        batch_rows,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors — the identical two-phase pipeline in SQL
+# ---------------------------------------------------------------------------
+
+
+def knn_asym_rerank_sql(k: int = workload.K, refine_k: int = BF_REFINE_K) -> str:
+    """Oracle for :func:`knn_asym_rerank`. Per-dim stats are exact
+    min/max (both engines agree bit-for-bit), and the cut distance is
+    pure BIGINT arithmetic — order-independent, so list_sum ≡ GEMM."""
+    q_fix = (
+        "CASE WHEN mxs[i] > mns[i] THEN CAST(floor(least(greatest("
+        "(q.qvec[i]::DOUBLE - mns[i]) / (mxs[i] - mns[i]), 0.0), 1.0) * 65280.0) AS BIGINT) "
+        "ELSE 0 END"
+    )
+    b_fix = (
+        "CASE WHEN mxs[i] > mns[i] THEN CAST(floor(least(greatest("
+        "(b.vec[i]::DOUBLE - mns[i]) / (mxs[i] - mns[i]), 0.0), 1.0) * 255.0 + 0.5) AS BIGINT)"
+        " * 256 + 128 ELSE 128 END"
+    )
+    return f"""
+WITH b0 AS ({workload.base_cte_sql()}),
+q0 AS ({workload.queries_cte_sql()}),
+e AS (SELECT unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM b0),
+stats AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx FROM e GROUP BY i),
+mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+scored AS (
+  SELECT q.query_id, b.id,
+         list_sum(list_transform(range(1, len(b.vec) + 1),
+                  i -> ({q_fix} - {b_fix}) * ({q_fix} - {b_fix}))) AS cdist
+  FROM b0 b, q0 q, mm
+  WHERE {workload.PREDICATE_SQL}
+),
+cands AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cdist ASC, id ASC) AS crnk
+  FROM scored
+),
+rescored AS (
+  SELECT c.query_id, c.id,
+         list_sum(list_transform(range(1, len(b0.vec) + 1),
+                  i -> (q0.qvec[i]::DOUBLE - b0.vec[i]::DOUBLE)
+                     * (q0.qvec[i]::DOUBLE - b0.vec[i]::DOUBLE))) AS dist
+  FROM cands c
+  JOIN b0 ON b0.id = c.id
+  JOIN q0 ON q0.query_id = c.query_id
+  WHERE c.crnk <= {refine_k}
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+  FROM rescored
+) WHERE rnk <= {k}
+"""
+
+
+def knn_sq4_rerank_sql(k: int = workload.K, refine_k: int = BF_REFINE_K) -> str:
+    """Oracle for :func:`knn_sq4_rerank` — all-BIGINT nibble cut."""
+    nib_q = (
+        "CAST(floor(least(greatest((q.qvec[i]::DOUBLE - mm.mn) / "
+        "(CASE WHEN mm.mx > mm.mn THEN mm.mx - mm.mn ELSE 1.0 END), 0.0), 1.0) * 15.0 + 0.5) AS BIGINT)"
+    )
+    nib_b = (
+        "CAST(floor(least(greatest((b.vec[i]::DOUBLE - mm.mn) / "
+        "(CASE WHEN mm.mx > mm.mn THEN mm.mx - mm.mn ELSE 1.0 END), 0.0), 1.0) * 15.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH b0 AS ({workload.base_cte_sql()}),
+q0 AS ({workload.queries_cte_sql()}),
+mm AS (
+  SELECT min(list_min(vec))::DOUBLE AS mn, max(list_max(vec))::DOUBLE AS mx FROM b0
+),
+scored AS (
+  SELECT q.query_id, b.id,
+         list_sum(list_transform(range(1, len(b.vec) + 1),
+                  i -> ({nib_q} - {nib_b}) * ({nib_q} - {nib_b}))) AS cdist
+  FROM b0 b, q0 q, mm
+  WHERE {workload.PREDICATE_SQL}
+),
+cands AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cdist ASC, id ASC) AS crnk
+  FROM scored
+),
+rescored AS (
+  SELECT c.query_id, c.id,
+         list_sum(list_transform(range(1, len(b0.vec) + 1),
+                  i -> (q0.qvec[i]::DOUBLE - b0.vec[i]::DOUBLE)
+                     * (q0.qvec[i]::DOUBLE - b0.vec[i]::DOUBLE))) AS dist
+  FROM cands c
+  JOIN b0 ON b0.id = c.id
+  JOIN q0 ON q0.query_id = c.query_id
+  WHERE c.crnk <= {refine_k}
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+  FROM rescored
+) WHERE rnk <= {k}
+"""

@@ -108,3 +108,14 @@ def test_sq8_arrow_matches_expr_path(spark):
     fast = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect()))
     slow = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank_expr(base, q, alpha).collect()))
     assert fast == slow
+
+
+def test_knn_asym_rerank_oracle(spark):
+    """D4: asymmetric decode-on-the-fly cut (fixed-point) + exact
+    re-rank matches the DuckDB mirror bit-for-bit."""
+    _check(spark, "knn_asym_rerank")
+
+
+def test_knn_sq4_rerank_oracle(spark):
+    """D5: integer nibble-distance cut + exact re-rank vs oracle."""
+    _check(spark, "knn_sq4_rerank")
