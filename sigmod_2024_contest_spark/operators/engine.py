@@ -96,24 +96,30 @@ def _shard_plan(
     plain metadata — search never has to materialize the index just to
     learn which shards exist."""
     dec = F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9))
-    cats = (
-        base.groupBy(F.col("category").cast("long").alias("key"))
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("kind", F.lit("cat"))
-    )
-    decs = (
-        base.groupBy(dec.cast("long").alias("key"))
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("kind", F.lit("dec"))
+    # ONE corpus scan: every row contributes its (cat, key) and
+    # (dec, key) memberships via a 2-element explode, and map-side
+    # partial aggregation collapses the doubled rows to |cats|+10
+    # before the shuffle — vs two separate scans for the two groupBys
+    both = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cat").alias("kind"),
+                    F.col("category").cast("long").alias("key"),
+                ),
+                F.struct(F.lit("dec").alias("kind"), dec.cast("long").alias("key")),
+            )
+        ).alias("m")
+    ).groupBy(F.col("m.kind").alias("kind"), F.col("m.key").alias("key")).agg(
+        F.count("*").alias("cnt")
     )
     # corpus total = sum over the decile rows (deciles partition the
     # corpus); a broadcast cross-join of the 1-row aggregate — NOT a
     # constant-partition window, which Catalyst folds into an empty
     # partition spec and executes as a single-task WindowExec
-    total = decs.agg(F.sum("cnt").alias("total"))
+    total = both.filter(F.col("kind") == "dec").agg(F.sum("cnt").alias("total"))
     rows = (
-        cats.unionByName(decs)
-        .crossJoin(F.broadcast(total))
+        both.crossJoin(F.broadcast(total))
         .filter(
             (F.col("kind") == "dec")
             | (F.col("cnt") >= F.lit(cat_thr) * F.col("total"))
@@ -176,27 +182,29 @@ def build_index(
         int(p.split(":")[1]) for p in shard_plan if p.startswith("cat:")
     ]
     dec = F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9))
-    cat_part = base.filter(F.col("category").cast("long").isin(big_cats)).select(
-        _pkey_expr(
-            shard_plan, F.concat(F.lit("cat:"), F.col("category").cast("long"))
-        ).alias("pkey"),
-        "id",
-        "category",
-        "ts",
-        "vec",
-    )
-    dec_part = base.select(
-        _pkey_expr(shard_plan, F.concat(F.lit("dec:"), dec.cast("long"))).alias(
-            "pkey"
-        ),
-        "id",
-        "category",
-        "ts",
-        "vec",
-    )
+    # ONE corpus scan: each row explodes to its slice prefixes (its
+    # decile always, its category slice iff big) instead of a
+    # two-branch union that scans the corpus twice
+    dec_key = F.concat(F.lit("dec:"), dec.cast("long"))
+    if big_cats:
+        cat_key = F.when(
+            F.col("category").cast("long").isin(big_cats),
+            F.concat(F.lit("cat:"), F.col("category").cast("long")),
+        )
+        pref_arr = F.array_compact(F.array(cat_key, dec_key))
+    else:
+        pref_arr = F.array(dec_key)
     # no explicit repartition: groupBy().applyInPandas already hash-
     # shuffles on pkey — a repartition here would shuffle the vectors twice
-    both = cat_part.unionByName(dec_part)
+    both = base.select(
+        F.explode(pref_arr).alias("prefix"), "id", "category", "ts", "vec"
+    ).select(
+        _pkey_expr(shard_plan, F.col("prefix")).alias("pkey"),
+        "id",
+        "category",
+        "ts",
+        "vec",
+    )
     a = float(alpha)
     return both.groupBy("pkey").applyInPandas(
         lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a), INDEX_SCHEMA
@@ -508,7 +516,8 @@ def knn_hybrid(
         # externally supplied (e.g. loaded from parquet): the catalog
         # must come from the data; persist so the distinct-pkey scan
         # does not rebuild the index a second time for the cogroup
-        index = index.persist()
+        if not index.is_cached:
+            index = index.persist()
         catalog = shard_catalog(index)
     assigns = _assignments(queries, plan, catalog)
     cands = graph_search(index, assigns, k=k, alpha=alpha, ef=ef, gemm_thr=gemm_thr)
@@ -517,9 +526,12 @@ def knn_hybrid(
     # fetch float vecs for the merged candidates ONLY (nq × 1.5k ×
     # nshards rows, independent of corpus size; AQE broadcasts the
     # candidate side against the corpus scan) and rank by exact L2.
+    # No dedup shuffle: (query_id, id) pairs are unique by
+    # construction — cat-routed queries search only their category
+    # slice, decile-routed ones only deciles (which partition the
+    # corpus), and sub-shards split disjointly by id % nshards.
     rer = (
-        cands.dropDuplicates(["query_id", "id"])
-        .join(base.select("id", "vec"), "id")
+        cands.join(base.select("id", "vec"), "id")
         .join(queries.select("query_id", "qvec"), "query_id")
         .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
     )
