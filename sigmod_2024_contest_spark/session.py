@@ -59,6 +59,9 @@ def get_spark(app_name: str = "sigmod2024-spark", cpus: int | None = None) -> Sp
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # Pin UTC so TIMESTAMP_NTZ→TIMESTAMP casts (events loader) and
+        # collected datetimes are host-timezone independent.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -75,5 +78,6 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     (the driver hands us one in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ship_package(spark)
     return spark

@@ -37,13 +37,26 @@ TS_SQL = "(CAST(vec_id % 1000 AS DOUBLE) / 1000.0)"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
-        # reader rejects; read nanos as long and truncate to micros
-        # (integer division — float division loses precision at 1e18).
-        # DuckDB's micro-precision TIMESTAMP truncates identically.
+        # events.parquet has shipped with two physical ts encodings:
+        # INT64 TIMESTAMP(NANOS) (older testdata — Spark's reader
+        # rejects it unless nanos are surfaced as long) and native
+        # timestamp[us] (current testdata — already a timestamp
+        # column). Branch on the *loaded* dtype: only an INT64-nanos
+        # column needs the truncating nanos→micros conversion
+        # (integer division — float division loses precision at 1e18;
+        # DuckDB's micro-precision TIMESTAMP truncates identically).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # Downstream operators (unix_micros, time windows, as-of
+            # joins) expect TIMESTAMP; with the session timezone pinned
+            # to UTC (session.py) this cast is instant-preserving and
+            # renders identically to DuckDB's naive micro timestamps.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
