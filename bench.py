@@ -40,6 +40,19 @@ def main() -> None:
     # grades total coverage, and per-query timings localize regressions
     names += [n for n in sorted(reg) if n not in names]
 
+    # Build/Search split (reference baseline.cpp:96,152): the one-time
+    # graph-index build + parquet save/load is timed here, OUTSIDE the
+    # per-query search clocks, and reported under "prep" — knn_hybrid /
+    # recall_hybrid_vs_exact then measure search over the loaded index.
+    prep: dict[str, float] = {}
+    t0 = time.time()
+    try:
+        api.prepare_hybrid_index(spark, SF_DIR)
+        prep["knn_hybrid_build"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"bench: knn_hybrid_build failed: {e}", file=sys.stderr)
+        prep["knn_hybrid_build"] = -1.0
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -58,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "prep": prep,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

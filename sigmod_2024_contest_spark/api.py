@@ -9,6 +9,7 @@ search, streaming) which get a rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -183,23 +184,43 @@ register("knn_sq4_rerank", _knn_sq4_rerank, bruteforce_quant.knn_sq4_rerank_sql(
 
 # Build-once, search-many — the reference's own usage (Build /
 # BuildCategoryIndex run once, BatchSearch many; the contest clock
-# measures search). The first entry that needs the graph index builds
-# and persists it; knn_hybrid and recall_hybrid_vs_exact then share it.
-# Keyed by (application, sf_dir) so a new session never sees a stale
-# plan.
+# measures search, baseline.cpp:96,152). The first entry that needs the
+# graph index builds it, round-trips it through the S8/S9 parquet
+# persistence (Graph::save/load, graph.hpp:101-137), and every later
+# entry searches the *loaded* index — so the driver exercises
+# save_index/load_index, not just pytest. Keyed by (application,
+# sf_dir) so a new session never sees a stale plan.
 _INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _hybrid_index(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFrame:
+    import tempfile
+
+    from .sources import layout
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        # lazy persist: the first search action fuses build+search in
-        # one job and leaves the built partitions cached for the next
-        # entry — no separate materialization pass
-        _INDEX_CACHE[key] = engine.build_index(
-            base, graph_min_nodes=engine.GEMM_SHARD_THR
-        ).persist()
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"sg_index_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        layout.save_index(
+            engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR), path
+        )
+        _INDEX_CACHE[key] = layout.load_index(spark, path).persist()
     return _INDEX_CACHE[key]
+
+
+def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
+    """Materialize the shared graph index (build + parquet save/load)
+    outside any search clock — the reference times Build and Search
+    separately (baseline.cpp:96,152). Returns the node-row count.
+    bench.py calls this before timing ``knn_hybrid`` and reports the
+    wall as ``knn_hybrid_build``."""
+    from .session import ship_package
+
+    ship_package(spark)
+    return _hybrid_index(spark, sf_dir, base_vectors(spark, sf_dir)).count()
 
 
 def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
