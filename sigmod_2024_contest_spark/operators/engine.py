@@ -45,8 +45,14 @@ from .hnsw import beam_search, build_pruned_knn_graph
 # restored by the K12 re-rank join over merged candidates only. Index
 # bytes/row: d bytes (binary) vs 4d+ for array<float> — 4× less
 # memory, shuffle and parquet at any scale.
+# nbr_ts: per-edge target timestamps parallel to nbrs (F5/P10 —
+# graph.hpp:21,64, copied at build by hnsw.hpp:64): a range-filtered
+# beam decides edge admission from the adjacency row alone and never
+# scores out-of-range targets (searcher.hpp:343-344). Stored double to
+# stay bit-identical with the node ts column the result pool checks.
 INDEX_SCHEMA = (
-    "pkey string, pos long, id long, category int, ts double, codes binary, nbrs array<int>"
+    "pkey string, pos long, id long, category int, ts double, codes binary, "
+    "nbrs array<int>, nbr_ts array<double>"
 )
 CAND_SCHEMA = "query_id long, id long, cdist double"
 
@@ -56,15 +62,20 @@ def _build_group(
 ) -> pd.DataFrame:
     pdf = pdf.sort_values("id").reset_index(drop=True)
     vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+    ts_arr = pdf["ts"].to_numpy()
     if len(pdf) <= graph_min_nodes:
         # this shard will be answered by the code-GEMM search path —
         # skip the O(n²) graph construction entirely
         nbr_lists: list[list[int]] = [[] for _ in range(len(pdf))]
+        nbr_ts_lists: list[list[float]] = [[] for _ in range(len(pdf))]
     else:
         # graph built on the float vecs in hand (build task already
-        # holds them); only codes are persisted
+        # holds them); only codes are persisted. Each edge carries its
+        # target's timestamp (hnsw.hpp:64 copies them the same way).
         nbrs = build_pruned_knn_graph(vecs, m=m)
-        nbr_lists = [row[row >= 0].tolist() for row in nbrs]
+        kept = [row[row >= 0] for row in nbrs]
+        nbr_lists = [row.tolist() for row in kept]
+        nbr_ts_lists = [ts_arr[row].tolist() for row in kept]
     codes = Q.encode_np(vecs, alpha).astype(np.int8) if len(pdf) else np.empty((0, 0), np.int8)
     return pd.DataFrame(
         {
@@ -72,9 +83,10 @@ def _build_group(
             "pos": np.arange(len(pdf), dtype=np.int64),
             "id": pdf["id"].to_numpy(),
             "category": pdf["category"].to_numpy(),
-            "ts": pdf["ts"].to_numpy(),
+            "ts": ts_arr,
             "codes": [row.tobytes() for row in codes],
             "nbrs": nbr_lists,
+            "nbr_ts": nbr_ts_lists,
         }
     )
 
@@ -428,8 +440,12 @@ def _search_cogroup(
         return _search_shard_gemm(codes, ids, cats, ts, q_pdf, k, alpha)
     m0 = max((len(x) for x in index_pdf["nbrs"]), default=1) or 1
     nbrs = np.full((n, m0), -1, dtype=np.int32)
-    for i, row in enumerate(index_pdf["nbrs"]):
+    # per-edge timestamps parallel to nbrs (padding irrelevant: the
+    # beam masks padded slots via nbrs >= 0 first)
+    nbr_ts = np.zeros((n, m0), dtype=np.float64)
+    for i, (row, trow) in enumerate(zip(index_pdf["nbrs"], index_pdf["nbr_ts"])):
         nbrs[i, : len(row)] = row
+        nbr_ts[i, : len(trow)] = trow
     # the beam walks the codes directly: int8 codes cast to float32 are
     # exact, and float64 accumulation of their squared diffs (≤ 254² per
     # dim) is exact integer arithmetic — identical ranking to the int
@@ -449,7 +465,12 @@ def _search_cogroup(
             allowed = m if allowed is None else (allowed & m)
         n_allowed = int(allowed.sum()) if allowed is not None else n
         ef_q = max(kk, adaptive_ef(t, n, n_allowed, k)) if ef is None else max(kk, ef)
-        pos, dd = beam_search(cvecs, nbrs, qc, kk, ef_q, allowed)
+        # ts-range queries run edge-filtered (F5): admission decided
+        # from nbr_ts before any distance evaluation
+        rng_q = (float(qr.l), float(qr.r)) if t in (2, 3) else None
+        pos, dd = beam_search(
+            cvecs, nbrs, qc, kk, ef_q, allowed, nbr_ts=nbr_ts, ts_range=rng_q
+        )
         out_q.extend([qr.query_id] * len(pos))
         out_i.extend(ids[pos].tolist())
         out_d.extend(dd.tolist())

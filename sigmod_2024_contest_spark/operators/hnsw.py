@@ -234,6 +234,9 @@ def beam_search(
     ef: int,
     allowed: np.ndarray | None = None,
     n_seeds: int = 10,
+    nbr_ts: np.ndarray | None = None,
+    ts_range: tuple[float, float] | None = None,
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Filtered best-first search over the flat graph.
 
@@ -241,6 +244,24 @@ def beam_search(
     predicate of searcher.hpp:301-374): traversal crosses all edges,
     but only allowed nodes enter the result pool. Entry points are
     evenly spaced allowed positions (range seeding, searcher.hpp:306-313).
+
+    **Per-edge timestamps (F5/P10)**: the reference annotates every
+    edge with its target's timestamp (``graph.hpp:21,64``, copied at
+    build by ``hnsw.hpp:64``) so a range-filtered traversal decides
+    edge admission from the adjacency rows alone — out-of-range
+    targets are never even scored (``graph.hpp:81-83`` ``at_time``,
+    checked before the distance call at ``searcher.hpp:343-344`` and
+    ``:460-461``). Pass ``nbr_ts`` (per-edge target timestamps,
+    parallel to ``nbrs``) and ``ts_range=(l, r)`` to enable the same
+    behavior: traversal is restricted to in-range edges, distance
+    evaluations drop proportionally to the filtered-out fraction, and
+    the 2-hop expansion repairs connectivity across rejected regions.
+    Without them the node-mask behavior (score every neighbor, admit
+    allowed ones to the pool) is unchanged.
+
+    ``stats``: optional dict accumulating ``ndist`` (number of
+    distance evaluations) — the instrumentation the edge-filter tests
+    assert on.
 
     **2-hop starvation expansion** (searcher.hpp:226-260 ``two_hop``,
     used by ``SearchCategoryRangeImpl`` at searcher.hpp:330-374): when a
@@ -262,6 +283,8 @@ def beam_search(
     filtered = allowed is not None
     if allowed is None:
         allowed = np.ones(n, dtype=bool)
+    edge_mode = filtered and nbr_ts is not None and ts_range is not None
+    lo, hi = ts_range if edge_mode else (0.0, 0.0)
     idx = np.flatnonzero(allowed)
     if idx.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -269,6 +292,8 @@ def beam_search(
     qd = q.astype(np.float64)
 
     def dist_to(ids):
+        if stats is not None:
+            stats["ndist"] = stats.get("ndist", 0) + len(ids)
         diff = v[ids].astype(np.float64) - qd
         return np.einsum("ij,ij->i", diff, diff)
 
@@ -288,10 +313,28 @@ def beam_search(
         if dc > worst and len(result) >= ef:
             break
         cn = nbrs[c]
-        cn = cn[cn >= 0]
-        new = cn[~visited[cn]]
-        if new.size:
+        valid = cn >= 0
+        cn = cn[valid]
+        unv = ~visited[cn]
+        if edge_mode:
+            # edge-side admission (graph.hpp:81-83 at_time, checked
+            # before the distance call at searcher.hpp:343-344): only
+            # in-range targets are scored or traversed; rejects are
+            # marked visited so no edge is inspected twice. The
+            # count1/count2 deficit below then repairs connectivity
+            # through the rejected region via 2-hop.
+            ets = nbr_ts[c][valid]
+            adm = unv & (ets >= lo) & (ets <= hi)
+            new = cn[adm]
+            count2 = int(unv.sum())
+            count1 = int(new.size)
+            visited[cn[unv]] = True
+        else:
+            new = cn[unv]
+            count2 = int(new.size)
+            count1 = int(allowed[new].sum()) if new.size else 0
             visited[new] = True
+        if new.size:
             dn = dist_to(new)
             for dd, nb in zip(dn.tolist(), new.tolist()):
                 if len(result) < ef or dd < worst:
@@ -299,8 +342,6 @@ def beam_search(
                     if allowed[nb]:
                         result.append((dd, nb))
         if filtered:
-            count2 = int(new.size)
-            count1 = int(allowed[new].sum()) if new.size else 0
             if count1 < count2:
                 # harvest allowed 2-hop neighbors until the deficit is
                 # repaid (searcher.hpp:345-373)

@@ -177,6 +177,51 @@ def test_starved_filter_two_hop_recall():
     assert hits / total >= 0.9, hits / total
 
 
+def test_edge_ts_filter_fewer_dists_same_recall():
+    """F5/P10 (graph.hpp:21,81-83 / searcher.hpp:343-344): with
+    per-edge timestamps the range-filtered beam never scores
+    out-of-range targets — measurably fewer distance evaluations than
+    the node-mask beam at equal ef, while recall holds the 0.95 bar."""
+    from sigmod_2024_contest_spark.operators.hnsw import build_pruned_knn_graph
+
+    rng = np.random.default_rng(5)
+    n, d = 6000, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ts = rng.random(n)
+    nbrs = build_pruned_knn_graph(vecs, m=16)
+    kept = [row[row >= 0] for row in nbrs]
+    m0 = nbrs.shape[1]
+    nbr_ts = np.zeros((n, m0))
+    for i, row in enumerate(kept):
+        nbr_ts[i, : len(row)] = ts[row]
+    lo, hi = 0.30, 0.45  # ~15% of the shard in range
+    allowed = (ts >= lo) & (ts <= hi)
+    idx = np.flatnonzero(allowed)
+    rec = {"node": 0, "edge": 0}
+    nd = {"node": 0, "edge": 0}
+    total = 0
+    for qi in range(30):
+        q = rng.normal(size=d).astype(np.float64)
+        dv = vecs[idx].astype(np.float64) - q
+        exact = set(idx[np.argsort(np.einsum("ij,ij->i", dv, dv), kind="stable")[:10]].tolist())
+        ef = engine.adaptive_ef(2, n, int(allowed.sum()), 10)
+        s1: dict = {}
+        pos1, _ = beam_search(vecs, nbrs, q, k=10, ef=ef, allowed=allowed, stats=s1)
+        s2: dict = {}
+        pos2, _ = beam_search(
+            vecs, nbrs, q, k=10, ef=ef, allowed=allowed,
+            nbr_ts=nbr_ts, ts_range=(lo, hi), stats=s2,
+        )
+        rec["node"] += len(exact & set(pos1.tolist()))
+        rec["edge"] += len(exact & set(pos2.tolist()))
+        nd["node"] += s1["ndist"]
+        nd["edge"] += s2["ndist"]
+        total += 10
+    assert rec["edge"] / total >= 0.95, (rec["edge"] / total, rec["node"] / total)
+    # the point of per-edge timestamps: strictly fewer distance evals
+    assert nd["edge"] < 0.8 * nd["node"], (nd["edge"], nd["node"])
+
+
 def test_adaptive_ef_bands():
     """P4 (hybrid_graph.h:14-34): per-query ef follows the reference's
     type/selectivity bands, floored at k and capped by the filtered
