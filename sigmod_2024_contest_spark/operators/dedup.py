@@ -481,21 +481,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     without that, iteration k would replay all k-1 prior shuffles.
     """
     e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-    edges = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .persist()
-    )
+    # pairs are d1<d2-canonical, so the swapped union is already
+    # duplicate-free — no distinct shuffle needed
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    # seed each node with its 1-hop minimum (node itself or smallest
+    # neighbor) — the same aggregation that dedups nodes, and it banks
+    # the first propagation round for free
+    labels = edges.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.col("a"), F.min("b")).alias("lbl")
+    ).persist()
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "lbl")
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "lbl", F.lit(False).alias("own")
         )
         # pointer jumping: adopt the label's own label too — halves the
         # remaining path each round, so rounds = O(log diameter), and
@@ -503,23 +502,29 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         jump = (
             labels.alias("x")
             .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.lbl").alias("lbl"),
+                F.lit(False).alias("own"),
+            )
         )
+        # one shuffle produces BOTH the new label and the old one
+        # (own-flagged row), so convergence is a filter-count on the
+        # persisted result — not a second join job per round
         new_labels = (
-            labels.unionByName(prop)
+            labels.withColumn("own", F.lit(True))
+            .unionByName(prop)
             .unionByName(jump)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old_lbl"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("lbl") < F.col("old_lbl")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     edges.unpersist()

@@ -514,14 +514,24 @@ def knn_hybrid(
     ef: int | None = None,
     index: DataFrame | None = None,
     gemm_thr: int = GEMM_SHARD_THR,
+    plan: DataFrame | None = None,
+    alpha: float | None = None,
 ) -> DataFrame:
     """The full BatchSearch pipeline: route → bf/graph branches →
-    global top-k. Returns (query_id, id, rnk)."""
-    plan = routing.route_plan(base, queries).cache()
+    global top-k. Returns (query_id, id, rnk).
+
+    ``plan`` / ``alpha``: pass precomputed routing plan / quantizer
+    scale to share them across searches of the same (base, queries)
+    pair — the reference likewise routes once per batch and trains the
+    quantizer once at build (hybrid_graph.cpp:168-230, hnsw.hpp:38-40).
+    """
+    if plan is None:
+        plan = routing.route_plan(base, queries).cache()
     bf_queries = queries.join(
         plan.filter(F.col("route") == routing.ROUTE_BF).select("query_id"), "query_id"
     )
-    alpha = Q.train_alpha(base)
+    if alpha is None:
+        alpha = Q.train_alpha(base)
     bf_res = bruteforce_sq8.knn_sq8_rerank(base, bf_queries, alpha, k=k).select(
         "query_id", "id", "rnk"
     )

@@ -173,6 +173,101 @@ SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}
 # ---------------------------------------------------------------------------
 
 
+def _knn_exact_corpus_broadcast(
+    spark: SparkSession, base: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Small-corpus plan: broadcast the whole base, scan the queries.
+
+    Each query-partition task answers its queries exactly against the
+    full corpus — the output is final (query_id, id, rnk), no candidate
+    shuffle, no merge window. Queries are repartitioned up to the
+    session parallelism when the source delivered too few partitions
+    (e.g. a single .bin shard), so all cores share the GEMM work."""
+    pdf = base.select("id", "category", "ts", "vec").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    corpus = (
+        pdf["id"].to_numpy().astype(np.int64),
+        pdf["category"].to_numpy().astype(np.float64),
+        pdf["ts"].to_numpy().astype(np.float64),
+        np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]]),
+    )
+    bc = spark.sparkContext.broadcast(corpus)
+
+    def kernel(batches):
+        ids, cats, ts, vecs = bc.value
+        bb = np.einsum("ij,ij->i", vecs, vecs)[None, :]
+        nb = len(ids)
+        for tbl in batches:
+            qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            qtype = tbl.column("query_type").to_numpy(zero_copy_only=False).astype(np.int64)
+            vv = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+            ll = tbl.column("l").to_numpy(zero_copy_only=False)
+            rr = tbl.column("r").to_numpy(zero_copy_only=False)
+            qv = list_column_matrix(tbl, "qvec")
+            nq = len(qid)
+            if nq == 0:
+                continue
+            chunk = max(2 * k, (1 << 22) // max(nq, 1))
+            best_d = np.full((nq, 0), np.inf)
+            best_i = np.full((nq, 0), -1, dtype=np.int64)
+            qq = np.einsum("ij,ij->i", qv, qv)[:, None]
+            for cs in range(0, nb, chunk):
+                vc = vecs[cs : cs + chunk]
+                dists = qq + bb[:, cs : cs + chunk] - 2.0 * (qv @ vc.T)
+                np.maximum(dists, 0.0, out=dists)
+                cat_ok = cats[None, cs : cs + chunk] == vv[:, None]
+                ts_ok = (ts[None, cs : cs + chunk] >= ll[:, None]) & (
+                    ts[None, cs : cs + chunk] <= rr[:, None]
+                )
+                mask = (
+                    (qtype[:, None] == 0)
+                    | ((qtype[:, None] == 1) & cat_ok)
+                    | ((qtype[:, None] == 2) & ts_ok)
+                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
+                )
+                dists = np.where(mask, dists, np.inf)
+                all_d = np.concatenate([best_d, dists], axis=1)
+                all_i = np.concatenate(
+                    [best_i, np.broadcast_to(ids[None, cs : cs + chunk], dists.shape)],
+                    axis=1,
+                )
+                kk = min(k, all_d.shape[1])
+                part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
+                rows = np.arange(nq)[:, None]
+                best_d = all_d[rows, part]
+                best_i = all_i[rows, part]
+            out_q, out_i, out_r = [], [], []
+            for i in range(nq):
+                fin = np.isfinite(best_d[i])
+                di, ii = best_d[i][fin], best_i[i][fin]
+                order = np.lexsort((ii, di))  # (dist, id) tie-break
+                out_q.append(np.full(order.size, qid[i], dtype=np.int64))
+                out_i.append(ii[order])
+                out_r.append(np.arange(1, order.size + 1, dtype=np.int64))
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_i)),
+                        pa.array(np.concatenate(out_r)),
+                    ],
+                    schema=pa.schema(
+                        [
+                            pa.field("query_id", pa.int64()),
+                            pa.field("id", pa.int64()),
+                            pa.field("rnk", pa.int64()),
+                        ]
+                    ),
+                )
+
+    qdf = queries.select("query_id", "query_type", "v", "l", "r", "qvec")
+    target = spark.sparkContext.defaultParallelism
+    if qdf.rdd.getNumPartitions() < target:
+        qdf = qdf.repartition(target)
+    return qdf.mapInArrow(kernel, "query_id long, id long, rnk long")
+
+
 def _exact_payload(qrows) -> tuple[np.ndarray, np.ndarray]:
     qmeta = np.array(
         [(r.query_id, r.query_type, r.v, r.l, r.r) for r in qrows], dtype=np.float64
@@ -181,23 +276,45 @@ def _exact_payload(qrows) -> tuple[np.ndarray, np.ndarray]:
     return qmeta, qvecs
 
 
+# Corpus side small enough to broadcast whole: flip the join sides.
+# 200k rows × 100 dims × 8 B (float64, kept for bit-identical math)
+# ≈ 160 MB — comfortably under Spark's broadcast ceiling.
+CORPUS_BC_MAX_ROWS = 200_000
+
+
 def knn_exact_arrow(
     spark: SparkSession,
     base: DataFrame,
     queries: DataFrame,
     k: int = workload.K,
     batch_rows: int = QUERY_BATCH_ROWS,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
-    """Partial-top-k-per-partition exact kNN (the distributed plan).
+    """Exact kNN with cost-based side selection (the distributed plan).
 
-    Queries ship to every base partition via a Spark broadcast (they
-    are the small side by construction — reference batches 1M queries
-    against 10M×100 floats; at 100 TB the corpus is the big side by
-    orders of magnitude), in batches of ``batch_rows`` so the driver
-    never holds the full query table. Per partition: one float64 GEMM
-    per Arrow batch + ``argpartition`` partial top-k. The only shuffle
-    is the candidate set (≤ nq×k per partition) into the merge window.
+    Two physical strategies, picked by corpus size — the same decision
+    Catalyst makes for joins (broadcast the small side):
+
+    - **corpus-broadcast** (corpus ≤ ``CORPUS_BC_MAX_ROWS``): the whole
+      base ships to every *query* partition; each task answers its
+      queries exactly and completely — zero candidate shuffle, no merge
+      window, output is final. The right plan whenever queries
+      outnumber the corpus (the 1M-query contest regime on small bases).
+    - **query-broadcast** (large corpus — the 100 TB regime): queries
+      ship to every base partition in batches of ``batch_rows`` so the
+      driver never holds the full query table; per partition a running
+      float64-GEMM top-k is maintained across row chunks (emitting once
+      per partition, NOT per chunk — a per-chunk emit degenerates to
+      all-pairs when chunks are narrower than k), then a window merges
+      the ≤ nq×k×P candidates.
+
+    Both paths use the same distance formula and (dist, id) tie-break,
+    so they produce identical rows.
     """
+    if corpus_rows is None:
+        corpus_rows = base.count()
+    if corpus_rows <= CORPUS_BC_MAX_ROWS:
+        return _knn_exact_corpus_broadcast(spark, base, queries, k)
     out_schema = "query_id long, id long, dist double"
     result_type = pa.schema(
         [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("dist", pa.float64())]
@@ -211,7 +328,16 @@ def knn_exact_arrow(
         qid = qm[:, 0].astype(np.int64)
         qtype = qm[:, 1].astype(np.int64)
         vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
-        chunk = max(1, (1 << 22) // max(len(qid), 1))  # ≈32 MB dist blocks
+        nq = len(qid)
+        # chunk ≥ 2k so the running merge below strictly shrinks; the
+        # (1<<22)//nq term bounds the dist block to ≈32 MB
+        chunk = max(2 * k, (1 << 22) // max(nq, 1))
+        # running per-partition top-k (dist, id) per query — emitted
+        # ONCE at partition end. Emitting per chunk is wrong when the
+        # chunk is narrower than k: min(k, chunk) keeps every row and
+        # the "partial top-k" degenerates to all pairs.
+        best_d = np.full((nq, 0), np.inf)
+        best_i = np.full((nq, 0), -1, dtype=np.int64)
         for tbl in batches:
             ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -237,23 +363,23 @@ def knn_exact_arrow(
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
                 dists = np.where(mask, dists, np.inf)
-                kk = min(k, dists.shape[1])
-                part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-                rows_q, rows_id, rows_d = [], [], []
-                for i in range(dists.shape[0]):
-                    sel = part[i][np.isfinite(dists[i, part[i]])]
-                    rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
-                    rows_id.append(ids[sel].astype(np.int64))
-                    rows_d.append(dists[i, sel])
-                if rows_q:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(np.concatenate(rows_q)),
-                            pa.array(np.concatenate(rows_id)),
-                            pa.array(np.concatenate(rows_d)),
-                        ],
-                        schema=result_type,
-                    )
+                all_d = np.concatenate([best_d, dists], axis=1)
+                all_i = np.concatenate(
+                    [best_i, np.broadcast_to(ids.astype(np.int64)[None, :], dists.shape)],
+                    axis=1,
+                )
+                kk = min(k, all_d.shape[1])
+                part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
+                rows = np.arange(nq)[:, None]
+                best_d = all_d[rows, part]
+                best_i = all_i[rows, part]
+        if best_d.shape[1]:
+            finite = np.isfinite(best_d)
+            rq = np.broadcast_to(qid[:, None], best_d.shape)[finite]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rq), pa.array(best_i[finite]), pa.array(best_d[finite])],
+                schema=result_type,
+            )
 
     candidates = chunked_broadcast_scan(
         base.select("id", "category", "ts", "vec"),
