@@ -220,7 +220,9 @@ def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
     from .session import ship_package
 
     ship_package(spark)
-    return _hybrid_index(spark, sf_dir, base_vectors(spark, sf_dir)).count()
+    base = base_vectors(spark, sf_dir)
+    _hybrid_stats(spark, sf_dir, base)  # warm the build-phase stats too
+    return _hybrid_index(spark, sf_dir, base).count()
 
 
 # Route plan + quantizer scale shared across the hybrid entries
@@ -228,12 +230,25 @@ def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
 # the reference routes once per batch (hybrid_graph.cpp:168-230) and
 # trains the quantizer once at build (hnsw.hpp:38-40).
 _PLAN_CACHE: dict[tuple[str, str], tuple[DataFrame, float]] = {}
+_STATS_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def _hybrid_stats(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, int]:
+    """Build-phase corpus stats (category×ts histogram + total),
+    warmed by prepare_hybrid_index — the reference computes its stats
+    replicas in the build phase too (SortDataset)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STATS_CACHE:
+        _STATS_CACHE[key] = stats.corpus_stats(base, routing.ROUTING_TS_BINS)
+    return _STATS_CACHE[key]
 
 
 def _hybrid_plan(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, float]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PLAN_CACHE:
-        plan = routing.route_plan(base, workload.queries_df(spark, sf_dir)).persist()
+        plan = routing.route_plan(
+            base, workload.queries_df(spark, sf_dir), stats=_hybrid_stats(spark, sf_dir, base)
+        ).persist()
         _PLAN_CACHE[key] = (plan, Q.train_alpha(base))
     return _PLAN_CACHE[key]
 

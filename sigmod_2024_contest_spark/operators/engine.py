@@ -35,7 +35,8 @@ from ..functions import quantization as Q
 from ..functions.distance import l2_sqr_expr
 from ..plans import workload
 from . import bruteforce_sq8, routing
-from .hnsw import beam_search, build_pruned_knn_graph
+from .hnsw import NumpyHNSW, beam_search, build_pruned_knn_graph
+from .hnsw import entry_descent as hnsw_entry_descent
 
 # Codes-only index (Q6): node rows carry SQ8 codes, never float
 # vectors — the reference HNSW likewise stores only the 112-byte code
@@ -50,43 +51,67 @@ from .hnsw import beam_search, build_pruned_knn_graph
 # beam decides edge admission from the adjacency row alone and never
 # scores out-of-range targets (searcher.hpp:343-344). Stored double to
 # stay bit-identical with the node ts column the result pool checks.
+# level/upper: the S9 level structure (hnswalg.h:821-946 persists it;
+# HNSWInitializer.hpp keeps the upper graphs) as two more columns of
+# the same rows — node i's level and its neighbor lists for layers
+# 1..level. The default RNG-graph build emits level 0 / empty (its
+# searches seed positionally); the hnsw_levels build fills them and
+# unfiltered searches then enter via greedy descent.
 INDEX_SCHEMA = (
     "pkey string, pos long, id long, category int, ts double, codes binary, "
-    "nbrs array<int>, nbr_ts array<double>"
+    "nbrs array<int>, nbr_ts array<double>, level int, upper array<array<int>>"
 )
 CAND_SCHEMA = "query_id long, id long, cdist double"
 
 
 def _build_group(
-    pdf: pd.DataFrame, m: int, efc: int, graph_min_nodes: int, alpha: float
+    pdf: pd.DataFrame,
+    m: int,
+    efc: int,
+    graph_min_nodes: int,
+    alpha: float,
+    hnsw_levels: bool = False,
 ) -> pd.DataFrame:
     pdf = pdf.sort_values("id").reset_index(drop=True)
     vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
     ts_arr = pdf["ts"].to_numpy()
-    if len(pdf) <= graph_min_nodes:
+    n = len(pdf)
+    level_arr = np.zeros(n, dtype=np.int32)
+    upper_lists: list[list[list[int]]] = [[] for _ in range(n)]
+    if n <= graph_min_nodes:
         # this shard will be answered by the code-GEMM search path —
         # skip the O(n²) graph construction entirely
-        nbr_lists: list[list[int]] = [[] for _ in range(len(pdf))]
-        nbr_ts_lists: list[list[float]] = [[] for _ in range(len(pdf))]
+        nbr_lists: list[list[int]] = [[] for _ in range(n)]
+        nbr_ts_lists: list[list[float]] = [[] for _ in range(n)]
     else:
         # graph built on the float vecs in hand (build task already
         # holds them); only codes are persisted. Each edge carries its
         # target's timestamp (hnsw.hpp:64 copies them the same way).
-        nbrs = build_pruned_knn_graph(vecs, m=m)
+        if hnsw_levels:
+            # incremental HNSW keeping the level structure (S9):
+            # deterministic seed from the shard key
+            seed = abs(hash(str(pdf["pkey"].iloc[0]))) % (1 << 31)
+            nbrs, level_arr, upper_lists = NumpyHNSW(
+                m=m, ef_construction=efc, seed=seed
+            ).build(vecs, return_levels=True)
+        else:
+            nbrs = build_pruned_knn_graph(vecs, m=m)
         kept = [row[row >= 0] for row in nbrs]
         nbr_lists = [row.tolist() for row in kept]
         nbr_ts_lists = [ts_arr[row].tolist() for row in kept]
-    codes = Q.encode_np(vecs, alpha).astype(np.int8) if len(pdf) else np.empty((0, 0), np.int8)
+    codes = Q.encode_np(vecs, alpha).astype(np.int8) if n else np.empty((0, 0), np.int8)
     return pd.DataFrame(
         {
             "pkey": pdf["pkey"],
-            "pos": np.arange(len(pdf), dtype=np.int64),
+            "pos": np.arange(n, dtype=np.int64),
             "id": pdf["id"].to_numpy(),
             "category": pdf["category"].to_numpy(),
             "ts": ts_arr,
             "codes": [row.tobytes() for row in codes],
             "nbrs": nbr_lists,
             "nbr_ts": nbr_ts_lists,
+            "level": level_arr,
+            "upper": upper_lists,
         }
     )
 
@@ -163,6 +188,7 @@ def build_index(
     graph_min_nodes: int = 0,
     shard_plan: dict[str, int] | None = None,
     alpha: float | None = None,
+    hnsw_levels: bool = False,
 ) -> DataFrame:
     """Build all graph partitions as one DataFrame job.
 
@@ -190,6 +216,7 @@ def build_index(
         alpha = Q.train_alpha(base)
     if shard_plan is None:
         shard_plan = _shard_plan(base, cat_thr, max_nodes)
+    build_levels = hnsw_levels
     big_cats = [
         int(p.split(":")[1]) for p in shard_plan if p.startswith("cat:")
     ]
@@ -219,7 +246,8 @@ def build_index(
     )
     a = float(alpha)
     return both.groupBy("pkey").applyInPandas(
-        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a), INDEX_SCHEMA
+        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, build_levels),
+        INDEX_SCHEMA,
     )
 
 
@@ -451,6 +479,16 @@ def _search_cogroup(
     # dim) is exact integer arithmetic — identical ranking to the int
     # kernel, at 1/4 the memory of a float-vec graph
     cvecs = codes.astype(np.float32)
+    # S9 level structure, when this index was built with hnsw_levels:
+    # unfiltered queries enter via greedy upper-layer descent (B11)
+    # instead of positional seeds
+    levels = (
+        index_pdf["level"].to_numpy().astype(np.int32)
+        if "level" in index_pdf
+        else np.zeros(n, dtype=np.int32)
+    )
+    has_levels = bool(levels.max(initial=0) > 0)
+    upper = list(index_pdf["upper"]) if has_levels else None
     kk = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
     out_q, out_i, out_d = [], [], []
     for qr in q_pdf.itertuples(index=False):
@@ -468,8 +506,14 @@ def _search_cogroup(
         # ts-range queries run edge-filtered (F5): admission decided
         # from nbr_ts before any distance evaluation
         rng_q = (float(qr.l), float(qr.r)) if t in (2, 3) else None
+        seeds = None
+        if has_levels and allowed is None:
+            seeds = np.array(
+                [hnsw_entry_descent(cvecs, qc, levels, upper)], dtype=np.int64
+            )
         pos, dd = beam_search(
-            cvecs, nbrs, qc, kk, ef_q, allowed, nbr_ts=nbr_ts, ts_range=rng_q
+            cvecs, nbrs, qc, kk, ef_q, allowed, nbr_ts=nbr_ts, ts_range=rng_q,
+            seeds=seeds,
         )
         out_q.extend([qr.query_id] * len(pos))
         out_i.extend(ids[pos].tolist())

@@ -46,13 +46,21 @@ class NumpyHNSW:
         self.ml = 1.0 / np.log(m)
         self.rng = np.random.default_rng(seed)
 
-    def build(self, vecs: np.ndarray) -> list[np.ndarray]:
+    def build(self, vecs: np.ndarray, return_levels: bool = False):
         """Insert all rows (in index order) → per-node neighbor lists
         for layer 0 (dense int32 array N×m0, −1 padded). Upper layers
         are used during build for entry-point descent and then folded
         into the flat graph (the searcher re-seeds instead — reference
         keeps an HNSWInitializer; our filtered searches use positional
-        seeding like searcher.hpp:306-313, which subsumes it)."""
+        seeding like searcher.hpp:306-313, which subsumes it).
+
+        ``return_levels=True`` additionally returns the level
+        assignments and the upper-layer adjacency — the S9 persistence
+        payload (``hnswalg.h:821-946`` saves the full level structure;
+        ``HNSWInitializer`` keeps exactly these upper graphs for the
+        greedy entry descent): ``(nbrs0, levels, upper)`` where
+        ``upper[i]`` is a list of neighbor lists for layers 1..levels[i].
+        """
         n = vecs.shape[0]
         v = vecs.astype(np.float32)
         levels = np.minimum(
@@ -156,7 +164,52 @@ class NumpyHNSW:
         for i in range(n):
             row = adj[0][i] or []
             out[i, : len(row)] = row[: self.m0]
-        return out
+        if not return_levels:
+            return out
+        upper: list[list[list[int]]] = [
+            [list(adj[lc][i] or []) for lc in range(1, int(levels[i]) + 1)]
+            for i in range(n)
+        ]
+        return out, levels.astype(np.int32), upper
+
+
+def entry_descent(
+    vecs: np.ndarray,
+    q: np.ndarray,
+    levels: np.ndarray,
+    upper: list[list[list[int]]],
+    stats: dict | None = None,
+) -> int:
+    """Greedy upper-layer descent to the level-0 entry point (B11 —
+    ``HNSWInitializer::initialize``, ``HNSWInitializer.hpp:36-58``;
+    build-side walk at ``hnswalg.h:1148-1176``): start at the highest-
+    level node, and at each layer hop to the closer neighbor until no
+    improvement, then drop a layer. O(log n) hops instead of scoring
+    ``n_seeds`` arbitrary positions — the win grows with shard size.
+
+    ``stats``: accumulates ``ndist`` like ``beam_search``."""
+    qd = q.astype(np.float64)
+
+    def d(i: int) -> float:
+        if stats is not None:
+            stats["ndist"] = stats.get("ndist", 0) + 1
+        diff = vecs[i].astype(np.float64) - qd
+        return float(diff @ diff)
+
+    max_level = int(levels.max(initial=0))
+    ep = int(np.argmax(levels))  # first max-level node — deterministic
+    cur = d(ep)
+    for lc in range(max_level, 0, -1):
+        improved = True
+        while improved:
+            improved = False
+            nbrs_l = upper[ep][lc - 1] if lc <= int(levels[ep]) else []
+            for nb in nbrs_l:
+                dn = d(int(nb))
+                if dn < cur:
+                    ep, cur = int(nb), dn
+                    improved = True
+    return ep
 
 
 def build_pruned_knn_graph(
@@ -237,6 +290,7 @@ def beam_search(
     nbr_ts: np.ndarray | None = None,
     ts_range: tuple[float, float] | None = None,
     stats: dict | None = None,
+    seeds: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Filtered best-first search over the flat graph.
 
@@ -288,7 +342,11 @@ def beam_search(
     idx = np.flatnonzero(allowed)
     if idx.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    seeds = idx[np.unique(np.linspace(0, idx.size - 1, min(n_seeds, idx.size)).astype(np.int64))]
+    if seeds is None:
+        # range seeding: evenly spaced allowed positions (searcher.hpp:306-313)
+        seeds = idx[
+            np.unique(np.linspace(0, idx.size - 1, min(n_seeds, idx.size)).astype(np.int64))
+        ]
     qd = q.astype(np.float64)
 
     def dist_to(ids):

@@ -45,7 +45,10 @@ ROUTING_TS_BINS = 1000
 
 
 def route_plan(
-    base: DataFrame, queries: DataFrame, ts_bins: int | None = ROUTING_TS_BINS
+    base: DataFrame,
+    queries: DataFrame,
+    ts_bins: int | None = ROUTING_TS_BINS,
+    stats: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """(query_id, query_type, sel_num, n_total, route).
 
@@ -54,7 +57,7 @@ def route_plan(
     type 2 above threshold → decile graphs (SplitInterval downstream);
     type 0 → global/decile graphs.
     """
-    sel = selectivity(base, queries, ts_bins=ts_bins)
+    sel = selectivity(base, queries, ts_bins=ts_bins, stats=stats)
     frac = F.col("sel_num").cast("double") / F.col("n_total").cast("double")
     thr = F.when(F.col("query_type") == 3, F.lit(BF_THR_T3)).otherwise(F.lit(BF_THR))
     route = (

@@ -56,7 +56,22 @@ def cat_ts_counts(base: DataFrame, ts_bins: int | None = None) -> DataFrame:
     return base.groupBy("category", ts.alias("ts")).agg(F.count("*").alias("cnt"))
 
 
-def selectivity(base: DataFrame, queries: DataFrame, ts_bins: int | None = None) -> DataFrame:
+def corpus_stats(base: DataFrame, ts_bins: int | None = None) -> tuple[DataFrame, int]:
+    """Build-phase stats handle: the cached (category, ts) histogram
+    and the corpus total — the relational twin of the reference's
+    sorted metadata replicas (SortDataset, hybrid_graph.cpp:505-524),
+    built once alongside the index and reused by every routing pass."""
+    cat_ts = cat_ts_counts(base, ts_bins).cache()
+    total = cat_ts.agg(F.sum("cnt")).collect()[0][0] or 0
+    return cat_ts, int(total)
+
+
+def selectivity(
+    base: DataFrame,
+    queries: DataFrame,
+    ts_bins: int | None = None,
+    stats: tuple[DataFrame, int] | None = None,
+) -> DataFrame:
     """A3: per-query selectivity via per-type broadcast joins of
     queries against small histograms (never the corpus).
 
@@ -80,8 +95,11 @@ def selectivity(base: DataFrame, queries: DataFrame, ts_bins: int | None = None)
     # including N. Without this, each histogram branch AND the count
     # would re-evaluate the base lineage — ruinous when base is an
     # expensive source (.bin decode) rather than a parquet scan.
-    cat_ts = cat_ts_counts(base, ts_bins).cache()
-    total = cat_ts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # ``stats`` (from corpus_stats) supplies both precomputed — the
+    # build-once path.
+    if stats is None:
+        stats = corpus_stats(base, ts_bins)
+    cat_ts, total = stats
     ts_hist = cat_ts.groupBy("ts").agg(F.sum("cnt").alias("cnt"))
     cat_hist = cat_ts.groupBy("category").agg(F.sum("cnt").alias("cnt"))
 

@@ -81,4 +81,6 @@ def load_index(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     # partitionBy writes pkey as a partition column at the end; restore
     # the canonical column order of engine.INDEX_SCHEMA
-    return df.select("pkey", "pos", "id", "category", "ts", "codes", "nbrs", "nbr_ts")
+    return df.select(
+        "pkey", "pos", "id", "category", "ts", "codes", "nbrs", "nbr_ts", "level", "upper"
+    )

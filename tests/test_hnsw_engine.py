@@ -177,6 +177,74 @@ def test_starved_filter_two_hop_recall():
     assert hits / total >= 0.9, hits / total
 
 
+def test_upper_level_descent_entry_quality():
+    """S9/B11 (hnswalg.h:821-946 level persistence;
+    HNSWInitializer.hpp:36-58 greedy descent): on an 8192-node shard
+    the upper-layer descent reaches a strictly closer entry point than
+    positional seeding in O(log n) distance evals, and end recall is
+    unchanged at matched ef."""
+    from sigmod_2024_contest_spark.operators.hnsw import (
+        NumpyHNSW,
+        entry_descent,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d = 8192, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    nbrs, levels, upper = NumpyHNSW(m=12, ef_construction=80, seed=4).build(
+        vecs, return_levels=True
+    )
+    assert levels.max() >= 2  # a real hierarchy exists
+    rec_p = rec_d = 0
+    ent_p = ent_d = 0.0
+    evals = 0
+    total = 0
+    seeds10 = np.unique(np.linspace(0, n - 1, 10).astype(np.int64))
+    for qi in range(30):
+        q = rng.normal(size=d).astype(np.float64)
+        diff = vecs.astype(np.float64) - q
+        dall = np.einsum("ij,ij->i", diff, diff)
+        exact = set(np.argsort(dall, kind="stable")[:10].tolist())
+        pos1, _ = beam_search(vecs, nbrs, q, k=10, ef=64)
+        s: dict = {}
+        e = entry_descent(vecs, q, levels, upper, stats=s)
+        pos2, _ = beam_search(vecs, nbrs, q, k=10, ef=64, seeds=np.array([e]))
+        ent_p += float(dall[seeds10].min())
+        ent_d += float(dall[e])
+        evals += s["ndist"]
+        rec_p += len(exact & set(pos1.tolist()))
+        rec_d += len(exact & set(pos2.tolist()))
+        total += 10
+    assert rec_d / total >= 0.9, rec_d / total
+    assert rec_d / total >= rec_p / total - 0.05  # recall unchanged
+    assert ent_d < ent_p, (ent_d / 30, ent_p / 30)  # closer entry
+    assert evals / 30 < 150  # O(log n) descent, not a scan
+
+
+def test_levels_index_save_load_descent_search(spark, tmp_path):
+    """hnsw_levels build → parquet S9 round-trip → search: the level
+    columns survive persistence and the engine answers from the loaded
+    index at the recall bar."""
+    from sigmod_2024_contest_spark.sources import layout
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    idx = engine.build_index(base, hnsw_levels=True)
+    p = str(tmp_path / "idx_levels")
+    layout.save_index(idx, p)
+    idx2 = layout.load_index(spark, p)
+    assert dict(idx2.dtypes)["level"] == "int"
+    assert dict(idx2.dtypes)["upper"] == "array<array<int>>"
+    exact = {}
+    for r in knn.knn_exact_expr(base, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base, q, index=idx2, gemm_thr=0).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
+
+
 def test_edge_ts_filter_fewer_dists_same_recall():
     """F5/P10 (graph.hpp:21,81-83 / searcher.hpp:343-344): with
     per-edge timestamps the range-filtered beam never scores
