@@ -44,9 +44,20 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(app_id)
 
 
-def get_spark(app_name: str = "sigmod2024-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "sigmod2024-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """``shuffle_partitions``: size to the data, not the core count —
+    on a cluster you set a multiple of (input bytes / 128 MB); at tiny
+    scale factors fewer, larger partitions cut per-task scheduling
+    overhead, which dominates multi-stage plans there. Defaults to
+    ``SPARK_GRAFT_SHUFFLE`` or ``cpus``."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
     # One BLAS thread per Python worker: Spark already runs `cpus`
     # workers in parallel; letting each spawn a full OpenBLAS/MKL pool
     # oversubscribes the box ~cpus× in every GEMM kernel. Workers are
@@ -58,7 +69,7 @@ def get_spark(app_name: str = "sigmod2024-spark", cpus: int | None = None) -> Sp
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Pin UTC so TIMESTAMP_NTZ→TIMESTAMP casts (events loader) and
         # collected datetimes are host-timezone independent.
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,123 @@
+"""Scale stress for the hybrid engine beyond testdata sizes.
+
+The sf0.1 bench cannot exercise sub-sharding (every slice fits one
+shard) or the beam-search path at realistic shard sizes. This script
+synthesizes an N-row corpus (default 200k, dim 64, 12 categories two
+of which are index-worthy, uniform ts), builds the partitioned graph
+index, answers a mixed 4-type query batch with the full routed engine,
+and reports recall@k against the exact oracle on a subsample — one
+JSON line, same spirit as bench.py.
+
+Usage: python tools/stress_scale.py [N_ROWS] [N_QUERIES]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    import numpy as np
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    dim = 64
+
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.operators import engine, knn, routing
+    from sigmod_2024_contest_spark.session import get_spark, ship_package
+
+    spark = get_spark("stress-scale")
+    ship_package(spark)
+
+    # synthesize distributed (no driver-side corpus): ids → hash-derived
+    # vectors via Arrow kernel would be overkill; rand() columns suffice
+    # and stay executor-side. Category 0/1 get 30%/10% of rows (index-
+    # worthy), the rest spread thin (bf-routed).
+    base = (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            F.when(F.rand(1) < 0.3, 0)
+            .when(F.rand(1) < 0.42, 1)
+            .otherwise((F.floor(F.rand(2) * 10) + 2).cast("int"))
+            .cast("int")
+            .alias("category"),
+            F.rand(3).alias("ts"),
+            F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.rand(4) * 2 - 1)
+            .cast("array<float>")
+            .alias("vec"),
+        )
+        .persist()
+    )
+    nb = base.count()
+
+    rng = np.random.default_rng(7)
+    qrows = []
+    for qid in range(n_queries):
+        t = qid % 4
+        v = int(rng.integers(0, 12)) if t in (1, 3) else -1
+        lo = float(rng.random() * 0.7)
+        hi = min(lo + 0.05 + float(rng.random() * 0.3), 1.0)
+        l, r = (lo, hi) if t in (2, 3) else (-1.0, -1.0)
+        qrows.append((qid, t, v, l, r, (rng.random(dim) * 2 - 1).astype(float).tolist()))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, query_type int, v int, l double, r double, qvec array<float>"
+    ).persist()
+    queries.count()
+
+    t0 = time.time()
+    splan = engine._shard_plan(base, routing.CAT_GRAPH_THR, engine.MAX_NODES_PER_GRAPH)
+    idx = engine.build_index(
+        base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan
+    ).persist()
+    idx_rows = idx.count()
+    build_s = round(time.time() - t0, 2)
+    nshards = sum(splan.values())
+
+    t0 = time.time()
+    res = engine.knn_hybrid(spark, base, queries, index=idx).persist()
+    out_rows = res.count()
+    search_s = round(time.time() - t0, 2)
+
+    # recall on a query subsample vs the exact oracle (corpus-broadcast
+    # path at this size — itself a timed datapoint)
+    sub = queries.filter(F.col("query_id") % 10 == 0)
+    t0 = time.time()
+    exact = {}
+    for r_ in knn.knn_exact_arrow(spark, base, sub, corpus_rows=nb).collect():
+        exact.setdefault(r_.query_id, set()).add(r_.id)
+    oracle_s = round(time.time() - t0, 2)
+    got = {}
+    for r_ in res.join(sub.select("query_id"), "query_id").collect():
+        got.setdefault(r_.query_id, set()).add(r_.id)
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact if exact[q]
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "stress_scale",
+                "n_rows": nb,
+                "n_queries": n_queries,
+                "dim": dim,
+                "index_rows": idx_rows,
+                "n_shards": nshards,
+                "build_sec": build_s,
+                "search_sec": search_s,
+                "oracle_sec": oracle_s,
+                "result_rows": out_rows,
+                "recall": round(sum(recalls) / len(recalls), 4) if recalls else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
