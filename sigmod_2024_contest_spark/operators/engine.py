@@ -596,17 +596,32 @@ def knn_hybrid(
         catalog = shard_catalog(index)
     assigns = _assignments(queries, plan, catalog)
     cands = graph_search(index, assigns, k=k, alpha=alpha, ef=ef, gemm_thr=gemm_thr)
+    # Candidate pool (hybrid_graph.cpp phase 4/5: per-query k=150 heap
+    # across sub-searches, THEN the global refine :465-494): one global
+    # α makes code distances comparable across shards, so a code-space
+    # top-(1.5k) window first cuts nq × nshards × 1.5k candidate rows
+    # to nq × 1.5k before anything touches the corpus — the re-rank
+    # join cost becomes independent of the shard fan-out (a type-0
+    # query searches every decile shard; without this the join is 10×
+    # wider). WindowGroupLimit pushes the rank filter map-side.
+    pool_k = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
+    wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
+    pool = (
+        cands.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= pool_k)
+        .drop("crnk")
+    )
     # K12 exact re-rank (hybrid_graph.cpp:207-228 / quant reorder):
     # the index is codes-only, so candidate ranks are approximate —
-    # fetch float vecs for the merged candidates ONLY (nq × 1.5k ×
-    # nshards rows, independent of corpus size; AQE broadcasts the
+    # fetch float vecs for the pooled candidates ONLY (nq × 1.5k rows,
+    # independent of corpus size AND shard count; AQE broadcasts the
     # candidate side against the corpus scan) and rank by exact L2.
     # No dedup shuffle: (query_id, id) pairs are unique by
     # construction — cat-routed queries search only their category
     # slice, decile-routed ones only deciles (which partition the
     # corpus), and sub-shards split disjointly by id % nshards.
     rer = (
-        cands.join(base.select("id", "vec"), "id")
+        pool.join(base.select("id", "vec"), "id")
         .join(queries.select("query_id", "qvec"), "query_id")
         .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
     )
