@@ -91,6 +91,43 @@ def test_sessionized_streaming_matches_batch(spark, events_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_knn_query_stream_matches_batch(spark, tmp_path):
+    """Streaming vector search (streaming/vector.py): a query stream
+    answered micro-batch-wise must equal the batch operator over all
+    queries — same exact kNN semantics, unbounded input."""
+    from sigmod_2024_contest_spark.operators import knn
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base = base_vectors(spark, SF_SMOKE).persist()
+    q = workload.queries_df(spark, SF_SMOKE)
+    qdir = str(tmp_path / "qstream")
+    os.makedirs(qdir)
+    # two micro-batches of queries
+    for i, pred in enumerate((F.col("query_id") % 2 == 0, F.col("query_id") % 2 == 1)):
+        part_dir = tmp_path / f"qchunk{i}"
+        q.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(part_dir))
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        shutil.copy(str(part_dir / src), os.path.join(qdir, f"q-{i}.parquet"))
+    out = str(tmp_path / "knn_out")
+    sq = V.knn_stream(
+        spark, base, V.stream_queries(spark, qdir), out, str(tmp_path / "ckpt"), k=10
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    got = sorted(
+        (r.query_id, r.id, r.rnk) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.query_id, r.id, r.rnk) for r in knn.knn_exact_arrow(spark, base, q, k=10).collect()
+    )
+    assert got == want
+    base.unpersist()
+
+
 def test_stateful_user_totals_converges_to_batch(spark, events_dir):
     """applyInPandasWithState emits per micro-batch; the LAST emission
     per user must equal the batch aggregate."""
