@@ -43,16 +43,24 @@ def knn_sq8_rerank(
     survives the 140-deep quantized cut (the reference's operating
     assumption).
 
-    Physical plan: ONE corpus scan per query batch, ZERO joins.
-    Queries (with their int16 codes) broadcast in bounded batches
+    Physical plan: ONE codes scan per query batch + a candidate-pool
+    join. Queries (as int16 codes) broadcast in bounded batches
     (``knn.QUERY_BATCH_ROWS``) so 1M-query workloads never hold the
-    full query table on the driver; per Arrow chunk the kernel runs an
-    integer GEMM over codes, takes the partial top-refine_k per query,
-    and exact-rescores just those rows with the float vectors already
-    in hand. The merge is two windows over the tiny candidate set:
-    global top-refine_k by (cdist, id) — the reference's quantized cut
-    — then top-k by exact (dist, id). Integer distances are
-    order-independent, so GEMM ≡ the SQL oracle's fold bit-for-bit."""
+    full query table on the driver. The kernel maintains a RUNNING
+    per-partition top-refine_k per query across row chunks and emits
+    once per partition — a per-chunk emit degenerates to all pairs
+    whenever the chunk is narrower than refine_k (the many-query
+    regime). A global (cdist, id) window then cuts to refine_k per
+    query — the reference's quantized cut — and the exact float
+    re-rank is the K12 join over those nq×refine_k candidate rows
+    (independent of corpus size and partition count), mirroring
+    knn_hybrid's global-refine phase. Integer distances are
+    order-independent, so GEMM ≡ the SQL oracle's fold bit-for-bit.
+
+    Tie note: per-chunk merges pre-cut by cdist with a 64-row slack,
+    then the partition emit resolves (cdist, id) order exactly; a tie
+    is mis-cut only if >64 rows share the boundary cdist in one chunk.
+    """
     import numpy as np
     import pyarrow as pa
 
@@ -67,27 +75,32 @@ def knn_sq8_rerank(
             dtype=np.float64,
         )
         qcodes = Q.encode_np(np.array([r["qvec"] for r in qrows], dtype=np.float64), alpha)
-        qvecs = np.array([r["qvec"] for r in qrows], dtype=np.float64)
-        return qmeta, qcodes, qvecs, float(alpha)
+        return qmeta, qcodes, float(alpha)
 
     schema = pa.schema(
         [
             pa.field("query_id", pa.int64()),
             pa.field("id", pa.int64()),
             pa.field("cdist", pa.int64()),
-            pa.field("dist", pa.float64()),
         ]
     )
 
     def make_kernel(bc):
         return lambda batches: partial(bc, batches)
 
+    PAD = 64
+    big = np.int64(1) << 62
+
     def partial(bc, batches):
-        qm, qc, qv, a = bc.value
+        qm, qc, a = bc.value
         qid = qm[:, 0].astype(np.int64)
         qtype = qm[:, 1].astype(np.int64)
         vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
-        chunk = max(1, (1 << 22) // max(len(qid), 1))
+        nq = len(qid)
+        keep = refine_k + PAD
+        chunk = max(2 * keep, (1 << 22) // max(nq, 1))
+        best_cd = np.full((nq, 0), big, dtype=np.int64)
+        best_id = np.full((nq, 0), -1, dtype=np.int64)
         for tbl in batches:
             ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -108,47 +121,62 @@ def knn_sq8_rerank(
                     | ((qtype[:, None] == 2) & ts_ok)
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
-                big = np.int64(1) << 62
                 cd = np.where(mask, cd, big)
-                kk = min(refine_k, cd.shape[1])
-                part = np.argpartition(cd, kk - 1, axis=1)[:, :kk]
-                rows_q, rows_id, rows_cd, rows_d = [], [], [], []
-                for i in range(cd.shape[0]):
-                    sel = part[i][cd[i, part[i]] < big]
-                    if sel.size == 0:
-                        continue
-                    diff = vecs[sel] - qv[i]
-                    rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
-                    rows_id.append(ids[sel].astype(np.int64))
-                    rows_cd.append(cd[i, sel])
-                    rows_d.append(np.einsum("ij,ij->i", diff, diff))
-                if rows_q:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(np.concatenate(rows_q)),
-                            pa.array(np.concatenate(rows_id)),
-                            pa.array(np.concatenate(rows_cd)),
-                            pa.array(np.concatenate(rows_d)),
-                        ],
-                        schema=schema,
-                    )
+                all_cd = np.concatenate([best_cd, cd], axis=1)
+                all_id = np.concatenate(
+                    [best_id, np.broadcast_to(ids.astype(np.int64)[None, :], cd.shape)],
+                    axis=1,
+                )
+                kk = min(keep, all_cd.shape[1])
+                part = np.argpartition(all_cd, kk - 1, axis=1)[:, :kk]
+                rows = np.arange(nq)[:, None]
+                best_cd = all_cd[rows, part]
+                best_id = all_id[rows, part]
+        if best_cd.shape[1] == 0:
+            return
+        out_q, out_i, out_cd = [], [], []
+        for i in range(nq):
+            fin = best_cd[i] < big
+            cds, iis = best_cd[i][fin], best_id[i][fin]
+            # exact (cdist, id) order for the final refine_k cut
+            order = np.lexsort((iis, cds))[:refine_k]
+            out_q.append(np.full(order.size, qid[i], dtype=np.int64))
+            out_i.append(iis[order])
+            out_cd.append(cds[order])
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_cd)),
+                ],
+                schema=schema,
+            )
 
     cands = knn.chunked_broadcast_scan(
         base.select("id", "category", "ts", "vec"),
         queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
         payload,
         make_kernel,
-        "query_id long, id long, cdist long, dist double",
+        "query_id long, id long, cdist long",
         batch_rows or knn.QUERY_BATCH_ROWS,
     )
     if cands is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
     wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
+    pool = (
         cands.withColumn("crnk", F.row_number().over(wc))
         .filter(F.col("crnk") <= refine_k)
-        .withColumn("rnk", F.row_number().over(w))
+        .select("query_id", "id")
+    )
+    rer = (
+        pool.join(base.select("id", "vec"), "id")
+        .join(queries.select("query_id", "qvec"), "query_id")
+        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
