@@ -76,10 +76,14 @@ def _int_cut_rerank(
 ) -> DataFrame:
     """Shared two-phase plan: integer code distance cut → exact re-rank.
 
-    ONE corpus scan per query batch, ZERO joins (float vecs ride along
-    in the scan for the in-kernel exact phase, exactly as
-    ``bruteforce_sq8.knn_sq8_rerank``). ``encode_q``/``encode_b`` map a
-    float matrix to int64 code matrices on a shared grid.
+    ONE codes scan per query batch; the kernel maintains a RUNNING
+    per-partition (cdist, id) top-refine_k per query (same fix as
+    ``bruteforce_sq8``: a per-chunk emit degenerates to all pairs when
+    query batches shrink chunks below refine_k). The global window then
+    cuts to refine_k, and the exact re-rank is a K12 candidate-pool
+    join over nq×refine_k rows. ``encode_q``/``encode_b`` map a float
+    matrix to int64 code matrices on a shared grid. Tie slack as in
+    bruteforce_sq8 (64 rows at the chunk boundary).
     """
     import pyarrow as pa
 
@@ -94,26 +98,32 @@ def _int_cut_rerank(
             dtype=np.float64,
         )
         qvecs = np.array([r["qvec"] for r in qrows], dtype=np.float64)
-        return qmeta, encode_q(qvecs), qvecs
+        return qmeta, encode_q(qvecs)
 
     schema = pa.schema(
         [
             pa.field("query_id", pa.int64()),
             pa.field("id", pa.int64()),
             pa.field("cdist", pa.int64()),
-            pa.field("dist", pa.float64()),
         ]
     )
 
     def make_kernel(bc):
         return lambda batches: kernel(bc, batches)
 
+    PAD = 64
+    big = np.int64(1) << 62
+
     def kernel(bc, batches):
-        qm, qc, qv = bc.value
+        qm, qc = bc.value
         qid = qm[:, 0].astype(np.int64)
         qtype = qm[:, 1].astype(np.int64)
         vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
-        chunk = max(1, (1 << 22) // max(len(qid), 1))
+        nq = len(qid)
+        keep = refine_k + PAD
+        chunk = max(2 * keep, (1 << 22) // max(nq, 1))
+        best_cd = np.full((nq, 0), big, dtype=np.int64)
+        best_id = np.full((nq, 0), -1, dtype=np.int64)
         for tbl in batches:
             ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -134,47 +144,61 @@ def _int_cut_rerank(
                     | ((qtype[:, None] == 2) & ts_ok)
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
-                big = np.int64(1) << 62
                 cd = np.where(mask, cd, big)
-                kk = min(refine_k, cd.shape[1])
-                part = np.argpartition(cd, kk - 1, axis=1)[:, :kk]
-                rows_q, rows_id, rows_cd, rows_d = [], [], [], []
-                for i in range(cd.shape[0]):
-                    sel = part[i][cd[i, part[i]] < big]
-                    if sel.size == 0:
-                        continue
-                    diff = vecs[sel] - qv[i]
-                    rows_q.append(np.full(sel.shape[0], qid[i], dtype=np.int64))
-                    rows_id.append(ids[sel].astype(np.int64))
-                    rows_cd.append(cd[i, sel])
-                    rows_d.append(np.einsum("ij,ij->i", diff, diff))
-                if rows_q:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(np.concatenate(rows_q)),
-                            pa.array(np.concatenate(rows_id)),
-                            pa.array(np.concatenate(rows_cd)),
-                            pa.array(np.concatenate(rows_d)),
-                        ],
-                        schema=schema,
-                    )
+                all_cd = np.concatenate([best_cd, cd], axis=1)
+                all_id = np.concatenate(
+                    [best_id, np.broadcast_to(ids.astype(np.int64)[None, :], cd.shape)],
+                    axis=1,
+                )
+                kk = min(keep, all_cd.shape[1])
+                part = np.argpartition(all_cd, kk - 1, axis=1)[:, :kk]
+                rows = np.arange(nq)[:, None]
+                best_cd = all_cd[rows, part]
+                best_id = all_id[rows, part]
+        if best_cd.shape[1] == 0:
+            return
+        out_q, out_i, out_cd = [], [], []
+        for i in range(nq):
+            fin = best_cd[i] < big
+            cds, iis = best_cd[i][fin], best_id[i][fin]
+            order = np.lexsort((iis, cds))[:refine_k]
+            out_q.append(np.full(order.size, qid[i], dtype=np.int64))
+            out_i.append(iis[order])
+            out_cd.append(cds[order])
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_cd)),
+                ],
+                schema=schema,
+            )
 
     cands = knn.chunked_broadcast_scan(
         base.select("id", "category", "ts", "vec"),
         queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
         payload,
         make_kernel,
-        "query_id long, id long, cdist long, dist double",
+        "query_id long, id long, cdist long",
         batch_rows or knn.QUERY_BATCH_ROWS,
     )
     if cands is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
     wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
+    pool = (
         cands.withColumn("crnk", F.row_number().over(wc))
         .filter(F.col("crnk") <= refine_k)
-        .withColumn("rnk", F.row_number().over(w))
+        .select("query_id", "id")
+    )
+    rer = (
+        pool.join(base.select("id", "vec"), "id")
+        .join(queries.select("query_id", "qvec"), "query_id")
+        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
