@@ -110,6 +110,36 @@ def test_sq8_arrow_matches_expr_path(spark):
     assert fast == slow
 
 
+def test_sq8_chunked_batches_match(spark):
+    """Multi-batch query broadcast (batch_rows < nq) through the
+    running-top-k kernel must equal the single-batch result — the
+    regression class where a per-chunk emit degenerates to all pairs."""
+    from conftest import SF_SMOKE
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import bruteforce_quant, bruteforce_sq8
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base)
+    whole = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect()))
+    chunked = sorted(
+        map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha, batch_rows=7).collect())
+    )
+    assert whole == chunked
+    mins, maxs = Q.train_minmax(base, "vec")
+    aw = sorted(map(tuple, bruteforce_quant.knn_asym_rerank(base, q, mins, maxs).collect()))
+    ac = sorted(
+        map(
+            tuple,
+            bruteforce_quant.knn_asym_rerank(base, q, mins, maxs, batch_rows=7).collect(),
+        )
+    )
+    assert aw == ac
+
+
 def test_knn_asym_rerank_oracle(spark):
     """D4: asymmetric decode-on-the-fly cut (fixed-point) + exact
     re-rank matches the DuckDB mirror bit-for-bit."""
