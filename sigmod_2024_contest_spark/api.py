@@ -312,6 +312,11 @@ register(
     lambda s, d: dedup.cosine_pairs(load_table(s, d, "embeddings")),
     dedup.cosine_pairs_sql(),
 )
+register(
+    "dedup_cosine_lsh",
+    lambda s, d: dedup.cosine_pairs_lsh(load_table(s, d, "embeddings")),
+    dedup.cosine_pairs_lsh_sql(),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -435,6 +435,100 @@ def cosine_pairs(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
     return emb.groupBy("label").applyInPandas(fn, "d1 long, d2 long, cos_ppm long")
 
 
+def cosine_pairs_lsh(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
+    """(d1, d2, cos_ppm): embedding near-dup pairs with LSH blocking —
+    the 100 TB shape of :func:`cosine_pairs` (whose label blocking
+    assumes a partition-friendly label exists). Candidates are pairs
+    sharing ≥1 probe bucket (home hyperplane-sign bucket + every
+    1-bit flip — covering pairs up to Hamming 2 apart), then an exact
+    cosine verify keeps cos ≥ τ. The bucket join is the only shuffle
+    keyed wider than the pair set; no O(n²) pair space is touched.
+
+    Verify runs as a Catalyst fold (not a NumPy GEMM) so the emitted
+    cos_ppm is bit-identical to the DuckDB oracle's list_sum fold."""
+    from .similarity import N_PLANES, _bucket_expr
+
+    tau = tau_ppm / 1e6
+    wb = emb.select("vec_id", _bucket_expr("embedding").alias("bucket"))
+    probes = wb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+                    for j in range(N_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("a.probe") == F.col("b.probe")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    eb = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+
+    def _fold_sum(col: F.Column) -> F.Column:
+        return F.aggregate(col, F.lit(0.0), lambda a, v: a + v)
+
+    dot = _fold_sum(
+        F.zip_with(F.col("e1"), F.col("e2"), lambda x, y: x.cast("double") * y.cast("double"))
+    )
+    n1 = F.sqrt(_fold_sum(F.transform(F.col("e1"), lambda x: x.cast("double") * x.cast("double"))))
+    n2 = F.sqrt(_fold_sum(F.transform(F.col("e2"), lambda x: x.cast("double") * x.cast("double"))))
+    return (
+        cand.join(ea, "d1")
+        .join(eb, "d2")
+        .select("d1", "d2", (dot / (n1 * n2)).alias("cos"))
+        .filter(F.col("cos") >= tau)
+        .select("d1", "d2", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_ppm"))
+    )
+
+
+def cosine_pairs_lsh_sql(tau_ppm: int = 400_000) -> str:
+    from .similarity import N_PLANES, _bucket_sql
+
+    bucket = _bucket_sql("embedding")
+    probe_terms = ["SELECT vec_id, bucket AS probe FROM wb"] + [
+        f"SELECT vec_id, xor(bucket, {1 << j}) AS probe FROM wb" for j in range(N_PLANES)
+    ]
+    probes = " UNION ALL ".join(probe_terms)
+    dot = (
+        "list_sum(list_transform(range(1, len(ea.embedding) + 1), "
+        "k -> ea.embedding[k]::DOUBLE * eb.embedding[k]::DOUBLE))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(range(1, len(ea.embedding) + 1), "
+        "k -> ea.embedding[k]::DOUBLE * ea.embedding[k]::DOUBLE)))"
+    )
+    nb = (
+        "sqrt(list_sum(list_transform(range(1, len(eb.embedding) + 1), "
+        "k -> eb.embedding[k]::DOUBLE * eb.embedding[k]::DOUBLE)))"
+    )
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+probes AS ({probes}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM probes a JOIN probes b ON a.probe = b.probe AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.d1, c.d2, {dot} / ({na} * {nb}) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.d1
+  JOIN embeddings eb ON eb.vec_id = c.d2
+)
+SELECT d1, d2, CAST(floor(cos * 1e6) AS BIGINT) AS cos_ppm
+FROM pairs WHERE cos >= {tau_ppm / 1e6}
+"""
+
+
 def cosine_pairs_sql(tau_ppm: int = 400_000) -> str:
     dot = (
         "list_sum(list_transform(range(1, len(a.embedding) + 1), "

@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_cosine_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
 ]
@@ -57,6 +58,12 @@ def test_dedup_simhash(spark):
 
 def test_dedup_embedding_cosine(spark):
     _check(spark, "dedup_embedding_cosine")
+
+
+def test_dedup_cosine_lsh(spark):
+    """LSH-blocked near-dup pairs (the 100 TB shape of the cosine
+    dedup: bucket-join candidates + exact Catalyst-fold verify)."""
+    _check(spark, "dedup_cosine_lsh")
 
 
 def test_sample_balanced_splits(spark):
