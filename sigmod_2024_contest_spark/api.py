@@ -41,9 +41,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .session import ship_package
+        from .session import tune_for_session
 
-        ship_package(spark)  # workers must import this package (see session.py)
+        # ship the package to workers AND pin runtime confs (UTC
+        # session timezone, AQE, Arrow) on driver-provided sessions —
+        # a query must not depend on entry() having run first
+        tune_for_session(spark)
         return fn(spark, sf_dir)
 
     _REGISTRY[name] = (wrapped, oracle)
