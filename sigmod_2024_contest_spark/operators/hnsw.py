@@ -252,22 +252,36 @@ def build_pruned_knn_graph(
     # candidate-to-candidate distances batched per block (one batched
     # GEMM instead of n small ones); the prune itself is sequential per
     # node by construction (each keep decision depends on prior keeps)
-    # but then touches only precomputed C×C slices
+    # but the dominance test is precomputed as a bitmask per candidate
+    # (dom[j] bit k set ⟺ candidate k would disqualify j), so the
+    # inner loop is pure machine-int ops — no per-check NumPy dispatch
     prune_block = max(1, (1 << 24) // (C * C))
+    weights = np.int64(1) << np.arange(C, dtype=np.int64)
     for s in range(0, n, prune_block):
         e = min(s + prune_block, n)
         CV = v[cands[s:e]]  # (B, C, d)
         cc = np.einsum("bcd,bcd->bc", CV, CV)
         CC = cc[:, :, None] + cc[:, None, :] - 2.0 * np.einsum("bcd,bed->bce", CV, CV)
+        B = CC < cdist[s:e][:, :, None]
+        DOM = np.matmul(B.astype(np.int64), weights) if C <= 63 else None
         for i in range(s, e):
-            CCi = CC[i - s]
-            di = cdist[i]
             kept: list[int] = []
-            for j in range(C):
-                if len(kept) >= m:
-                    break
-                if not kept or not (CCi[j, kept] < di[j]).any():
-                    kept.append(j)
+            if DOM is not None:
+                domi = DOM[i - s]
+                kmask = 0
+                for j in range(C):
+                    if len(kept) >= m:
+                        break
+                    if not (int(domi[j]) & kmask):
+                        kmask |= 1 << j
+                        kept.append(j)
+            else:  # C > 63: bitmask would overflow int64 — array path
+                Bi = B[i - s]
+                for j in range(C):
+                    if len(kept) >= m:
+                        break
+                    if not kept or not Bi[j, kept].any():
+                        kept.append(j)
             kk = cands[i][kept]
             nbrs[i, : len(kk)] = kk
             deg[i] = len(kk)
