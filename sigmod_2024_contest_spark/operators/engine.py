@@ -73,7 +73,15 @@ def _build_group(
     hnsw_levels: bool = False,
 ) -> pd.DataFrame:
     pdf = pdf.sort_values("id").reset_index(drop=True)
-    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+    # rows arrive pre-encoded (Q6 in-build quantization,
+    # hnswalg.h:237-297): the JVM encodes before the build shuffle, so
+    # tasks receive 1-byte codes, not 4-byte floats — 4× less shuffle
+    # at any scale
+    codes = (
+        np.asarray([np.asarray(c, dtype=np.int8) for c in pdf["codes"]])
+        if len(pdf)
+        else np.empty((0, 0), np.int8)
+    )
     ts_arr = pdf["ts"].to_numpy()
     n = len(pdf)
     level_arr = np.zeros(n, dtype=np.int32)
@@ -84,22 +92,25 @@ def _build_group(
         nbr_lists: list[list[int]] = [[] for _ in range(n)]
         nbr_ts_lists: list[list[float]] = [[] for _ in range(n)]
     else:
-        # graph built on the float vecs in hand (build task already
-        # holds them); only codes are persisted. Each edge carries its
-        # target's timestamp (hnsw.hpp:64 copies them the same way).
+        # graph built on the codes (as float32): code-space distances
+        # are the float distances scaled by (α/127)² uniformly, so
+        # every build comparison — candidate ranking and the RNG prune
+        # rule — decides identically on the quantized grid, and the
+        # graph matches the space the beam searches in. Each edge
+        # carries its target's timestamp (hnsw.hpp:64).
+        cvecs = codes.astype(np.float32)
         if hnsw_levels:
             # incremental HNSW keeping the level structure (S9):
             # deterministic seed from the shard key
             seed = abs(hash(str(pdf["pkey"].iloc[0]))) % (1 << 31)
             nbrs, level_arr, upper_lists = NumpyHNSW(
                 m=m, ef_construction=efc, seed=seed
-            ).build(vecs, return_levels=True)
+            ).build(cvecs, return_levels=True)
         else:
-            nbrs = build_pruned_knn_graph(vecs, m=m)
+            nbrs = build_pruned_knn_graph(cvecs, m=m)
         kept = [row[row >= 0] for row in nbrs]
         nbr_lists = [row.tolist() for row in kept]
         nbr_ts_lists = [ts_arr[row].tolist() for row in kept]
-    codes = Q.encode_np(vecs, alpha).astype(np.int8) if n else np.empty((0, 0), np.int8)
     return pd.DataFrame(
         {
             "pkey": pdf["pkey"],
@@ -234,15 +245,26 @@ def build_index(
     else:
         pref_arr = F.array(dec_key)
     # no explicit repartition: groupBy().applyInPandas already hash-
-    # shuffles on pkey — a repartition here would shuffle the vectors twice
-    both = base.select(
-        F.explode(pref_arr).alias("prefix"), "id", "category", "ts", "vec"
+    # shuffles on pkey — a repartition here would shuffle the rows twice.
+    # Encode BEFORE the explode/shuffle (Q6): the shuffle moves 1-byte
+    # codes, not floats, and the per-row encode runs once even though
+    # the row lands in up to two slices.
+    enc = base.select(
+        "id", "category", "ts",
+        Q.encode_expr("vec", alpha).cast("array<tinyint>").alias("codes"),
+    )
+    both = enc.select(
+        F.explode(pref_arr).alias("prefix"),
+        "id",
+        "category",
+        "ts",
+        "codes",
     ).select(
         _pkey_expr(shard_plan, F.col("prefix")).alias("pkey"),
         "id",
         "category",
         "ts",
-        "vec",
+        "codes",
     )
     a = float(alpha)
     return both.groupBy("pkey").applyInPandas(
