@@ -66,6 +66,38 @@ def test_dedup_cosine_lsh(spark):
     _check(spark, "dedup_cosine_lsh")
 
 
+def test_dedup_cosine_lsh_blocking_recall(spark):
+    """Blocking recall in the operator's design regime: plant true
+    near-dup pairs (cos ≥ ~0.97) among the fixture embeddings — the
+    hyperplane buckets must surface ≥90% of them at τ=0.9. (The
+    fixture's own pairs all sit at cos≈0.40-0.45, where 8-plane
+    Hamming≤2 coverage is ~40% by construction — that regime belongs
+    to the label/exact ops, not LSH.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.operators import dedup
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    rng = np.random.default_rng(3)
+    planted = []
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noisy = v + rng.normal(scale=0.08 * np.linalg.norm(v) / np.sqrt(v.size), size=v.size)
+        planted.append((int(r.vec_id) + 1_000_000, [float(x) for x in noisy], int(r.label)))
+    dup_df = spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    union = emb.unionByName(dup_df)
+    found = {
+        (r.d1, r.d2)
+        for r in dedup.cosine_pairs_lsh(union, tau_ppm=900_000).collect()
+    }
+    want = {(int(r.vec_id), int(r.vec_id) + 1_000_000) for r in rows}
+    got = len(want & found) / len(want)
+    assert got >= 0.9, (got, sorted(want - found)[:5])
+
+
 def test_sample_balanced_splits(spark):
     _check(spark, "sample_balanced_splits")
 
