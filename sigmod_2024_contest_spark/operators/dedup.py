@@ -586,6 +586,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = edges.groupBy(F.col("a").alias("node")).agg(
         F.least(F.col("a"), F.min("b")).alias("lbl")
     ).persist()
+    # handle to the DataFrame that actually owns the cache entry —
+    # unpersisting a projection of it is a no-op (the plan doesn't
+    # match the cache), which would leak one cached table per round
+    cached = labels
     for _ in range(max_iter):
         prop = edges.join(labels, edges["a"] == labels["node"]).select(
             F.col("b").alias("node"), "lbl", F.lit(False).alias("own")
@@ -617,7 +621,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .persist()
         )
         changed = new_labels.filter(F.col("lbl") < F.col("old_lbl")).count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = new_labels
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             break

@@ -25,6 +25,7 @@ candidates restores float ranks.
 from __future__ import annotations
 
 import math
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -101,8 +102,11 @@ def _build_group(
         cvecs = codes.astype(np.float32)
         if hnsw_levels:
             # incremental HNSW keeping the level structure (S9):
-            # deterministic seed from the shard key
-            seed = abs(hash(str(pdf["pkey"].iloc[0]))) % (1 << 31)
+            # deterministic seed from the shard key — crc32, not the
+            # builtin hash(), which is PYTHONHASHSEED-salted and only
+            # reproducible because PySpark happens to pin the worker
+            # seed; rebuild determinism must not depend on that
+            seed = zlib.crc32(str(pdf["pkey"].iloc[0]).encode()) % (1 << 31)
             nbrs, level_arr, upper_lists = NumpyHNSW(
                 m=m, ef_construction=efc, seed=seed
             ).build(cvecs, return_levels=True)

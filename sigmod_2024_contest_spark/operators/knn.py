@@ -66,6 +66,14 @@ def list_column_matrix(batch, name: str, dtype=np.float64) -> np.ndarray:
 # identical plan to the un-chunked original.
 QUERY_BATCH_ROWS = 65536
 
+# Running-merge slack: argpartition cuts on dist alone, so a boundary
+# tie (duplicate vectors ⇒ equal float distances) could drop the
+# smaller-id row before the final (dist, id) lexsort. Keeping k+PAD
+# columns through the merge and resolving the boundary with the lexsort
+# at emit makes the kept set exact up to >PAD duplicates at the kth
+# distance — the same guard the sq8/sq4 kernels use.
+MERGE_PAD = 64
+
 
 def query_batches(queries: DataFrame, batch_rows: int = QUERY_BATCH_ROWS):
     """Stream the query table to the driver in bounded Row batches
@@ -173,8 +181,38 @@ SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}
 # ---------------------------------------------------------------------------
 
 
+def collect_corpus(base: DataFrame):
+    """Driver-side corpus tuple for the corpus-broadcast plan, or None
+    when the base is empty. Collect once; reuse across calls (streaming
+    answers every micro-batch against the same broadcast)."""
+    pdf = base.select("id", "category", "ts", "vec").toPandas()
+    if len(pdf) == 0:
+        return None
+    return (
+        pdf["id"].to_numpy().astype(np.int64),
+        pdf["category"].to_numpy().astype(np.float64),
+        pdf["ts"].to_numpy().astype(np.float64),
+        np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]]),
+    )
+
+
+def prepare_corpus(spark: SparkSession, base: DataFrame):
+    """Amortize the per-call corpus work of ``knn_exact_arrow``: one
+    count job and (when the corpus-broadcast plan applies) one collect +
+    one broadcast. Pass the returned handle as ``prepared=`` to every
+    subsequent call — ``knn_stream`` does this once per stream instead
+    of once per micro-batch."""
+    rows = base.count()
+    bc = None
+    if 0 < rows <= CORPUS_BC_MAX_ROWS:
+        corpus = collect_corpus(base)
+        if corpus is not None:
+            bc = spark.sparkContext.broadcast(corpus)
+    return rows, bc
+
+
 def _knn_exact_corpus_broadcast(
-    spark: SparkSession, base: DataFrame, queries: DataFrame, k: int
+    spark: SparkSession, base: DataFrame, queries: DataFrame, k: int, bc=None
 ) -> DataFrame:
     """Small-corpus plan: broadcast the whole base, scan the queries.
 
@@ -183,16 +221,11 @@ def _knn_exact_corpus_broadcast(
     shuffle, no merge window. Queries are repartitioned up to the
     session parallelism when the source delivered too few partitions
     (e.g. a single .bin shard), so all cores share the GEMM work."""
-    pdf = base.select("id", "category", "ts", "vec").toPandas()
-    if len(pdf) == 0:
-        return spark.createDataFrame([], "query_id long, id long, rnk long")
-    corpus = (
-        pdf["id"].to_numpy().astype(np.int64),
-        pdf["category"].to_numpy().astype(np.float64),
-        pdf["ts"].to_numpy().astype(np.float64),
-        np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]]),
-    )
-    bc = spark.sparkContext.broadcast(corpus)
+    if bc is None:
+        corpus = collect_corpus(base)
+        if corpus is None:
+            return spark.createDataFrame([], "query_id long, id long, rnk long")
+        bc = spark.sparkContext.broadcast(corpus)
 
     def kernel(batches):
         ids, cats, ts, vecs = bc.value
@@ -208,7 +241,7 @@ def _knn_exact_corpus_broadcast(
             nq = len(qid)
             if nq == 0:
                 continue
-            chunk = max(2 * k, (1 << 22) // max(nq, 1))
+            chunk = max(2 * (k + MERGE_PAD), (1 << 22) // max(nq, 1))
             best_d = np.full((nq, 0), np.inf)
             best_i = np.full((nq, 0), -1, dtype=np.int64)
             qq = np.einsum("ij,ij->i", qv, qv)[:, None]
@@ -232,7 +265,7 @@ def _knn_exact_corpus_broadcast(
                     [best_i, np.broadcast_to(ids[None, cs : cs + chunk], dists.shape)],
                     axis=1,
                 )
-                kk = min(k, all_d.shape[1])
+                kk = min(k + MERGE_PAD, all_d.shape[1])
                 part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
                 rows = np.arange(nq)[:, None]
                 best_d = all_d[rows, part]
@@ -241,7 +274,7 @@ def _knn_exact_corpus_broadcast(
             for i in range(nq):
                 fin = np.isfinite(best_d[i])
                 di, ii = best_d[i][fin], best_i[i][fin]
-                order = np.lexsort((ii, di))  # (dist, id) tie-break
+                order = np.lexsort((ii, di))[:k]  # (dist, id) tie-break
                 out_q.append(np.full(order.size, qid[i], dtype=np.int64))
                 out_i.append(ii[order])
                 out_r.append(np.arange(1, order.size + 1, dtype=np.int64))
@@ -289,6 +322,7 @@ def knn_exact_arrow(
     k: int = workload.K,
     batch_rows: int = QUERY_BATCH_ROWS,
     corpus_rows: int | None = None,
+    prepared=None,
 ) -> DataFrame:
     """Exact kNN with cost-based side selection (the distributed plan).
 
@@ -309,12 +343,17 @@ def knn_exact_arrow(
       the ≤ nq×k×P candidates.
 
     Both paths use the same distance formula and (dist, id) tie-break,
-    so they produce identical rows.
+    so they produce identical rows. Repeated callers (streaming) pass
+    ``prepared=prepare_corpus(spark, base)`` to skip the per-call count
+    job and reuse one corpus broadcast across calls.
     """
+    corpus_bc = None
+    if prepared is not None:
+        corpus_rows, corpus_bc = prepared
     if corpus_rows is None:
         corpus_rows = base.count()
     if corpus_rows <= CORPUS_BC_MAX_ROWS:
-        return _knn_exact_corpus_broadcast(spark, base, queries, k)
+        return _knn_exact_corpus_broadcast(spark, base, queries, k, bc=corpus_bc)
     out_schema = "query_id long, id long, dist double"
     result_type = pa.schema(
         [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("dist", pa.float64())]
@@ -329,9 +368,9 @@ def knn_exact_arrow(
         qtype = qm[:, 1].astype(np.int64)
         vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
         nq = len(qid)
-        # chunk ≥ 2k so the running merge below strictly shrinks; the
-        # (1<<22)//nq term bounds the dist block to ≈32 MB
-        chunk = max(2 * k, (1 << 22) // max(nq, 1))
+        # chunk ≥ 2(k+PAD) so the running merge below strictly shrinks;
+        # the (1<<22)//nq term bounds the dist block to ≈32 MB
+        chunk = max(2 * (k + MERGE_PAD), (1 << 22) // max(nq, 1))
         # running per-partition top-k (dist, id) per query — emitted
         # ONCE at partition end. Emitting per chunk is wrong when the
         # chunk is narrower than k: min(k, chunk) keeps every row and
@@ -368,16 +407,25 @@ def knn_exact_arrow(
                     [best_i, np.broadcast_to(ids.astype(np.int64)[None, :], dists.shape)],
                     axis=1,
                 )
-                kk = min(k, all_d.shape[1])
+                kk = min(k + MERGE_PAD, all_d.shape[1])
                 part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
                 rows = np.arange(nq)[:, None]
                 best_d = all_d[rows, part]
                 best_i = all_i[rows, part]
         if best_d.shape[1]:
-            finite = np.isfinite(best_d)
-            rq = np.broadcast_to(qid[:, None], best_d.shape)[finite]
+            # resolve the (dist, id) boundary before emitting: row-wise
+            # stable sort by id then by dist ≡ lexsort((id, dist)), so
+            # the ≤k rows shipped per query are the exact partial top-k
+            # — the slack columns never reach the shuffle
+            rows = np.arange(nq)[:, None]
+            o1 = np.argsort(best_i, axis=1, kind="stable")
+            d1, i1 = best_d[rows, o1], best_i[rows, o1]
+            o2 = np.argsort(d1, axis=1, kind="stable")[:, :k]
+            d2, i2 = d1[rows, o2], i1[rows, o2]
+            finite = np.isfinite(d2)
+            rq = np.broadcast_to(qid[:, None], d2.shape)[finite]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(rq), pa.array(best_i[finite]), pa.array(best_d[finite])],
+                [pa.array(rq), pa.array(i2[finite]), pa.array(d2[finite])],
                 schema=result_type,
             )
 

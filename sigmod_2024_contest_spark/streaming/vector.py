@@ -6,10 +6,13 @@ file (``baseline.cpp:64``). A production vector service instead sees an
 unbounded query stream; the Spark-first expression is ``foreachBatch``:
 each micro-batch of queries is answered by the SAME exact-kNN batch
 operator (``knn.knn_exact_arrow`` — cost-based side selection and all)
-and appended to the sink. Exactly-once comes from the streaming
-checkpoint + idempotent parquet append; the corpus stays
-executor-resident across batches (persisted / broadcast by the batch
-operator), so per-batch cost is the search, not a reload.
+and written to a batch_id-partitioned parquet sink. Exactly-once comes
+from the streaming checkpoint plus an idempotent per-batch write: each
+micro-batch dynamically OVERWRITES its own ``batch_id=`` partition, so
+a retried batch replaces its partial output instead of appending
+duplicates. The corpus is prepared ONCE per stream
+(``knn.prepare_corpus`` — one count + one broadcast) and reused by
+every micro-batch, so per-batch cost is the search, not a reload.
 
 This is the engine's answer surface for "index once, serve query
 batches forever" — the same structure the hybrid engine uses, reachable
@@ -55,11 +58,15 @@ def knn_stream(
 
     from ..operators import knn
 
+    prepared = knn.prepare_corpus(spark, base)
+
     def answer(batch_df: DataFrame, batch_id: int) -> None:
         (
-            knn.knn_exact_arrow(spark, base, batch_df, k=k)
+            knn.knn_exact_arrow(spark, base, batch_df, k=k, prepared=prepared)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_dir)
         )
 
