@@ -139,6 +139,13 @@ def main() -> None:
     prep: dict[str, float] = {}
     t0 = time.time()
     try:
+        api.prepare_codes_replica(spark, SF_DIR)
+        prep["replicas_build"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"bench: replicas_build failed: {e}", file=sys.stderr)
+        prep["replicas_build"] = -1.0
+    t0 = time.time()
+    try:
         api.prepare_hybrid_index(spark, SF_DIR)
         prep["knn_hybrid_build"] = round(time.time() - t0, 3)
     except Exception as e:

@@ -123,10 +123,48 @@ SELECT id, {Q.encode_sql('b.vec')} AS codes FROM b, alpha
 """
 
 
+# Persisted SQ8 codes replica (B10 — the reference's SortDataset builds
+# codes_both/codes_time once, hybrid_graph.cpp:505-524): written once
+# per (application, sf_dir) via layout.write_replicas(alpha=...), then
+# every brute-force candidate scan — standalone knn_sq8_rerank AND the
+# hybrid engine's bf route — reads the persisted codes column only.
+_CODES_CACHE: dict[tuple[str, str], tuple[DataFrame, float]] = {}
+
+
+def _codes_replica(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, float]:
+    import tempfile
+
+    from .sources import layout
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CODES_CACHE:
+        alpha = Q.train_alpha(base)
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"sg_replicas_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        layout.write_replicas(base, path, alpha=alpha)
+        _CODES_CACHE[key] = (layout.read_codes_base(spark, path), alpha)
+    return _CODES_CACHE[key]
+
+
+def prepare_codes_replica(spark: SparkSession, sf_dir: str) -> int:
+    """Materialize the sorted+codes replicas outside any search clock
+    (the reference's SortDataset runs in the build phase). Returns the
+    replica row count; bench.py reports the wall as ``replicas_build``."""
+    from .session import ship_package
+
+    ship_package(spark)
+    codes_base, _ = _codes_replica(spark, sf_dir, base_vectors(spark, sf_dir))
+    return codes_base.count()
+
+
 def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_vectors(spark, sf_dir)
-    alpha = Q.train_alpha(base)
-    return bruteforce_sq8.knn_sq8_rerank(base, workload.queries_df(spark, sf_dir), alpha)
+    codes_base, alpha = _codes_replica(spark, sf_dir, base)
+    return bruteforce_sq8.knn_sq8_rerank(
+        base, workload.queries_df(spark, sf_dir), alpha, codes_base=codes_base
+    )
 
 
 def _sq8_asym_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +304,7 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=_hybrid_index(spark, sf_dir, base),
         plan=plan,
         alpha=alpha,
+        codes_base=_codes_replica(spark, sf_dir, base)[0],
     )
 
 
@@ -386,7 +425,13 @@ def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, alpha = _hybrid_plan(spark, sf_dir, base)
     return evaluate.recall_gate(
         engine.knn_hybrid(
-            spark, base, qdf, index=_hybrid_index(spark, sf_dir, base), plan=plan, alpha=alpha
+            spark,
+            base,
+            qdf,
+            index=_hybrid_index(spark, sf_dir, base),
+            plan=plan,
+            alpha=alpha,
+            codes_base=_codes_replica(spark, sf_dir, base)[0],
         ),
         knn.knn_exact_arrow(spark, base, qdf),
         RECALL_BAR_PPM,

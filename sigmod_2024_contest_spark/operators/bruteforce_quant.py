@@ -145,16 +145,9 @@ def _int_cut_rerank(
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
                 cd = np.where(mask, cd, big)
-                all_cd = np.concatenate([best_cd, cd], axis=1)
-                all_id = np.concatenate(
-                    [best_id, np.broadcast_to(ids.astype(np.int64)[None, :], cd.shape)],
-                    axis=1,
+                best_cd, best_id = knn.running_topk_merge(
+                    best_cd, best_id, cd, ids.astype(np.int64), keep
                 )
-                kk = min(keep, all_cd.shape[1])
-                part = np.argpartition(all_cd, kk - 1, axis=1)[:, :kk]
-                rows = np.arange(nq)[:, None]
-                best_cd = all_cd[rows, part]
-                best_id = all_id[rows, part]
         if best_cd.shape[1] == 0:
             return
         out_q, out_i, out_cd = [], [], []

@@ -10,10 +10,15 @@ re-rank K12). Mirrors Spark's partial/final aggregation split: cheap
 wide phase over compressed data, exact narrow phase over ≤140 rows per
 query.
 
-Scale notes: the candidate phase reads only the codes column (4× less
-I/O than float vectors; at 100 TB that is the difference between
-scanning 100 TB and 25 TB) and the re-rank join touches nq×refine_k
-rows — independent of corpus size. Integer code distances are
+Scale notes: with a prepped codes replica (``layout.write_replicas``
+with alpha → ``codes_base=layout.read_codes_base(...)``) the candidate
+phase scans ONLY the persisted codes column — 4× less I/O than float
+vectors (at 100 TB the difference between scanning 100 TB and 25 TB)
+and zero per-scan encode compute, matching the reference's
+``codes_both``/``codes_time`` replicas (``hybrid_graph.cpp:505-524``).
+Without one it falls back to encoding the float scan in-kernel (same
+rows, more bytes). The re-rank join touches nq×refine_k rows —
+independent of corpus size. Integer code distances are
 order-independent, so phase 1 is bit-reproducible by the SQL oracle;
 phase 2 reuses the fold-stable float64 kernel.
 """
@@ -37,11 +42,14 @@ def knn_sq8_rerank(
     k: int = workload.K,
     refine_k: int = BF_REFINE_K,
     batch_rows: int | None = None,
+    codes_base: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, id, rnk) — exact-reranked SQ8 brute force, all 4
     query types. Identical to exact kNN whenever the true top-k
     survives the 140-deep quantized cut (the reference's operating
-    assumption).
+    assumption). ``codes_base`` (id, category, ts, codes) switches
+    phase 1 to the persisted-codes scan (module docstring); its codes
+    MUST be SQ8(alpha) of the same rows.
 
     Physical plan: ONE codes scan per query batch + a candidate-pool
     join. Queries (as int16 codes) broadcast in bounded batches
@@ -105,13 +113,17 @@ def knn_sq8_rerank(
             ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
             ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
-            vecs_all = list_column_matrix(tbl, "vec")
-            for cs in range(0, vecs_all.shape[0], chunk):
+            if pre_encoded:
+                # persisted-codes scan: no float column in this plan
+                # branch at all (B10 — codes_both/codes_time parity)
+                codes_all = list_column_matrix(tbl, "codes", dtype=np.int16)
+            else:
+                codes_all = Q.encode_np(list_column_matrix(tbl, "vec"), a)
+            for cs in range(0, codes_all.shape[0], chunk):
                 ids = ids_all[cs : cs + chunk]
                 cats = cats_all[cs : cs + chunk]
                 ts = ts_all[cs : cs + chunk]
-                vecs = vecs_all[cs : cs + chunk]
-                codes = Q.encode_np(vecs, a)
+                codes = codes_all[cs : cs + chunk]
                 cd = Q.code_l2_sqr_np(qc, codes)
                 cat_ok = cats[None, :] == vv[:, None]
                 ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
@@ -122,16 +134,9 @@ def knn_sq8_rerank(
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
                 cd = np.where(mask, cd, big)
-                all_cd = np.concatenate([best_cd, cd], axis=1)
-                all_id = np.concatenate(
-                    [best_id, np.broadcast_to(ids.astype(np.int64)[None, :], cd.shape)],
-                    axis=1,
+                best_cd, best_id = knn.running_topk_merge(
+                    best_cd, best_id, cd, ids.astype(np.int64), keep
                 )
-                kk = min(keep, all_cd.shape[1])
-                part = np.argpartition(all_cd, kk - 1, axis=1)[:, :kk]
-                rows = np.arange(nq)[:, None]
-                best_cd = all_cd[rows, part]
-                best_id = all_id[rows, part]
         if best_cd.shape[1] == 0:
             return
         out_q, out_i, out_cd = [], [], []
@@ -153,8 +158,14 @@ def knn_sq8_rerank(
                 schema=schema,
             )
 
+    pre_encoded = codes_base is not None
+    scan = (
+        codes_base.select("id", "category", "ts", "codes")
+        if pre_encoded
+        else base.select("id", "category", "ts", "vec")
+    )
     cands = knn.chunked_broadcast_scan(
-        base.select("id", "category", "ts", "vec"),
+        scan,
         queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
         payload,
         make_kernel,

@@ -586,6 +586,7 @@ def knn_hybrid(
     gemm_thr: int = GEMM_SHARD_THR,
     plan: DataFrame | None = None,
     alpha: float | None = None,
+    codes_base: DataFrame | None = None,
 ) -> DataFrame:
     """The full BatchSearch pipeline: route → bf/graph branches →
     global top-k. Returns (query_id, id, rnk).
@@ -594,6 +595,9 @@ def knn_hybrid(
     scale to share them across searches of the same (base, queries)
     pair — the reference likewise routes once per batch and trains the
     quantizer once at build (hybrid_graph.cpp:168-230, hnsw.hpp:38-40).
+    ``codes_base``: persisted SQ8(alpha) codes replica for the bf route
+    (B10, hybrid_graph.cpp:505-524) — the candidate scan then reads
+    codes only instead of re-encoding the float column.
     """
     if plan is None:
         plan = routing.route_plan(base, queries).cache()
@@ -602,9 +606,9 @@ def knn_hybrid(
     )
     if alpha is None:
         alpha = Q.train_alpha(base)
-    bf_res = bruteforce_sq8.knn_sq8_rerank(base, bf_queries, alpha, k=k).select(
-        "query_id", "id", "rnk"
-    )
+    bf_res = bruteforce_sq8.knn_sq8_rerank(
+        base, bf_queries, alpha, k=k, codes_base=codes_base
+    ).select("query_id", "id", "rnk")
 
     if index is None:
         # analytic catalog: the shard plan is known before the build,

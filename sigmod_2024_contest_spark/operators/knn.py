@@ -75,6 +75,41 @@ QUERY_BATCH_ROWS = 65536
 MERGE_PAD = 64
 
 
+def running_topk_merge(
+    best_d: np.ndarray, best_i: np.ndarray, d: np.ndarray, ids64: np.ndarray, keep: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One step of the running per-partition top-``keep`` merge shared
+    by every brute-force kernel (exact float, SQ8, asym, SQ4 — the
+    sentinel for masked rows may be inf or a big int; both sort last).
+
+    Merge guard: once the kept set is full, only queries whose chunk
+    minimum beats their current worst kept value pay the
+    concatenate+argpartition — after the first few chunks most queries'
+    thresholds are settled and whole chunks skip in O(nq·w) compares
+    instead of O(nq·(keep+w)) partition work (the r3 quantized-rerank
+    regression was exactly this re-sort running every chunk)."""
+    if best_d.shape[1] == keep:
+        worst = best_d.max(axis=1)
+        upd = np.nonzero(d.min(axis=1) < worst)[0]
+        if upd.size == 0:
+            return best_d, best_i
+        all_d = np.concatenate([best_d[upd], d[upd]], axis=1)
+        all_i = np.concatenate(
+            [best_i[upd], np.broadcast_to(ids64[None, :], (upd.size, ids64.size))], axis=1
+        )
+        part = np.argpartition(all_d, keep - 1, axis=1)[:, :keep]
+        rows = np.arange(upd.size)[:, None]
+        best_d[upd] = all_d[rows, part]
+        best_i[upd] = all_i[rows, part]
+        return best_d, best_i
+    all_d = np.concatenate([best_d, d], axis=1)
+    all_i = np.concatenate([best_i, np.broadcast_to(ids64[None, :], d.shape)], axis=1)
+    kk = min(keep, all_d.shape[1])
+    part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(best_d.shape[0])[:, None]
+    return all_d[rows, part], all_i[rows, part]
+
+
 def query_batches(queries: DataFrame, batch_rows: int = QUERY_BATCH_ROWS):
     """Stream the query table to the driver in bounded Row batches
     (``toLocalIterator`` holds one partition, not the whole table)."""
@@ -260,16 +295,9 @@ def _knn_exact_corpus_broadcast(
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
                 dists = np.where(mask, dists, np.inf)
-                all_d = np.concatenate([best_d, dists], axis=1)
-                all_i = np.concatenate(
-                    [best_i, np.broadcast_to(ids[None, cs : cs + chunk], dists.shape)],
-                    axis=1,
+                best_d, best_i = running_topk_merge(
+                    best_d, best_i, dists, ids[cs : cs + chunk], k + MERGE_PAD
                 )
-                kk = min(k + MERGE_PAD, all_d.shape[1])
-                part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
-                rows = np.arange(nq)[:, None]
-                best_d = all_d[rows, part]
-                best_i = all_i[rows, part]
             out_q, out_i, out_r = [], [], []
             for i in range(nq):
                 fin = np.isfinite(best_d[i])
@@ -402,16 +430,9 @@ def knn_exact_arrow(
                     | ((qtype[:, None] == 3) & cat_ok & ts_ok)
                 )
                 dists = np.where(mask, dists, np.inf)
-                all_d = np.concatenate([best_d, dists], axis=1)
-                all_i = np.concatenate(
-                    [best_i, np.broadcast_to(ids.astype(np.int64)[None, :], dists.shape)],
-                    axis=1,
+                best_d, best_i = running_topk_merge(
+                    best_d, best_i, dists, ids.astype(np.int64), k + MERGE_PAD
                 )
-                kk = min(k + MERGE_PAD, all_d.shape[1])
-                part = np.argpartition(all_d, kk - 1, axis=1)[:, :kk]
-                rows = np.arange(nq)[:, None]
-                best_d = all_d[rows, part]
-                best_i = all_i[rows, part]
         if best_d.shape[1]:
             # resolve the (dist, id) boundary before emitting: row-wise
             # stable sort by id then by dist ≡ lexsort((id, dist)), so

@@ -28,8 +28,8 @@ def decile_expr() -> F.Column:
     return F.least(F.floor(F.col("ts") * 10).cast("int"), F.lit(9))
 
 
-def write_replicas(base: DataFrame, out_dir: str) -> None:
-    """S3: write the two clustered replicas.
+def write_replicas(base: DataFrame, out_dir: str, alpha: float | None = None) -> None:
+    """S3 + B10: write the two clustered replicas.
 
     - ``by_category/category=<v>/`` sorted by ts within each category
       (serves type-1/3 — reference replica 1, utils.h:403-414)
@@ -38,7 +38,23 @@ def write_replicas(base: DataFrame, out_dir: str) -> None:
 
     ``repartition(pkey)`` puts each partition's rows in one task before
     the write, so every Hive directory holds few, fully-sorted files.
+
+    With ``alpha`` given, each replica also carries the SQ8 ``codes``
+    column — the reference's ``codes_both``/``codes_time`` replicas
+    (``hybrid_graph.cpp:505-524``), which let its brute-force phase
+    scan codes instead of float vectors. The Spark expression of the
+    same idea is one replica with BOTH columns: Parquet column pruning
+    makes a codes-only projection read only the codes pages (¼ the
+    bytes of the float column), so one copy serves the float re-rank
+    and the quantized candidate scan. Codes are stored as
+    ``array<tinyint>`` ([−127, 127] fits exactly; lossless round-trip).
     """
+    if alpha is not None:
+        from ..functions import quantization as Q
+
+        base = base.withColumn(
+            "codes", Q.encode_expr("vec", alpha).cast("array<tinyint>")
+        )
     (
         base.repartition("category")
         .sortWithinPartitions("ts", "id")
@@ -54,6 +70,15 @@ def write_replicas(base: DataFrame, out_dir: str) -> None:
         .partitionBy("decile")
         .parquet(os.path.join(out_dir, "by_decile"))
     )
+
+
+def read_codes_base(spark: SparkSession, out_dir: str) -> DataFrame:
+    """B10: the codes-only brute-force scan surface — the by_decile
+    replica projected to (id, category, ts, codes). Column pruning
+    keeps the float ``vec`` pages unread (assert via ReadSchema in
+    tests); requires ``write_replicas(..., alpha=...)``."""
+    df = spark.read.parquet(os.path.join(out_dir, "by_decile"))
+    return df.select("id", "category", "ts", "codes")
 
 
 def read_category_slice(spark: SparkSession, out_dir: str, v: int) -> DataFrame:

@@ -80,6 +80,39 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert rng_df.count() == expect2
 
 
+def test_codes_replica_scan_is_codes_only_and_matches(spark, tmp_path):
+    """B10 parity: with a persisted codes replica the bf candidate
+    phase scans the codes column only — the replica parquet scan's
+    ReadSchema must NOT contain the float vec column — and the result
+    is row-identical to the encode-in-kernel path."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import bruteforce_sq8
+    from sigmod_2024_contest_spark.plans import workload
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base)
+    out = str(tmp_path / "replicas")
+    layout.write_replicas(base, out, alpha=alpha)
+    codes_base = layout.read_codes_base(spark, out)
+
+    res = bruteforce_sq8.knn_sq8_rerank(base, q, alpha, codes_base=codes_base)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the replica scan is the one reading array<tinyint> codes (the
+    # Location string is truncated by Spark, so key on ReadSchema);
+    # its projection must not include the float vec column
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    replica_scans = [ln for ln in scans if "codes:array<tinyint>" in ln]
+    assert replica_scans, plan
+    for ln in replica_scans:
+        rs = ln.split("ReadSchema:")[-1]
+        assert "vec" not in rs, ln
+
+    fast = sorted(map(tuple, res.collect()))
+    plain = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect()))
+    assert fast == plain
+
+
 def test_index_save_load_search_identical(spark, tmp_path):
     base = base_vectors(spark, SF_SMOKE)
     from sigmod_2024_contest_spark.plans import workload
