@@ -59,17 +59,29 @@ def _contest_bench(spark) -> dict[str, float]:
       chunk-broadcast over the corpus scan, running per-partition
       top-k, window merge) — the wall number behind the bounded-
       driver-memory claim at ≥100k queries (knn.py chunked broadcast)
+    - contest_run_hybrid(+_build/_recall): the routed engine at the
+      same inputs, build and search clocked separately
+      (baseline.cpp:96,152). This is the engine's core value claim:
+      the search clock must beat contest_run_exact_scan — the plan a
+      100 TB corpus forces — at recall ≥ 0.95 (reported un-timed).
     """
     import time as _t
 
     from pyspark import StorageLevel
 
     from sigmod_2024_contest_spark import contest
-    from sigmod_2024_contest_spark.operators import knn
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, evaluate, knn, routing
+    from sigmod_2024_contest_spark.operators import stats as stats_ops
     from sigmod_2024_contest_spark.sources import bin_format
 
     out: dict[str, float] = {}
     bp, qp = _contest_paths()
+    # the contest section shuffles far more than the sf-dir queries
+    # (candidate merges are nq×k×P rows ≈ 7-8 GB at 100k queries):
+    # size shuffle partitions to THAT data volume, restore after
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
     t0 = _t.time()
     try:
         contest.contest_run(spark, bp, qp, k=100, mode="exact").count()
@@ -77,16 +89,48 @@ def _contest_bench(spark) -> dict[str, float]:
     except Exception as e:
         print(f"bench: contest_run_exact failed: {e}", file=sys.stderr)
         out["contest_run_exact"] = -1.0
+    base = bin_format.read_base_bin(spark, bp).persist(StorageLevel.MEMORY_AND_DISK)
+    queries = bin_format.read_queries_bin(spark, qp)
     t0 = _t.time()
     try:
-        base = bin_format.read_base_bin(spark, bp).persist(StorageLevel.MEMORY_AND_DISK)
-        queries = bin_format.read_queries_bin(spark, qp)
         knn.knn_exact_arrow(spark, base, queries, k=100, corpus_rows=1 << 60).count()
-        base.unpersist()
         out["contest_run_exact_scan"] = round(_t.time() - t0, 3)
     except Exception as e:
         print(f"bench: contest_run_exact_scan failed: {e}", file=sys.stderr)
         out["contest_run_exact_scan"] = -1.0
+    try:
+        t0 = _t.time()
+        st = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
+        alpha = Q.train_alpha(base)
+        index = engine.build_index(
+            base, graph_min_nodes=engine.GEMM_SHARD_THR, alpha=alpha
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        index.count()
+        out["contest_run_hybrid_build"] = round(_t.time() - t0, 3)
+        t0 = _t.time()
+        plan = routing.route_plan(base, queries, stats=st).persist()
+        res = engine.knn_hybrid(
+            spark, base, queries, k=100, index=index, plan=plan, alpha=alpha
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        res.count()
+        out["contest_run_hybrid"] = round(_t.time() - t0, 3)
+        # recall vs exact, outside the clocks (the number only counts
+        # if this stays >= 0.95; tests/test_contest_run.py gates it)
+        exact = knn.knn_exact_arrow(spark, base, queries, k=100)
+        mean_ppm = (
+            evaluate.recall_at_k(res, exact)
+            .agg({"recall_ppm": "avg"})
+            .collect()[0][0]
+        )
+        out["contest_run_hybrid_recall"] = round(float(mean_ppm) / 1e6, 4)
+        res.unpersist()
+        plan.unpersist()
+        index.unpersist()
+    except Exception as e:
+        print(f"bench: contest_run_hybrid failed: {e}", file=sys.stderr)
+        out["contest_run_hybrid"] = -1.0
+    base.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return out
 
 # Headline set: kept small and representative; every entry also exists

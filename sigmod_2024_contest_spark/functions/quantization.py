@@ -237,9 +237,35 @@ def encode_np(vecs: np.ndarray, alpha: float) -> np.ndarray:
 
 
 def code_l2_sqr_np(q: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """All-pairs int code distance: q (nq×d int16) vs b (nb×d int16) → int64."""
-    q = q.astype(np.int64, copy=False)
-    b = b.astype(np.int64, copy=False)
-    qq = np.einsum("ij,ij->i", q, q)[:, None]
-    bb = np.einsum("ij,ij->i", b, b)[None, :]
-    return qq + bb - 2 * (q @ b.T)
+    """All-pairs int code distance: q (nq×d) vs b (nb×d) → int64, exact.
+
+    Computed via float BLAS GEMM, not integer matmul: NumPy has no
+    accelerated int64 matmul (it falls to a generic loop, ~50× slower
+    than sgemm). Float accumulation of integers is EXACT as long as
+    every intermediate stays below the mantissa bound (2²⁴ for
+    float32, 2⁵³ for float64); the worst intermediate is ≤ 4·d·m² for
+    codes bounded by m, so SQ8 (m=127, d=100 → 6.5e6) rides exact
+    float32 sgemm and the asym fixed-point grid (m=65280 → 1.7e12)
+    rides exact float64 dgemm. The int64 fallback only exists for
+    grids no quantizer here produces."""
+    if q.shape[0] == 0 or b.shape[0] == 0:
+        return np.zeros((q.shape[0], b.shape[0]), dtype=np.int64)
+    d = q.shape[1]
+    m = float(max(np.abs(q).max(initial=0), np.abs(b).max(initial=0)))
+    bound = 4.0 * d * m * m
+    if bound < 2.0**24:
+        dt = np.float32
+    elif bound < 2.0**52:
+        dt = np.float64
+    else:
+        q64 = q.astype(np.int64, copy=False)
+        b64 = b.astype(np.int64, copy=False)
+        qq = np.einsum("ij,ij->i", q64, q64)[:, None]
+        bb = np.einsum("ij,ij->i", b64, b64)[None, :]
+        return qq + bb - 2 * (q64 @ b64.T)
+    qf = q.astype(dt)
+    bf = b.astype(dt)
+    qq = np.einsum("ij,ij->i", qf, qf)[:, None]
+    bb = np.einsum("ij,ij->i", bf, bf)[None, :]
+    out = qq + bb - 2.0 * (qf @ bf.T)
+    return np.rint(out).astype(np.int64)

@@ -142,6 +142,13 @@ def chunked_broadcast_scan(
     from itertools import chain
 
     spark = scan.sparkSession
+    # a thin source (e.g. a single .bin shard → 3 partitions) would
+    # leave most cores idle through the GEMM phase; widen it to the
+    # session parallelism. Real multi-file corpora already arrive with
+    # >= parallelism partitions, so this never reshuffles a big scan.
+    target = spark.sparkContext.defaultParallelism
+    if scan.rdd.getNumPartitions() < target:
+        scan = scan.repartition(target)
     gen = query_batches(queries, batch_rows)
     first = next(gen, None)
     if first is None:
