@@ -528,6 +528,34 @@ def _search_cogroup(
             m = (ts >= qr.l) & (ts <= qr.r)
             allowed = m if allowed is None else (allowed & m)
         n_allowed = int(allowed.sum()) if allowed is not None else n
+        if allowed is not None and n_allowed == 0:
+            continue
+        # SMALL-coverage slice → masked code GEMM, not a beam
+        # (hybrid_graph.cpp:355-364,399-419): when the query covers
+        # under small_thr of this shard, brute-forcing the covered rows
+        # is exact and evaluates only n_allowed code distances, where
+        # the beam compensates with an EF2_SMALL-ratio frontier over a
+        # mostly-masked graph. The reference widens the bf band to 0.5
+        # for low-selectivity queries; (r−l) is its own type-2
+        # selectivity estimate (timestamps are normalized to [0,1]).
+        small_thr = (
+            routing.DECILE_SMALL_THR_LOWSEL
+            if (float(qr.r) - float(qr.l)) < routing.LOWSEL
+            else routing.DECILE_SMALL_THR
+        )
+        if allowed is not None and t in (2, 3) and n_allowed < small_thr * n:
+            idxs = np.flatnonzero(allowed)
+            sub = cvecs[idxs].astype(np.float64)
+            d = np.einsum("ij,ij->i", sub, sub) - 2.0 * (sub @ qc) + float(qc @ qc)
+            np.maximum(d, 0.0, out=d)
+            if len(idxs) > kk:
+                sel = np.argpartition(d, kk - 1)[:kk]
+            else:
+                sel = np.arange(len(idxs))
+            out_q.extend([qr.query_id] * len(sel))
+            out_i.extend(ids[idxs[sel]].tolist())
+            out_d.extend(d[sel].tolist())
+            continue
         ef_q = max(kk, adaptive_ef(t, n, n_allowed, k)) if ef is None else max(kk, ef)
         # ts-range queries run edge-filtered (F5): admission decided
         # from nbr_ts before any distance evaluation

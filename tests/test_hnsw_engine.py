@@ -290,6 +290,77 @@ def test_edge_ts_filter_fewer_dists_same_recall():
     assert nd["edge"] < 0.8 * nd["node"], (nd["edge"], nd["node"])
 
 
+def test_small_coverage_routes_to_masked_gemm(monkeypatch):
+    """SMALL-coverage range queries on a graph shard must take the
+    masked code GEMM over the covered rows (hybrid_graph.cpp:355-364,
+    399-419) — exact on the slice, zero beam distance evals — while
+    full-coverage queries still take the beam."""
+    import numpy as np
+    import pandas as pd
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, hnsw
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 600, 16, 10
+    vecs = rng.normal(size=(n, dim))
+    alpha = float(np.abs(vecs).max())
+    codes = Q.encode_np(vecs, alpha)
+    ts = np.linspace(0.0, 1.0, n)
+    nbrs = hnsw.build_pruned_knn_graph(codes.astype(np.float32), m=8)
+    kept = [row[row >= 0] for row in nbrs]
+    index_pdf = pd.DataFrame(
+        {
+            "pkey": ["cat:0"] * n,
+            "pos": np.arange(n, dtype=np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "category": np.zeros(n),
+            "ts": ts,
+            "codes": [codes[i].astype(np.int8).tobytes() for i in range(n)],
+            "nbrs": [r.tolist() for r in kept],
+            "nbr_ts": [ts[r].tolist() for r in kept],
+            "level": np.zeros(n, dtype=np.int32),
+            "upper": [[] for _ in range(n)],
+        }
+    )
+    calls = {"n": 0}
+    real_beam = engine.beam_search
+
+    def counting_beam(*a, **kw):
+        calls["n"] += 1
+        return real_beam(*a, **kw)
+
+    monkeypatch.setattr(engine, "beam_search", counting_beam)
+
+    qvec = rng.normal(size=dim)
+    q_small = pd.DataFrame(
+        {
+            "query_id": [1],
+            "query_type": [2],
+            "v": [-1.0],
+            "l": [0.0],
+            "r": [0.05],
+            "qvec": [qvec.tolist()],
+        }
+    )
+    out = engine._search_cogroup(index_pdf, q_small, k, None, 256, alpha)
+    assert calls["n"] == 0, "small-coverage query must not touch the beam"
+    # exact over the covered slice: candidate distances are the
+    # code-space top-kk of the allowed rows, nothing outside the slice
+    allowed = np.flatnonzero(ts <= 0.05)
+    assert set(out["id"]).issubset(set(allowed.tolist()))
+    qc = Q.encode_np(qvec[None, :], alpha)[0].astype(np.float64)
+    sub = codes[allowed].astype(np.float64)
+    d = ((sub - qc[None, :]) ** 2).sum(axis=1)
+    kk = max(k, int(np.ceil(engine.SHARD_REFINE_MULT * k)))
+    expect_d = np.sort(d)[: min(kk, len(allowed))]
+    np.testing.assert_allclose(np.sort(out["cdist"].to_numpy()), expect_d)
+
+    q_full = q_small.assign(l=[0.0], r=[1.0])
+    engine._search_cogroup(index_pdf, q_full, k, None, 256, alpha)
+    assert calls["n"] == 1, "full-coverage query still takes the beam"
+
+
 def test_adaptive_ef_bands():
     """P4 (hybrid_graph.h:14-34): per-query ef follows the reference's
     type/selectivity bands, floored at k and capped by the filtered
