@@ -311,6 +311,33 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("knn_hybrid", _knn_hybrid, None)
 
 
+def _knn_hybrid_bf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid engine's brute-force branch, hash-proven: knn_hybrid
+    rows restricted to bf-routed query_ids. The route plan itself
+    hash-matches DuckDB (route_plan row), so the subset is
+    oracle-reproducible, and the bf branch (SQ8 cut + exact re-rank)
+    returns the exact answer for the low-selectivity queries it is
+    routed — so the oracle below is the EXACT kNN restricted to the
+    same subset. This converts part of the engine's flagship from a
+    rows-only check into a value-hashed row."""
+    from pyspark.sql import functions as F
+
+    base = base_vectors(spark, sf_dir)
+    plan, _ = _hybrid_plan(spark, sf_dir, base)
+    bf_ids = plan.filter(F.col("route") == routing.ROUTE_BF).select("query_id")
+    return _knn_hybrid(spark, sf_dir).join(bf_ids, "query_id")
+
+
+_KNN_HYBRID_BF_EXACT_SQL = f"""
+WITH rp AS ({{route_plan}}),
+res AS ({{exact}})
+SELECT res.query_id, res.id, res.rnk
+FROM res JOIN rp ON rp.query_id = res.query_id AND rp.route = '{routing.ROUTE_BF}'
+""".format(route_plan=routing.route_plan_sql(), exact=knn.knn_oracle_sql())
+
+register("knn_hybrid_bf_exact", _knn_hybrid_bf_exact, _KNN_HYBRID_BF_EXACT_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis (SURVEY §7.5)
 # ---------------------------------------------------------------------------

@@ -290,6 +290,21 @@ def test_edge_ts_filter_fewer_dists_same_recall():
     assert nd["edge"] < 0.8 * nd["node"], (nd["edge"], nd["node"])
 
 
+def test_knn_hybrid_bf_exact_oracle(spark):
+    """The engine's bf branch end-to-end (route → SQ8 cut → exact
+    re-rank → union), hash-matched against the exact-kNN oracle
+    restricted to bf-routed query_ids."""
+    from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+    from sigmod_2024_contest_spark import api
+
+    assert_matches_oracle(
+        api.queries()["knn_hybrid_bf_exact"](spark, SF_SMOKE),
+        duck_con(SF_SMOKE),
+        api.oracle_sql()["knn_hybrid_bf_exact"],
+    )
+
+
 def test_small_coverage_routes_to_masked_gemm(monkeypatch):
     """SMALL-coverage range queries on a graph shard must take the
     masked code GEMM over the covered rows (hybrid_graph.cpp:355-364,
