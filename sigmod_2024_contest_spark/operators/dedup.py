@@ -173,25 +173,65 @@ shingles AS (
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFrame:
+# Document-frequency cap for candidate generation: a shingle shared by
+# f documents contributes f(f−1)/2 rows to the inverted-index self-join,
+# so one stop-word trigram in 1% of a 100 TB corpus is a quadratic hot
+# key. The standard df/prefix filter drops such shingles from CANDIDATE
+# GENERATION only — the exact verify still counts them, so any pair
+# surfaced through a rarer shared shingle gets its true Jaccard. Pairs
+# sharing ONLY >cap shingles are excluded by design (stop-word
+# collisions, not near-dups).
+HOT_SHINGLE_DF_CAP = 64
+
+
+def _jaccard_candidates(sh: DataFrame, df_cap: int | None) -> DataFrame:
+    """(d1, d2) distinct candidate pairs through shared shingles with
+    document frequency ≤ df_cap (None = uncapped)."""
+    gen = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("skey")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("skey")
+        )
+        # the hot set is tiny (only >cap-frequency keys) → broadcast
+        # anti-join, and the df aggregation itself is safe on a hot key
+        # (count has map-side partial aggregation)
+        gen = sh.join(F.broadcast(hot), "skey", "left_anti")
+    a = gen.alias("a")
+    b = gen.alias("b")
+    return (
+        a.join(b, (F.col("a.skey") == F.col("b.skey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    tau_ppm: int = JACCARD_TAU_PPM,
+    df_cap: int | None = HOT_SHINGLE_DF_CAP,
+) -> DataFrame:
     """(d1, d2, jaccard_ppm) for pairs with 3-shingle Jaccard ≥ τ.
 
-    Inverted-index join: pairs are generated only through shared
-    shingles, never enumerated. The τ filter compares integers
+    Inverted-index join: candidate pairs are generated only through
+    shared shingles below the hot-shingle df cap (see
+    HOT_SHINGLE_DF_CAP), never enumerated; the exact verify then
+    computes the true intersection over the FULL per-doc shingle sets
+    (array_intersect — hot shingles included), so the τ cut is exact
+    for every surfaced pair. The τ filter compares integers
     (inter·1e6 ≥ τppm·union) — no float in the cut."""
-    sh = _doc_shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.skey") == F.col("b.skey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
+    sh_tbl = _shingle_table(docs).cache()
+    sh = sh_tbl.select("doc_id", F.explode("skeys").alias("skey"))
+    cand = _jaccard_candidates(sh, df_cap)
+    s1 = sh_tbl.select(F.col("doc_id").alias("d1"), F.col("skeys").alias("k1"))
+    s2 = sh_tbl.select(F.col("doc_id").alias("d2"), F.col("skeys").alias("k2"))
     j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .withColumn("un", F.col("n1") + F.col("n2") - F.col("inter"))
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("k1", "k2")).cast("long"))
+        .withColumn("un", (F.size("k1") + F.size("k2")).cast("long") - F.col("inter"))
     )
     return j.filter(F.col("inter") * 1_000_000 >= F.lit(tau_ppm) * F.col("un")).select(
         "d1",
@@ -202,13 +242,30 @@ def jaccard_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFrame:
     )
 
 
-def jaccard_pairs_sql(tau_ppm: int = JACCARD_TAU_PPM) -> str:
+def jaccard_pairs_sql(
+    tau_ppm: int = JACCARD_TAU_PPM, df_cap: int | None = HOT_SHINGLE_DF_CAP
+) -> str:
+    cold = (
+        f"""cold AS (
+  SELECT * FROM shingles
+  WHERE skey NOT IN (SELECT skey FROM shingles GROUP BY skey HAVING count(*) > {df_cap})
+),"""
+        if df_cap is not None
+        else "cold AS (SELECT * FROM shingles),"
+    )
     return f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+{cold}
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM cold a JOIN cold b ON a.skey = b.skey AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-  FROM shingles a JOIN shingles b ON a.skey = b.skey AND a.doc_id < b.doc_id
+  SELECT c.d1, c.d2, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.d1
+  JOIN shingles sb ON sb.doc_id = c.d2 AND sb.skey = sa.skey
   GROUP BY 1, 2
 )
 SELECT d1, d2,
@@ -446,10 +503,11 @@ def cosine_pairs_lsh(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
 
     Verify runs as a Catalyst fold (not a NumPy GEMM) so the emitted
     cos_ppm is bit-identical to the DuckDB oracle's list_sum fold."""
-    from .similarity import N_PLANES, _bucket_expr
+    from .similarity import _bucket_expr, n_planes_for
 
     tau = tau_ppm / 1e6
-    wb = emb.select("vec_id", _bucket_expr("embedding").alias("bucket"))
+    planes = n_planes_for(emb.count())
+    wb = emb.select("vec_id", _bucket_expr("embedding", planes).alias("bucket"))
     probes = wb.select(
         "vec_id",
         F.explode(
@@ -457,7 +515,7 @@ def cosine_pairs_lsh(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
-                    for j in range(N_PLANES)
+                    for j in range(planes)
                 ],
             )
         ).alias("probe"),
@@ -492,11 +550,13 @@ def cosine_pairs_lsh(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
 
 
 def cosine_pairs_lsh_sql(tau_ppm: int = 400_000) -> str:
-    from .similarity import N_PLANES, _bucket_sql
+    from .similarity import N_PLANES_MAX, _bucket_sql, n_planes_cte
 
     bucket = _bucket_sql("embedding")
     probe_terms = ["SELECT vec_id, bucket AS probe FROM wb"] + [
-        f"SELECT vec_id, xor(bucket, {1 << j}) AS probe FROM wb" for j in range(N_PLANES)
+        f"SELECT vec_id, xor(bucket, {1 << j}) AS probe FROM wb "
+        f"WHERE {j} < (SELECT n FROM lshnp)"
+        for j in range(N_PLANES_MAX)
     ]
     probes = " UNION ALL ".join(probe_terms)
     dot = (
@@ -512,7 +572,8 @@ def cosine_pairs_lsh_sql(tau_ppm: int = 400_000) -> str:
         "k -> eb.embedding[k]::DOUBLE * eb.embedding[k]::DOUBLE)))"
     )
     return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+WITH lshnp AS ({n_planes_cte()}),
+wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings, lshnp),
 probes AS ({probes}),
 cand AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2

@@ -23,9 +23,39 @@ from pyspark.sql import functions as F
 from ..plans.workload import QUERY_STRIDE
 
 TOPK = 10
-N_PLANES = 8  # → 256 buckets
 DIM = 64
 MOD = 2147483647
+
+# Bucket count scales with the corpus (fixed 256 buckets would make
+# bucket size — and each cogroup task — grow linearly with corpus
+# size). Planes = smallest p in [N_PLANES_MIN, N_PLANES_MAX] with
+# rows <= TARGET_ROWS_PER_BUCKET·2^p, found by pure integer compares so
+# the SQL oracle derives the IDENTICAL count from count(*) with no
+# float log anywhere. Multi-probe compute fraction stays ~(p+1)/2^p of
+# brute force — shrinking as the corpus grows, the true LSH scaling.
+N_PLANES_MIN, N_PLANES_MAX = 4, 20
+TARGET_ROWS_PER_BUCKET = 32
+
+
+def n_planes_for(n_rows: int) -> int:
+    p = N_PLANES_MIN
+    while p < N_PLANES_MAX and n_rows > (TARGET_ROWS_PER_BUCKET << p):
+        p += 1
+    return p
+
+
+def n_planes_cte(table: str = "embeddings") -> str:
+    """One-row CTE body (alias it ``lshnp``) deriving the plane count
+    from count(*) — integer comparisons only, bit-identical across
+    engines. Cross-join it wherever ``_bucket_sql`` appears."""
+    whens = " ".join(
+        f"WHEN cnt <= {TARGET_ROWS_PER_BUCKET << p} THEN {p}"
+        for p in range(N_PLANES_MIN, N_PLANES_MAX)
+    )
+    return (
+        f"SELECT CASE {whens} ELSE {N_PLANES_MAX} END AS n "
+        f"FROM (SELECT count(*) AS cnt FROM {table})"
+    )
 
 
 def _plane(j: int, dim: int = DIM) -> list[float]:
@@ -141,11 +171,11 @@ SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
 """
 
 
-def _bucket_expr(vec_col: str) -> F.Column:
+def _bucket_expr(vec_col: str, n_planes: int) -> F.Column:
     """LSH bucket id: bit j = sign(vec · plane_j), folded left-to-right
     in float64 (portable)."""
     bucket = F.lit(0).cast("long")
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         plane = F.array([F.lit(x) for x in _plane(j)])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), plane, lambda x, p: x.cast("double") * p),
@@ -157,14 +187,18 @@ def _bucket_expr(vec_col: str) -> F.Column:
 
 
 def _bucket_sql(vec_sql: str) -> str:
+    """SQL mirror with the plane count read at runtime from the
+    cross-joined one-row ``lshnp`` CTE (:func:`n_planes_cte`): all
+    N_PLANES_MAX bits are computed, bits at j >= lshnp.n mask to 0 —
+    structurally static SQL, data-derived bucket count."""
     terms = []
-    for j in range(N_PLANES):
+    for j in range(N_PLANES_MAX):
         lits = ", ".join(repr(x) for x in _plane(j))
         dot = (
             f"list_sum(list_transform(range(1, len({vec_sql}) + 1), "
             f"k -> {vec_sql}[k]::DOUBLE * ([{lits}])[k]::DOUBLE))"
         )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {j} < lshnp.n AND {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
@@ -189,10 +223,11 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
 
     from .knn import list_column_matrix  # noqa: F401  (shared helper)
 
-    wb = emb.select("vec_id", "embedding", _bucket_expr("embedding").alias("bucket"))
+    planes = n_planes_for(emb.count())
+    wb = emb.select("vec_id", "embedding", _bucket_expr("embedding", planes).alias("bucket"))
     probes = F.array(
         F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
     )
     qp = (
         wb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
@@ -415,11 +450,13 @@ def ann_ivf_topk(
 
 def ann_lsh_topk_sql(k: int = TOPK) -> str:
     bexpr = _bucket_sql("embedding")
-    probe_list = "[qbucket] || list_transform(range(0, {n}), j -> xor(qbucket, (2**j)::BIGINT))".format(
-        n=N_PLANES
+    probe_list = (
+        "[qbucket] || list_transform(range(0, (SELECT n FROM lshnp)), "
+        "j -> xor(qbucket, (2**j)::BIGINT))"
     )
     return f"""
-WITH wb AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings),
+WITH lshnp AS ({n_planes_cte()}),
+wb AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings, lshnp),
 q0 AS (
   SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket FROM wb
   WHERE vec_id % {QUERY_STRIDE} = 0

@@ -66,6 +66,45 @@ def test_dedup_cosine_lsh(spark):
     _check(spark, "dedup_cosine_lsh")
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """A stop-word trigram shared by every document must not create a
+    quadratic candidate key: with the df cap the planted hot shingle
+    generates ZERO candidate pairs (the docs share nothing else) where
+    the uncapped join enumerates all n(n−1)/2 — and genuinely
+    overlapping docs still surface with their exact Jaccard."""
+    from sigmod_2024_contest_spark.operators import dedup
+
+    n = 120
+    rows = [(i, f"stop word trigram unique{i}a unique{i}b unique{i}c") for i in range(n)]
+    rows.append((1000, "alpha beta gamma delta epsilon zeta"))
+    rows.append((1001, "alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup._doc_shingles(docs)
+    assert dedup._jaccard_candidates(sh, None).count() >= n * (n - 1) // 2
+    capped = {(r.d1, r.d2) for r in dedup._jaccard_candidates(sh, dedup.HOT_SHINGLE_DF_CAP).collect()}
+    assert capped == {(1000, 1001)}, capped
+    pairs = {(r.d1, r.d2): r.jaccard_ppm for r in dedup.jaccard_pairs(docs).collect()}
+    assert pairs == {(1000, 1001): 600_000}, pairs  # 3 shared / 5 union
+
+
+def test_lsh_planes_scale_with_corpus(spark):
+    """Bucket count derives from corpus size (constant target
+    rows/bucket): the two fixture scales land on different plane
+    counts, and the oracle — which derives the identical count from
+    count(*) with integer compares — still hash-matches at the larger
+    scale (the smaller scale is covered by the ORACLE_CHECKED suite)."""
+    from sigmod_2024_contest_spark.operators import similarity
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    sf_big = "/root/testdata/sf0.1"  # embeddings: 2000 rows vs 500
+    n_small = load_table(spark, SF_SMOKE, "embeddings").count()
+    n_big = load_table(spark, sf_big, "embeddings").count()
+    assert similarity.n_planes_for(n_small) != similarity.n_planes_for(n_big)
+    fn = api.queries()["ann_lsh_topk"]
+    sql = api.oracle_sql()["ann_lsh_topk"]
+    assert_matches_oracle(fn(spark, sf_big), duck_con(sf_big), sql)
+
+
 def test_dedup_cosine_lsh_blocking_recall(spark):
     """Blocking recall in the operator's design regime: plant true
     near-dup pairs (cos ≥ ~0.97) among the fixture embeddings — the
