@@ -75,3 +75,58 @@ def knn_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def knn_stream_indexed(
+    spark: SparkSession,
+    base: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 100,
+    alpha: float | None = None,
+):
+    """Streaming HYBRID search over a prebuilt graph index — the
+    "index once, serve query batches forever" surface with the routed
+    engine (not the exact scan) answering each micro-batch. Pass the
+    index straight from ``layout.load_index`` (the S8/S9 parquet
+    round-trip); it is persisted once and stays executor-resident
+    across batches. Routing runs per micro-batch — the reference
+    likewise routes per query batch (hybrid_graph.cpp:168-230) — while
+    the quantizer scale and the routing stats are trained once per
+    stream. Same batch_id-partitioned idempotent sink as
+    :func:`knn_stream`. Per-query results are identical to the batch
+    ``engine.knn_hybrid`` over the union of all micro-batches (routing
+    and search are per-query deterministic), which the parity test
+    asserts as row equality."""
+    from pyspark.sql import functions as F
+
+    from ..functions import quantization as Q
+    from ..operators import engine, routing
+    from ..operators import stats as stats_ops
+
+    if alpha is None:
+        alpha = Q.train_alpha(base)
+    if not index.is_cached:
+        index = index.persist()
+    stats = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
+
+    def answer(batch_df: DataFrame, batch_id: int) -> None:
+        plan = routing.route_plan(base, batch_df, stats=stats)
+        res = engine.knn_hybrid(
+            spark, base, batch_df, k=k, index=index, plan=plan, alpha=alpha
+        )
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        queries.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -128,6 +128,50 @@ def test_knn_query_stream_matches_batch(spark, tmp_path):
     base.unpersist()
 
 
+def test_knn_stream_over_loaded_index_matches_batch(spark, tmp_path):
+    """Streaming hybrid search over a parquet-loaded graph index
+    (S8/S9 round-trip) must produce row-identical results to the batch
+    engine over the union of all micro-batches — routing and search
+    are per-query deterministic, so stream == batch exactly."""
+    from sigmod_2024_contest_spark.operators import engine
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources import layout
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base = base_vectors(spark, SF_SMOKE).persist()
+    q = workload.queries_df(spark, SF_SMOKE)
+    idx_path = str(tmp_path / "index")
+    layout.save_index(
+        engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR), idx_path
+    )
+    index = layout.load_index(spark, idx_path).persist()
+
+    qdir = str(tmp_path / "qstream")
+    os.makedirs(qdir)
+    for i, pred in enumerate((F.col("query_id") % 2 == 0, F.col("query_id") % 2 == 1)):
+        part_dir = tmp_path / f"qchunk{i}"
+        q.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(part_dir))
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        shutil.copy(str(part_dir / src), os.path.join(qdir, f"q-{i}.parquet"))
+    out = str(tmp_path / "hyb_out")
+    sq = V.knn_stream_indexed(
+        spark, base, index, V.stream_queries(spark, qdir), out, str(tmp_path / "ckpt2"), k=10
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    got = sorted((r.query_id, r.id, r.rnk) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r.query_id, r.id, r.rnk)
+        for r in engine.knn_hybrid(spark, base, q, k=10, index=index).collect()
+    )
+    assert got == want
+    base.unpersist()
+    index.unpersist()
+
+
 def test_stateful_user_totals_converges_to_batch(spark, events_dir):
     """applyInPandasWithState emits per micro-batch; the LAST emission
     per user must equal the batch aggregate."""
