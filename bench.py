@@ -93,7 +93,7 @@ def _contest_bench(spark) -> dict[str, float]:
     queries = bin_format.read_queries_bin(spark, qp)
     t0 = _t.time()
     try:
-        knn.knn_exact_arrow(spark, base, queries, k=100, corpus_rows=1 << 60).count()
+        knn.knn_exact_arrow(spark, base, queries, k=100, force_query_broadcast=True).count()
         out["contest_run_exact_scan"] = round(_t.time() - t0, 3)
     except Exception as e:
         print(f"bench: contest_run_exact_scan failed: {e}", file=sys.stderr)

@@ -31,7 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import l2_sqr_expr
+
 from ..plans import workload
 from . import knn
 from .bruteforce_sq8 import BF_REFINE_K
@@ -184,17 +184,7 @@ def _int_cut_rerank(
         .filter(F.col("crnk") <= refine_k)
         .select("query_id", "id")
     )
-    rer = (
-        pool.join(base.select("id", "vec"), "id")
-        .join(queries.select("query_id", "qvec"), "query_id")
-        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
-        rer.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return knn.exact_rerank(base, queries, pool, k)
 
 
 def knn_asym_rerank(

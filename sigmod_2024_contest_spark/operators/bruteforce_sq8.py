@@ -180,17 +180,7 @@ def knn_sq8_rerank(
         .filter(F.col("crnk") <= refine_k)
         .select("query_id", "id")
     )
-    rer = (
-        pool.join(base.select("id", "vec"), "id")
-        .join(queries.select("query_id", "qvec"), "query_id")
-        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
-        rer.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return knn.exact_rerank(base, queries, pool, k)
 
 
 def knn_sq8_rerank_expr(

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import quantization as Q
-from ..functions.distance import l2_sqr_expr
 from ..plans import workload
 from . import bruteforce_sq8, routing
 from .hnsw import NumpyHNSW, beam_search, build_pruned_knn_graph
@@ -672,21 +671,14 @@ def knn_hybrid(
     # K12 exact re-rank (hybrid_graph.cpp:207-228 / quant reorder):
     # the index is codes-only, so candidate ranks are approximate —
     # fetch float vecs for the pooled candidates ONLY (nq × 1.5k rows,
-    # independent of corpus size AND shard count; AQE broadcasts the
-    # candidate side against the corpus scan) and rank by exact L2.
-    # No dedup shuffle: (query_id, id) pairs are unique by
+    # independent of corpus size AND shard count) and rank by exact
+    # L2. knn.exact_rerank picks the physical plan: corpus-broadcast
+    # lookup when the base fits, candidates-only join + window when it
+    # doesn't. No dedup shuffle: (query_id, id) pairs are unique by
     # construction — cat-routed queries search only their category
     # slice, decile-routed ones only deciles (which partition the
     # corpus), and sub-shards split disjointly by id % nshards.
-    rer = (
-        pool.join(base.select("id", "vec"), "id")
-        .join(queries.select("query_id", "qvec"), "query_id")
-        .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
-    graph_res = (
-        rer.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
-    )
+    from . import knn
+
+    graph_res = knn.exact_rerank(base, queries, pool.select("query_id", "id"), k)
     return bf_res.unionByName(graph_res)

@@ -123,6 +123,17 @@ def query_batches(queries: DataFrame, batch_rows: int = QUERY_BATCH_ROWS):
         yield buf
 
 
+# Scan-task sizing for the query-broadcast kernels: every task emits up
+# to (nq × keep) candidate rows into the merge REGARDLESS of how much
+# corpus it reads, so for a given corpus the merge volume is
+# proportional to the task count while the GEMM work is constant. Size
+# tasks to at least this many corpus rows (compute per task stays ≥
+# ~0.5 s of BLAS at contest query counts) and never above the session
+# parallelism — a 100 TB corpus keeps P = parallelism; a 20k-row
+# contest corpus drops to ~5 tasks and its candidate merge shrinks 6×.
+MIN_SCAN_ROWS_PER_TASK = 4096
+
+
 def chunked_broadcast_scan(
     scan: DataFrame,
     queries: DataFrame,
@@ -130,6 +141,7 @@ def chunked_broadcast_scan(
     kernel_fn,
     out_schema: str,
     batch_rows: int = QUERY_BATCH_ROWS,
+    scan_rows: int | None = None,
 ) -> DataFrame | None:
     """Per query batch: broadcast ``payload_fn(rows)``, run
     ``mapInArrow(kernel_fn(bc), out_schema)`` over the corpus scan,
@@ -138,17 +150,27 @@ def chunked_broadcast_scan(
     Multi-batch runs trade extra corpus scans (one per batch) for O(1)
     driver/broadcast memory — the corpus side is the scan of codes or
     vecs only, so each extra pass is the cheap wide phase, and the
-    eager ``localCheckpoint`` caps live broadcasts at one."""
+    eager ``localCheckpoint`` caps live broadcasts at one.
+
+    ``scan_rows``: corpus row count when the caller knows it (skips
+    one count job); used to size scan tasks (MIN_SCAN_ROWS_PER_TASK)."""
     from itertools import chain
 
     spark = scan.sparkSession
-    # a thin source (e.g. a single .bin shard → 3 partitions) would
-    # leave most cores idle through the GEMM phase; widen it to the
-    # session parallelism. Real multi-file corpora already arrive with
-    # >= parallelism partitions, so this never reshuffles a big scan.
-    target = spark.sparkContext.defaultParallelism
-    if scan.rdd.getNumPartitions() < target:
-        scan = scan.repartition(target)
+    if scan_rows is None:
+        scan_rows = scan.count()
+    target = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-scan_rows // MIN_SCAN_ROWS_PER_TASK),
+        ),
+    )
+    cur = scan.rdd.getNumPartitions()
+    if cur < target:
+        scan = scan.repartition(target)  # thin source (e.g. one .bin shard)
+    elif cur > target:
+        scan = scan.coalesce(target)  # narrow — no shuffle of the corpus
     gen = query_batches(queries, batch_rows)
     first = next(gen, None)
     if first is None:
@@ -216,6 +238,110 @@ ranked AS (
 )
 SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}
 """
+
+
+def exact_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    pool: DataFrame,
+    k: int,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """K12 exact re-rank of a candidate pool (query_id, id) →
+    (query_id, id, rnk): fetch float vectors for candidates ONLY and
+    rank by exact L2 with the (dist, id) tie-break. Shared by the
+    hybrid engine and every quantized brute-force operator
+    (hybrid_graph.cpp:207-228 / the quant reorder). Two physical
+    strategies, the same cost-based side selection as the exact kNN:
+
+    - **corpus-broadcast** (corpus ≤ CORPUS_BC_MAX_ROWS): candidates
+      group per query into one (id-list, qvec) row and a mapInArrow
+      kernel looks candidate vectors up in the broadcast corpus —
+      output is final, and no (id, vec) row ever shuffles. At contest
+      scale this replaces a pool×vec sort-merge join that moved
+      pool_rows×dim floats through the shuffle.
+    - **join path** (large corpus): candidates-only join + window —
+      the plan that scales when the corpus cannot be broadcast; the
+      join input stays nq×refine_k rows, independent of corpus size.
+
+    Both compute float64 ``qq + bb − 2·q·b`` (the exact kernels'
+    formula, hash-matched against the DuckDB fold oracle)."""
+    spark = base.sparkSession
+    if corpus_rows is None:
+        corpus_rows = base.count()
+    if corpus_rows > CORPUS_BC_MAX_ROWS:
+        rer = (
+            pool.select("query_id", "id")
+            .join(base.select("id", "vec"), "id")
+            .join(queries.select("query_id", "qvec"), "query_id")
+            .select("query_id", "id", l2_sqr_expr("qvec", "vec").alias("dist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            rer.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
+        )
+    pdf = base.select("id", "vec").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    ids = pdf["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+    bc = spark.sparkContext.broadcast((ids_sorted, V))
+
+    grouped = (
+        pool.groupBy("query_id")
+        .agg(F.collect_list("id").alias("cids"))
+        .join(queries.select("query_id", "qvec"), "query_id")
+    )
+
+    def kernel(batches):
+        ids_s, V_ = bc.value
+        bb_s = np.einsum("ij,ij->i", V_, V_)
+        for tbl in batches:
+            if tbl.num_rows == 0:
+                continue
+            qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            cids = tbl.column("cids")
+            if hasattr(cids, "combine_chunks"):
+                cids = cids.combine_chunks()
+            off = cids.offsets.to_numpy()
+            vals = cids.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = vals[off[0] : off[-1]]
+            lens = np.diff(off)
+            qvm = list_column_matrix(tbl, "qvec")
+            pos = np.searchsorted(ids_s, vals)
+            sub = V_[pos]
+            rowi = np.repeat(np.arange(len(qid)), lens)
+            qq = np.einsum("ij,ij->i", qvm, qvm)
+            qb = np.einsum("ij,ij->i", sub, qvm[rowi])
+            d = qq[rowi] + bb_s[pos] - 2.0 * qb
+            np.maximum(d, 0.0, out=d)
+            # global (row, dist, id) sort; rows stay contiguous, so the
+            # within-row rank is position − row start
+            ordr = np.lexsort((vals, d, rowi))
+            starts = np.concatenate([[0], np.cumsum(lens)])
+            ranks = np.arange(len(ordr)) - starts[rowi[ordr]]
+            keep = ranks < k
+            sel = ordr[keep]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[rowi[sel]]),
+                    pa.array(vals[sel]),
+                    pa.array((ranks[keep] + 1).astype(np.int64)),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("query_id", pa.int64()),
+                        pa.field("id", pa.int64()),
+                        pa.field("rnk", pa.int64()),
+                    ]
+                ),
+            )
+
+    return grouped.mapInArrow(kernel, "query_id long, id long, rnk long")
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +484,7 @@ def knn_exact_arrow(
     batch_rows: int = QUERY_BATCH_ROWS,
     corpus_rows: int | None = None,
     prepared=None,
+    force_query_broadcast: bool = False,
 ) -> DataFrame:
     """Exact kNN with cost-based side selection (the distributed plan).
 
@@ -387,7 +514,7 @@ def knn_exact_arrow(
         corpus_rows, corpus_bc = prepared
     if corpus_rows is None:
         corpus_rows = base.count()
-    if corpus_rows <= CORPUS_BC_MAX_ROWS:
+    if corpus_rows <= CORPUS_BC_MAX_ROWS and not force_query_broadcast:
         return _knn_exact_corpus_broadcast(spark, base, queries, k, bc=corpus_bc)
     out_schema = "query_id long, id long, dist double"
     result_type = pa.schema(
@@ -464,6 +591,7 @@ def knn_exact_arrow(
         make_kernel,
         out_schema,
         batch_rows,
+        scan_rows=corpus_rows,
     )
     if candidates is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
