@@ -139,24 +139,23 @@ def knn_sq8_rerank(
                 )
         if best_cd.shape[1] == 0:
             return
-        out_q, out_i, out_cd = [], [], []
-        for i in range(nq):
-            fin = best_cd[i] < big
-            cds, iis = best_cd[i][fin], best_id[i][fin]
-            # exact (cdist, id) order for the final refine_k cut
-            order = np.lexsort((iis, cds))[:refine_k]
-            out_q.append(np.full(order.size, qid[i], dtype=np.int64))
-            out_i.append(iis[order])
-            out_cd.append(cds[order])
-        if out_q:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(out_q)),
-                    pa.array(np.concatenate(out_i)),
-                    pa.array(np.concatenate(out_cd)),
-                ],
-                schema=schema,
-            )
+        # exact (cdist, id) order for the final refine_k cut —
+        # vectorized row-wise: stable argsort by id then by cdist ≡
+        # lexsort per row; sentinel (masked) entries sort last
+        rows = np.arange(nq)[:, None]
+        o1 = np.argsort(best_id, axis=1, kind="stable")
+        c1, i1 = best_cd[rows, o1], best_id[rows, o1]
+        o2 = np.argsort(c1, axis=1, kind="stable")[:, :refine_k]
+        c2, i2 = c1[rows, o2], i1[rows, o2]
+        fin = c2 < big
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.broadcast_to(qid[:, None], c2.shape)[fin]),
+                pa.array(i2[fin]),
+                pa.array(c2[fin]),
+            ],
+            schema=schema,
+        )
 
     pre_encoded = codes_base is not None
     scan = (

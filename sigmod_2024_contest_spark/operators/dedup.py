@@ -215,23 +215,58 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(d1, d2, jaccard_ppm) for pairs with 3-shingle Jaccard ≥ τ.
 
-    Inverted-index join: candidate pairs are generated only through
-    shared shingles below the hot-shingle df cap (see
-    HOT_SHINGLE_DF_CAP), never enumerated; the exact verify then
-    computes the true intersection over the FULL per-doc shingle sets
-    (array_intersect — hot shingles included), so the τ cut is exact
-    for every surfaced pair. The τ filter compares integers
-    (inter·1e6 ≥ τppm·union) — no float in the cut."""
-    sh_tbl = _shingle_table(docs).cache()
-    sh = sh_tbl.select("doc_id", F.explode("skeys").alias("skey"))
-    cand = _jaccard_candidates(sh, df_cap)
-    s1 = sh_tbl.select(F.col("doc_id").alias("d1"), F.col("skeys").alias("k1"))
-    s2 = sh_tbl.select(F.col("doc_id").alias("d2"), F.col("skeys").alias("k2"))
+    Inverted-index join over COLD shingles (document frequency ≤
+    df_cap, see HOT_SHINGLE_DF_CAP): candidate pairs are generated and
+    their cold intersection counted in one join + map-side-combined
+    groupBy, never enumerated. Hot shingles still count toward the
+    exact Jaccard through a correction join restricted to the
+    candidate pairs (the hot shingle table is tiny — only >cap-df
+    keys), so every surfaced pair gets its true intersection. The τ
+    filter compares integers (inter·1e6 ≥ τppm·union) — no float in
+    the cut."""
+    sh = _doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cold, hot_sh = sh, None
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("skey")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("skey")
+            .persist()
+        )
+        # bounded driver scalar: when no shingle crosses the cap (the
+        # common case on clean corpora) the cold plan IS the full plan
+        # — skip the anti-join and the correction join entirely
+        if hot.count() == 0:
+            hot.unpersist()
+        else:
+            cold = sh.join(F.broadcast(hot), "skey", "left_anti")
+            hot_sh = sh.join(F.broadcast(hot), "skey")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    inter = (
+        a.join(b, (F.col("a.skey") == F.col("b.skey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if hot_sh is not None:
+        h1 = hot_sh.select(F.col("doc_id").alias("d1"), F.col("skey").alias("hk1"))
+        h2 = hot_sh.select(F.col("doc_id").alias("d2b"), F.col("skey").alias("hk2"))
+        hot_cnt = (
+            inter.select("d1", "d2")
+            .join(h1, "d1")
+            .join(h2, (F.col("hk2") == F.col("hk1")) & (F.col("d2b") == F.col("d2")))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("hot_inter"))
+        )
+        inter = inter.join(hot_cnt, ["d1", "d2"], "left").withColumn(
+            "inter", F.col("inter") + F.coalesce(F.col("hot_inter"), F.lit(0))
+        )
     j = (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("inter", F.size(F.array_intersect("k1", "k2")).cast("long"))
-        .withColumn("un", (F.size("k1") + F.size("k2")).cast("long") - F.col("inter"))
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("un", F.col("n1") + F.col("n2") - F.col("inter"))
     )
     return j.filter(F.col("inter") * 1_000_000 >= F.lit(tau_ppm) * F.col("un")).select(
         "d1",

@@ -73,3 +73,27 @@ def test_knn_arrow_100k_queries_bounded_driver(spark):
     assert n_q == 100_000
     res = knn.knn_exact_arrow(spark, base, big, k=3)
     assert res.count() == n_q * 3
+
+
+def test_exact_rerank_paths_identical(spark):
+    """exact_rerank's two physical strategies — corpus-broadcast lookup
+    kernel vs candidates-only join + window — are the same logical op
+    and must emit identical rows for the same candidate pool."""
+    from pyspark.sql import functions as F
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    # candidate pool: every query's 30 smallest base ids (predicate-free
+    # — the rerank ranks whatever pool it is given)
+    pool = (
+        q.select("query_id")
+        .crossJoin(base.select("id").orderBy("id").limit(30))
+    )
+    bcast = sorted(
+        map(tuple, knn.exact_rerank(base, q, pool, k=10, corpus_rows=1).collect())
+    )
+    joined = sorted(
+        map(tuple, knn.exact_rerank(base, q, pool, k=10, corpus_rows=1 << 40).collect())
+    )
+    assert bcast == joined
+    assert len(bcast) == q.count() * 10
