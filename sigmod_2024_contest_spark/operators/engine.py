@@ -419,6 +419,13 @@ def adaptive_ef(
 SHARD_REFINE_MULT = 1.5
 
 
+_EMPTY_TRIPLE = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.float64),
+)
+
+
 def _empty_cands() -> pd.DataFrame:
     return pd.DataFrame({"query_id": [], "id": [], "cdist": []}).astype(
         {"query_id": "int64", "id": "int64", "cdist": "float64"}
@@ -430,22 +437,19 @@ def _search_shard_gemm(
     ids: np.ndarray,
     cats: np.ndarray,
     ts: np.ndarray,
-    q_pdf: pd.DataFrame,
+    qarrs,
     k: int,
     alpha: float,
-) -> pd.DataFrame:
+):
     """All-queries-at-once integer GEMM over the shard's codes
-    (bruteforce.h:244-265 semantics at shard granularity)."""
-    qv = np.asarray([np.asarray(x, dtype=np.float64) for x in q_pdf["qvec"]])
+    (bruteforce.h:244-265 semantics at shard granularity). Returns the
+    (query_id, id, cdist) numpy triple."""
+    qids, t, vp, lp, rp, qv = qarrs
     qc = Q.encode_np(qv, alpha)
-    t = q_pdf["query_type"].to_numpy()
-    vp = q_pdf["v"].to_numpy()
-    lp = q_pdf["l"].to_numpy()
-    rp = q_pdf["r"].to_numpy()
-    qids = q_pdf["query_id"].to_numpy()
     out_q, out_i, out_d = [], [], []
     kk_target = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
     chunk = max(1, (1 << 22) // max(len(ids), 1))  # bound the sim block
+    ids64 = ids.astype(np.int64)
     for s in range(0, len(qids), chunk):
         e = min(s + chunk, len(qids))
         D = Q.code_l2_sqr_np(qc[s:e], codes).astype(np.float64)
@@ -457,48 +461,45 @@ def _search_shard_gemm(
         D[~ok] = np.inf
         kk = min(kk_target, D.shape[1])
         part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-        for i in range(D.shape[0]):
-            sel = part[i][np.isfinite(D[i, part[i]])]
-            out_q.append(np.full(sel.shape[0], qids[s + i], dtype=np.int64))
-            out_i.append(ids[sel].astype(np.int64))
-            out_d.append(D[i, sel])
+        nqb = D.shape[0]
+        rows = np.arange(nqb)[:, None]
+        dk = D[rows, part]
+        fin = np.isfinite(dk)
+        out_q.append(np.broadcast_to(qids[s:e, None], dk.shape)[fin])
+        out_i.append(ids64[part[fin]])
+        out_d.append(dk[fin])
     if not out_q:
-        return _empty_cands()
-    return pd.DataFrame(
-        {
-            "query_id": np.concatenate(out_q),
-            "id": np.concatenate(out_i),
-            "cdist": np.concatenate(out_d),
-        }
+        return _EMPTY_TRIPLE
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_i),
+        np.concatenate(out_d),
     )
 
 
-def _search_cogroup(
-    index_pdf: pd.DataFrame,
-    q_pdf: pd.DataFrame,
+def _search_arrays(
+    codes: np.ndarray,
+    ids: np.ndarray,
+    cats: np.ndarray,
+    ts: np.ndarray,
+    nbr_pack,
+    levels: np.ndarray,
+    upper_rows,
+    qarrs,
     k: int,
     ef: int | None,
     gemm_thr: int,
     alpha: float,
-) -> pd.DataFrame:
-    if index_pdf.empty or q_pdf.empty:
-        return _empty_cands()
-    index_pdf = index_pdf.sort_values("pos").reset_index(drop=True)
-    n = len(index_pdf)
-    codes = np.frombuffer(b"".join(index_pdf["codes"]), dtype=np.int8).reshape(n, -1)
-    ids = index_pdf["id"].to_numpy()
-    cats = index_pdf["category"].to_numpy()
-    ts = index_pdf["ts"].to_numpy()
+):
+    """The per-shard search core on plain arrays; returns the
+    (query_id, id, cdist) numpy triple. ``nbr_pack`` is a lazy
+    callable → (nbrs, nbr_ts) padded matrices (only the beam path pays
+    for adjacency unpacking)."""
+    n = len(ids)
+    qids, qt, vv, ll, rr, qvm = qarrs
     if n <= gemm_thr:
-        return _search_shard_gemm(codes, ids, cats, ts, q_pdf, k, alpha)
-    m0 = max((len(x) for x in index_pdf["nbrs"]), default=1) or 1
-    nbrs = np.full((n, m0), -1, dtype=np.int32)
-    # per-edge timestamps parallel to nbrs (padding irrelevant: the
-    # beam masks padded slots via nbrs >= 0 first)
-    nbr_ts = np.zeros((n, m0), dtype=np.float64)
-    for i, (row, trow) in enumerate(zip(index_pdf["nbrs"], index_pdf["nbr_ts"])):
-        nbrs[i, : len(row)] = row
-        nbr_ts[i, : len(trow)] = trow
+        return _search_shard_gemm(codes, ids, cats, ts, qarrs, k, alpha)
+    nbrs, nbr_ts = nbr_pack()
     # the beam walks the codes directly: int8 codes cast to float32 are
     # exact, and float64 accumulation of their squared diffs (≤ 254² per
     # dim) is exact integer arithmetic — identical ranking to the int
@@ -507,24 +508,20 @@ def _search_cogroup(
     # S9 level structure, when this index was built with hnsw_levels:
     # unfiltered queries enter via greedy upper-layer descent (B11)
     # instead of positional seeds
-    levels = (
-        index_pdf["level"].to_numpy().astype(np.int32)
-        if "level" in index_pdf
-        else np.zeros(n, dtype=np.int32)
-    )
     has_levels = bool(levels.max(initial=0) > 0)
-    upper = list(index_pdf["upper"]) if has_levels else None
+    upper = upper_rows() if has_levels else None
     kk = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
+    ids64 = ids.astype(np.int64)
     out_q, out_i, out_d = [], [], []
-    for qr in q_pdf.itertuples(index=False):
-        qv = np.asarray(qr.qvec, dtype=np.float64)
+    for qi in range(len(qids)):
+        qv = qvm[qi]
         qc = Q.encode_np(qv[None, :], alpha)[0].astype(np.float64)
-        t = int(qr.query_type)
+        t = int(qt[qi])
         allowed = None
         if t in (1, 3):
-            allowed = cats == qr.v
+            allowed = cats == vv[qi]
         if t in (2, 3):
-            m = (ts >= qr.l) & (ts <= qr.r)
+            m = (ts >= ll[qi]) & (ts <= rr[qi])
             allowed = m if allowed is None else (allowed & m)
         n_allowed = int(allowed.sum()) if allowed is not None else n
         if allowed is not None and n_allowed == 0:
@@ -539,7 +536,7 @@ def _search_cogroup(
         # selectivity estimate (timestamps are normalized to [0,1]).
         small_thr = (
             routing.DECILE_SMALL_THR_LOWSEL
-            if (float(qr.r) - float(qr.l)) < routing.LOWSEL
+            if (float(rr[qi]) - float(ll[qi])) < routing.LOWSEL
             else routing.DECILE_SMALL_THR
         )
         if allowed is not None and t in (2, 3) and n_allowed < small_thr * n:
@@ -551,14 +548,14 @@ def _search_cogroup(
                 sel = np.argpartition(d, kk - 1)[:kk]
             else:
                 sel = np.arange(len(idxs))
-            out_q.extend([qr.query_id] * len(sel))
-            out_i.extend(ids[idxs[sel]].tolist())
-            out_d.extend(d[sel].tolist())
+            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+            out_i.append(ids64[idxs[sel]])
+            out_d.append(d[sel])
             continue
         ef_q = max(kk, adaptive_ef(t, n, n_allowed, k)) if ef is None else max(kk, ef)
         # ts-range queries run edge-filtered (F5): admission decided
         # from nbr_ts before any distance evaluation
-        rng_q = (float(qr.l), float(qr.r)) if t in (2, 3) else None
+        rng_q = (float(ll[qi]), float(rr[qi])) if t in (2, 3) else None
         seeds = None
         if has_levels and allowed is None:
             seeds = np.array(
@@ -568,16 +565,164 @@ def _search_cogroup(
             cvecs, nbrs, qc, kk, ef_q, allowed, nbr_ts=nbr_ts, ts_range=rng_q,
             seeds=seeds,
         )
-        out_q.extend([qr.query_id] * len(pos))
-        out_i.extend(ids[pos].tolist())
-        out_d.extend(dd.tolist())
-    return pd.DataFrame(
-        {
-            "query_id": np.asarray(out_q, dtype=np.int64),
-            "id": np.asarray(out_i, dtype=np.int64),
-            "cdist": np.asarray(out_d, dtype=np.float64),
-        }
+        out_q.append(np.full(len(pos), qids[qi], dtype=np.int64))
+        out_i.append(ids64[pos])
+        out_d.append(np.asarray(dd, dtype=np.float64))
+    if not out_q:
+        return _EMPTY_TRIPLE
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_i),
+        np.concatenate(out_d),
     )
+
+
+def _pad_adjacency(rows, trows, n: int):
+    """Ragged neighbor lists → padded (nbrs int32, nbr_ts float64)
+    matrices. Padding slots hold -1 / 0 — the beam masks nbrs >= 0
+    before any nbr_ts read."""
+    lens = np.fromiter((len(x) for x in rows), dtype=np.int64, count=n)
+    m0 = int(lens.max(initial=0)) or 1
+    nbrs = np.full((n, m0), -1, dtype=np.int32)
+    nbr_ts = np.zeros((n, m0), dtype=np.float64)
+    mask = np.arange(m0)[None, :] < lens[:, None]
+    if lens.sum():
+        nbrs[mask] = np.concatenate([np.asarray(r, dtype=np.int32) for r in rows])
+        nbr_ts[mask] = np.concatenate([np.asarray(r, dtype=np.float64) for r in trows])
+    return nbrs, nbr_ts
+
+
+def _q_arrays_pdf(q_pdf: pd.DataFrame):
+    return (
+        q_pdf["query_id"].to_numpy().astype(np.int64),
+        q_pdf["query_type"].to_numpy().astype(np.int64),
+        q_pdf["v"].to_numpy().astype(np.float64),
+        q_pdf["l"].to_numpy().astype(np.float64),
+        q_pdf["r"].to_numpy().astype(np.float64),
+        np.asarray([np.asarray(x, dtype=np.float64) for x in q_pdf["qvec"]]),
+    )
+
+
+def _search_cogroup(
+    index_pdf: pd.DataFrame,
+    q_pdf: pd.DataFrame,
+    k: int,
+    ef: int | None,
+    gemm_thr: int,
+    alpha: float,
+) -> pd.DataFrame:
+    """pandas adapter over :func:`_search_arrays` (kept for tests and
+    as the readable reference shape; the Spark job runs the Arrow
+    adapter below)."""
+    if index_pdf.empty or q_pdf.empty:
+        return _empty_cands()
+    index_pdf = index_pdf.sort_values("pos").reset_index(drop=True)
+    n = len(index_pdf)
+    codes = np.frombuffer(b"".join(index_pdf["codes"]), dtype=np.int8).reshape(n, -1)
+    levels = (
+        index_pdf["level"].to_numpy().astype(np.int32)
+        if "level" in index_pdf
+        else np.zeros(n, dtype=np.int32)
+    )
+    oq, oi, od = _search_arrays(
+        codes,
+        index_pdf["id"].to_numpy(),
+        index_pdf["category"].to_numpy(),
+        index_pdf["ts"].to_numpy(),
+        lambda: _pad_adjacency(list(index_pdf["nbrs"]), list(index_pdf["nbr_ts"]), n),
+        levels,
+        lambda: list(index_pdf["upper"]),
+        _q_arrays_pdf(q_pdf),
+        k,
+        ef,
+        gemm_thr,
+        alpha,
+    )
+    return pd.DataFrame({"query_id": oq, "id": oi, "cdist": od})
+
+
+def _list_matrix(arr, dtype=np.float64) -> np.ndarray:
+    """Arrow ListArray of fixed-width lists → (n, dim) matrix."""
+    offs = arr.offsets.to_numpy()
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if widths.size and (widths == widths[0]).all():
+        return vals[offs[0] : offs[-1]].reshape(len(arr), int(widths[0])).astype(dtype)
+    return np.asarray(arr.to_pylist(), dtype=dtype)
+
+
+def _search_cogroup_arrow(itbl, qtbl, k: int, ef: int | None, gemm_thr: int, alpha: float):
+    """Arrow adapter: no pandas on either side — the candidate output
+    (the dominant volume: ~1.5k rows per (query, shard)) goes straight
+    from numpy into one Arrow table."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("id", pa.int64()),
+            pa.field("cdist", pa.float64()),
+        ]
+    )
+    if itbl.num_rows == 0 or qtbl.num_rows == 0:
+        return pa.table(
+            {"query_id": _EMPTY_TRIPLE[0], "id": _EMPTY_TRIPLE[1], "cdist": _EMPTY_TRIPLE[2]},
+            schema=out_schema,
+        )
+    itbl = itbl.combine_chunks()
+    pos = itbl.column("pos").to_numpy()
+    order = np.argsort(pos, kind="stable")
+    if not np.array_equal(order, np.arange(len(order))):
+        itbl = itbl.take(pa.array(order))
+    n = itbl.num_rows
+
+    def col(t, name):
+        c = t.column(name)
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    codes = np.frombuffer(b"".join(col(itbl, "codes").to_pylist()), dtype=np.int8).reshape(
+        n, -1
+    )
+
+    def nbr_pack():
+        nb = col(itbl, "nbrs")
+        nt = col(itbl, "nbr_ts")
+        noff = nb.offsets.to_numpy()
+        lens = np.diff(noff)
+        m0 = int(lens.max(initial=0)) or 1
+        nbrs = np.full((n, m0), -1, dtype=np.int32)
+        nbr_ts = np.zeros((n, m0), dtype=np.float64)
+        mask = np.arange(m0)[None, :] < lens[:, None]
+        nvals = nb.values.to_numpy(zero_copy_only=False)
+        tvals = nt.values.to_numpy(zero_copy_only=False)
+        nbrs[mask] = nvals[noff[0] : noff[-1]].astype(np.int32)
+        nbr_ts[mask] = tvals[noff[0] : noff[-1]].astype(np.float64)
+        return nbrs, nbr_ts
+
+    qtbl = qtbl.combine_chunks()
+    qarrs = (
+        col(qtbl, "query_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        col(qtbl, "query_type").to_numpy(zero_copy_only=False).astype(np.int64),
+        col(qtbl, "v").to_numpy(zero_copy_only=False).astype(np.float64),
+        col(qtbl, "l").to_numpy(zero_copy_only=False).astype(np.float64),
+        col(qtbl, "r").to_numpy(zero_copy_only=False).astype(np.float64),
+        _list_matrix(col(qtbl, "qvec")),
+    )
+    oq, oi, od = _search_arrays(
+        codes,
+        col(itbl, "id").to_numpy(zero_copy_only=False),
+        col(itbl, "category").to_numpy(zero_copy_only=False).astype(np.float64),
+        col(itbl, "ts").to_numpy(zero_copy_only=False),
+        nbr_pack,
+        col(itbl, "level").to_numpy(zero_copy_only=False).astype(np.int32),
+        lambda: col(itbl, "upper").to_pylist(),
+        qarrs,
+        k,
+        ef,
+        gemm_thr,
+        alpha,
+    )
+    return pa.table({"query_id": oq, "id": oi, "cdist": od}, schema=out_schema)
 
 
 def graph_search(
@@ -593,13 +738,14 @@ def graph_search(
     codes). Shards at or under ``gemm_thr`` rows answer all their
     queries with one integer GEMM; larger shards run the per-query
     filtered beam search. Both emit ~1.5k candidates per (query,
-    shard) for the downstream exact re-rank. ``ef=None`` (default) =
-    per-query adaptive beam width; pass an int to pin a fixed width
-    (tests, ablations)."""
+    shard) for the downstream exact re-rank, straight through Arrow —
+    no pandas materialization of the candidate volume. ``ef=None``
+    (default) = per-query adaptive beam width; pass an int to pin a
+    fixed width (tests, ablations)."""
     a = float(alpha)
     cg = index.groupby("pkey").cogroup(assignments.groupby("pkey"))
-    return cg.applyInPandas(
-        lambda ipdf, qpdf: _search_cogroup(ipdf, qpdf, k, ef, gemm_thr, a), CAND_SCHEMA
+    return cg.applyInArrow(
+        lambda it, qt: _search_cogroup_arrow(it, qt, k, ef, gemm_thr, a), CAND_SCHEMA
     )
 
 
