@@ -1,0 +1,115 @@
+"""Property tests for the NumPy kernels under every brute-force path
+(no Spark session — these pin the algebra, the oracle tests pin the
+plans). Hypothesis drives adversarial shapes: boundary ties, masked
+sentinels, chunk widths narrower than the kept set."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sigmod_2024_contest_spark.functions import quantization as Q
+from sigmod_2024_contest_spark.operators.knn import running_topk_merge
+
+
+@st.composite
+def merge_streams(draw):
+    nq = draw(st.integers(1, 4))
+    keep = draw(st.integers(1, 8))
+    n_chunks = draw(st.integers(1, 5))
+    chunks = []
+    for _ in range(n_chunks):
+        w = draw(st.integers(1, 12))
+        # small value range → dense ties, the adversarial regime
+        d = draw(
+            st.lists(
+                st.lists(st.integers(0, 6), min_size=w, max_size=w),
+                min_size=nq,
+                max_size=nq,
+            )
+        )
+        chunks.append(np.asarray(d, dtype=np.int64))
+    return nq, keep, chunks
+
+
+@given(merge_streams())
+@settings(max_examples=200, deadline=None)
+def test_running_topk_merge_keeps_smallest_values(stream):
+    """After any chunk sequence (including guard-skipped chunks), the
+    kept distance multiset per query equals the true top-keep distance
+    multiset of everything seen — the dist-level exactness the merge
+    guarantees (id assignment inside a tie group is resolved later by
+    the PAD + lexsort emit)."""
+    nq, keep, chunks = stream
+    best_d = np.full((nq, 0), np.int64(1) << 62, dtype=np.int64)
+    best_i = np.full((nq, 0), -1, dtype=np.int64)
+    seen = [[] for _ in range(nq)]
+    next_id = 0
+    for d in chunks:
+        w = d.shape[1]
+        ids = np.arange(next_id, next_id + w, dtype=np.int64)
+        next_id += w
+        best_d, best_i = running_topk_merge(best_d, best_i, d.copy(), ids, keep)
+        for q in range(nq):
+            seen[q].extend(d[q].tolist())
+    for q in range(nq):
+        want = np.sort(np.asarray(seen[q], dtype=np.int64))[:keep]
+        got = np.sort(best_d[q])[: len(want)]
+        np.testing.assert_array_equal(got, want)
+
+
+@given(merge_streams())
+@settings(max_examples=100, deadline=None)
+def test_running_topk_merge_ids_consistent(stream):
+    """Every kept (dist, id) pair must be a pair that actually occurred
+    — the merge may choose among equal-dist rows but can never invent
+    or cross-wire an id."""
+    nq, keep, chunks = stream
+    best_d = np.full((nq, 0), np.int64(1) << 62, dtype=np.int64)
+    best_i = np.full((nq, 0), -1, dtype=np.int64)
+    occurred = [set() for _ in range(nq)]
+    next_id = 0
+    for d in chunks:
+        w = d.shape[1]
+        ids = np.arange(next_id, next_id + w, dtype=np.int64)
+        next_id += w
+        best_d, best_i = running_topk_merge(best_d, best_i, d.copy(), ids, keep)
+        for q in range(nq):
+            occurred[q].update(zip(d[q].tolist(), ids.tolist()))
+    for q in range(nq):
+        for dist, i in zip(best_d[q].tolist(), best_i[q].tolist()):
+            assert (dist, i) in occurred[q]
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 8),
+    st.integers(2, 120),
+    st.integers(0, 2**32),
+)
+@settings(max_examples=50, deadline=None)
+def test_code_l2_sqr_blas_path_is_exact_sq8(nq, nb, dim, seed):
+    """The float32 BLAS path must reproduce the int64 ground truth
+    bit-for-bit on the SQ8 grid ([-127, 127])."""
+    rng = np.random.default_rng(seed)
+    q = rng.integers(-127, 128, size=(nq, dim)).astype(np.int16)
+    b = rng.integers(-127, 128, size=(nb, dim)).astype(np.int16)
+    got = Q.code_l2_sqr_np(q, b)
+    q64, b64 = q.astype(np.int64), b.astype(np.int64)
+    want = ((q64[:, None, :] - b64[None, :, :]) ** 2).sum(axis=2)
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.int64
+
+
+@given(st.integers(0, 2**32))
+@settings(max_examples=25, deadline=None)
+def test_code_l2_sqr_blas_path_is_exact_asym_grid(seed):
+    """Same exactness on the asymmetric fixed-point grid (values up to
+    255·256+128 — the float64 dgemm regime)."""
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 255 * 256 + 1, size=(3, 100)).astype(np.int64)
+    b = rng.integers(0, 255 * 256 + 1, size=(4, 100)).astype(np.int64)
+    got = Q.code_l2_sqr_np(q, b)
+    want = ((q[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+    np.testing.assert_array_equal(got, want)
