@@ -263,8 +263,8 @@ def code_l2_sqr_np(q: np.ndarray, b: np.ndarray) -> np.ndarray:
         qq = np.einsum("ij,ij->i", q64, q64)[:, None]
         bb = np.einsum("ij,ij->i", b64, b64)[None, :]
         return qq + bb - 2 * (q64 @ b64.T)
-    qf = q.astype(dt)
-    bf = b.astype(dt)
+    qf = q.astype(dt, copy=False)  # no-op when the caller pre-casts
+    bf = b.astype(dt, copy=False)
     qq = np.einsum("ij,ij->i", qf, qf)[:, None]
     bb = np.einsum("ij,ij->i", bf, bf)[None, :]
     out = qq + bb - 2.0 * (qf @ bf.T)

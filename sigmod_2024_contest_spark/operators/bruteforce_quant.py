@@ -117,46 +117,33 @@ def _int_cut_rerank(
     def kernel(bc, batches):
         qm, qc = bc.value
         qid = qm[:, 0].astype(np.int64)
-        qtype = qm[:, 1].astype(np.int64)
-        vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
+        qpred = (qm[:, 1].astype(np.int64), qm[:, 2], qm[:, 3], qm[:, 4])
         nq = len(qid)
+        if nq == 0:
+            return
         keep = refine_k + PAD
-        chunk = max(2 * keep, (1 << 22) // max(nq, 1))
-        best_cd = np.full((nq, 0), big, dtype=np.int64)
-        best_id = np.full((nq, 0), -1, dtype=np.int64)
+        best_cd = np.full((nq, keep), big, dtype=np.int64)
+        best_id = np.full((nq, keep), -1, dtype=np.int64)
+        saw = False
         for tbl in batches:
-            ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
+            ids_all = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(ids_all):
+                continue
+            saw = True
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
             ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
-            vecs_all = list_column_matrix(tbl, "vec")
-            for cs in range(0, vecs_all.shape[0], chunk):
-                ids = ids_all[cs : cs + chunk]
-                cats = cats_all[cs : cs + chunk]
-                ts = ts_all[cs : cs + chunk]
-                vecs = vecs_all[cs : cs + chunk]
-                bcodes = encode_b(vecs)
-                cd = Q.code_l2_sqr_np(qc, bcodes)
-                cat_ok = cats[None, :] == vv[:, None]
-                ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
-                mask = (
-                    (qtype[:, None] == 0)
-                    | ((qtype[:, None] == 1) & cat_ok)
-                    | ((qtype[:, None] == 2) & ts_ok)
-                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
-                )
-                cd = np.where(mask, cd, big)
-                best_cd, best_id = knn.running_topk_merge(
-                    best_cd, best_id, cd, ids.astype(np.int64), keep
-                )
-        if best_cd.shape[1] == 0:
+            bcodes_all = encode_b(list_column_matrix(tbl, "vec"))
+
+            def dist_fn(qs, qe, cs, ce):
+                return Q.code_l2_sqr_np(qc[qs:qe], bcodes_all[cs:ce])
+
+            knn.blocked_masked_topk(
+                best_cd, best_id, qpred, ids_all, cats_all, ts_all, dist_fn, keep, big
+            )
+        if not saw:
             return
         # vectorized row-wise (cdist, id) cut — see bruteforce_sq8
-        rows = np.arange(nq)[:, None]
-        o1 = np.argsort(best_id, axis=1, kind="stable")
-        c1, i1 = best_cd[rows, o1], best_id[rows, o1]
-        o2 = np.argsort(c1, axis=1, kind="stable")[:, :refine_k]
-        c2, i2 = c1[rows, o2], i1[rows, o2]
-        fin = c2 < big
+        c2, i2, fin = knn.resolve_topk_rows(best_cd, best_id, refine_k, big)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(np.broadcast_to(qid[:, None], c2.shape)[fin]),

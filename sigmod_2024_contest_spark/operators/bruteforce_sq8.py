@@ -35,6 +35,120 @@ from ..plans import workload
 BF_REFINE_K = 140  # hybrid_graph.h:80
 
 
+def _sq8_corpus_broadcast(
+    base: DataFrame,
+    queries: DataFrame,
+    alpha: float,
+    k: int,
+    refine_k: int,
+) -> DataFrame:
+    """Small-corpus plan: both phases fused in ONE kernel over query
+    partitions — zero shuffles, no candidate window, output is final.
+
+    The whole corpus (float vecs + their SQ8 codes, encoded once on the
+    driver) broadcasts to every *query* partition; each task runs the
+    quantized blocked GEMM cut to refine_k, then the exact float64
+    re-rank of its own candidates in place. The same cost-based side
+    selection as ``knn.knn_exact_arrow`` — below CORPUS_BC_MAX_ROWS the
+    corpus is the small join side, and at contest query counts (100k+)
+    partitioning the queries is what buys parallelism; the
+    query-broadcast scan would bottleneck on ~corpus_rows/4096 tasks
+    and push nq×refine_k×P rows through the merge window."""
+    import numpy as np
+    import pyarrow as pa
+
+    from . import knn
+    from .knn import list_column_matrix
+
+    spark = base.sparkSession
+    pdf = base.select("id", "category", "ts", "vec").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    ids = pdf["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)  # position order == id order ⇒ pos ties ≡ id ties
+    ids_s = ids[order]
+    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+    cats_s = pdf["category"].to_numpy().astype(np.float64)[order]
+    ts_s = pdf["ts"].to_numpy().astype(np.float64)[order]
+    # pre-cast to float32 driver-side: values ≤127 are exact in f32 and
+    # code_l2_sqr_np's sgemm cast becomes a no-op in every task
+    codes_s = Q.encode_np(V, float(alpha)).astype(np.float32)
+    bc = spark.sparkContext.broadcast((ids_s, cats_s, ts_s, V, codes_s))
+
+    PAD = 64
+    big = np.int64(1) << 62
+    a = float(alpha)
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("id", pa.int64()),
+            pa.field("rnk", pa.int64()),
+        ]
+    )
+
+    def kernel(batches):
+        ids_s, cats, ts, V_, codes = bc.value
+        bbV = np.einsum("ij,ij->i", V_, V_)
+        pos64 = np.arange(len(ids_s), dtype=np.int64)
+        for tbl in batches:
+            qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            nq = len(qid)
+            if nq == 0:
+                continue
+            qtype = tbl.column("query_type").to_numpy(zero_copy_only=False).astype(np.int64)
+            vv = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+            ll = tbl.column("l").to_numpy(zero_copy_only=False)
+            rr = tbl.column("r").to_numpy(zero_copy_only=False)
+            qv = list_column_matrix(tbl, "qvec")
+            qc = Q.encode_np(qv, a)
+            keep = refine_k + PAD
+            best_cd = np.full((nq, keep), big, dtype=np.int64)
+            best_pi = np.full((nq, keep), -1, dtype=np.int64)
+
+            def dist_fn(qs, qe, cs, ce):
+                return Q.code_l2_sqr_np(qc[qs:qe], codes[cs:ce])
+
+            # phase 1: quantized cut — best_pi holds corpus POSITIONS
+            # (id-sorted, so the (cdist, pos) order ≡ (cdist, id))
+            knn.blocked_masked_topk(
+                best_cd, best_pi, (qtype, vv, ll, rr), pos64, cats, ts, dist_fn, keep, big
+            )
+            _, p2, fin = knn.resolve_topk_rows(best_cd, best_pi, refine_k, big)
+            qidx, _ = np.nonzero(fin)  # row-major ⇒ per-query contiguous
+            pos = p2[fin]
+            if len(pos) == 0:
+                continue
+            # phase 2 (K12, fused): exact float64 re-rank of this
+            # task's own candidates — no pool shuffle, no second pass
+            sub = V_[pos]
+            qq = np.einsum("ij,ij->i", qv, qv)
+            d = qq[qidx] + bbV[pos] - 2.0 * np.einsum("ij,ij->i", sub, qv[qidx])
+            np.maximum(d, 0.0, out=d)
+            ordr = np.lexsort((pos, d, qidx))
+            grp = qidx[ordr]
+            new = np.concatenate([[True], grp[1:] != grp[:-1]])
+            gstart = np.maximum.accumulate(np.where(new, np.arange(len(grp)), 0))
+            rnk = np.arange(len(grp)) - gstart
+            sel = ordr[rnk < k]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[qidx[sel]]),
+                    pa.array(ids_s[pos[sel]]),
+                    pa.array((rnk[rnk < k] + 1).astype(np.int64)),
+                ],
+                schema=out_schema,
+            )
+
+    qdf = queries.select("query_id", "query_type", "v", "l", "r", "qvec")
+    # pin the task count: the GEMM wall-clock is nq/parallelism, and an
+    # upstream shuffle (bf_queries is a join output) would otherwise be
+    # AQE-coalesced to one ~20 MB partition, serializing the kernel
+    target = spark.sparkContext.defaultParallelism
+    if qdf.rdd.getNumPartitions() != target:
+        qdf = qdf.repartition(target)
+    return qdf.mapInArrow(kernel, "query_id long, id long, rnk long")
+
+
 def knn_sq8_rerank(
     base: DataFrame,
     queries: DataFrame,
@@ -43,6 +157,8 @@ def knn_sq8_rerank(
     refine_k: int = BF_REFINE_K,
     batch_rows: int | None = None,
     codes_base: DataFrame | None = None,
+    corpus_rows: int | None = None,
+    force_scan: bool = False,
 ) -> DataFrame:
     """(query_id, id, rnk) — exact-reranked SQ8 brute force, all 4
     query types. Identical to exact kNN whenever the true top-k
@@ -50,6 +166,13 @@ def knn_sq8_rerank(
     assumption). ``codes_base`` (id, category, ts, codes) switches
     phase 1 to the persisted-codes scan (module docstring); its codes
     MUST be SQ8(alpha) of the same rows.
+
+    Cost-based side selection (same rule as ``knn.knn_exact_arrow``):
+    a corpus at or under ``knn.CORPUS_BC_MAX_ROWS`` flips to the fused
+    corpus-broadcast plan (``_sq8_corpus_broadcast`` — both phases in
+    one kernel over query partitions, zero shuffles); above it, the
+    query-broadcast codes scan below is the 100 TB shape.
+    ``force_scan`` pins the scan plan (tests, ablations).
 
     Physical plan: ONE codes scan per query batch + a candidate-pool
     join. Queries (as int16 codes) broadcast in bounded batches
@@ -102,15 +225,19 @@ def knn_sq8_rerank(
     def partial(bc, batches):
         qm, qc, a = bc.value
         qid = qm[:, 0].astype(np.int64)
-        qtype = qm[:, 1].astype(np.int64)
-        vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
+        qpred = (qm[:, 1].astype(np.int64), qm[:, 2], qm[:, 3], qm[:, 4])
         nq = len(qid)
+        if nq == 0:
+            return
         keep = refine_k + PAD
-        chunk = max(2 * keep, (1 << 22) // max(nq, 1))
-        best_cd = np.full((nq, 0), big, dtype=np.int64)
-        best_id = np.full((nq, 0), -1, dtype=np.int64)
+        best_cd = np.full((nq, keep), big, dtype=np.int64)
+        best_id = np.full((nq, keep), -1, dtype=np.int64)
+        saw = False
         for tbl in batches:
-            ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
+            ids_all = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(ids_all):
+                continue
+            saw = True
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
             ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
             if pre_encoded:
@@ -119,35 +246,17 @@ def knn_sq8_rerank(
                 codes_all = list_column_matrix(tbl, "codes", dtype=np.int16)
             else:
                 codes_all = Q.encode_np(list_column_matrix(tbl, "vec"), a)
-            for cs in range(0, codes_all.shape[0], chunk):
-                ids = ids_all[cs : cs + chunk]
-                cats = cats_all[cs : cs + chunk]
-                ts = ts_all[cs : cs + chunk]
-                codes = codes_all[cs : cs + chunk]
-                cd = Q.code_l2_sqr_np(qc, codes)
-                cat_ok = cats[None, :] == vv[:, None]
-                ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
-                mask = (
-                    (qtype[:, None] == 0)
-                    | ((qtype[:, None] == 1) & cat_ok)
-                    | ((qtype[:, None] == 2) & ts_ok)
-                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
-                )
-                cd = np.where(mask, cd, big)
-                best_cd, best_id = knn.running_topk_merge(
-                    best_cd, best_id, cd, ids.astype(np.int64), keep
-                )
-        if best_cd.shape[1] == 0:
+
+            def dist_fn(qs, qe, cs, ce):
+                return Q.code_l2_sqr_np(qc[qs:qe], codes_all[cs:ce])
+
+            knn.blocked_masked_topk(
+                best_cd, best_id, qpred, ids_all, cats_all, ts_all, dist_fn, keep, big
+            )
+        if not saw:
             return
-        # exact (cdist, id) order for the final refine_k cut —
-        # vectorized row-wise: stable argsort by id then by cdist ≡
-        # lexsort per row; sentinel (masked) entries sort last
-        rows = np.arange(nq)[:, None]
-        o1 = np.argsort(best_id, axis=1, kind="stable")
-        c1, i1 = best_cd[rows, o1], best_id[rows, o1]
-        o2 = np.argsort(c1, axis=1, kind="stable")[:, :refine_k]
-        c2, i2 = c1[rows, o2], i1[rows, o2]
-        fin = c2 < big
+        # exact (cdist, id) order for the final refine_k cut
+        c2, i2, fin = knn.resolve_topk_rows(best_cd, best_id, refine_k, big)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(np.broadcast_to(qid[:, None], c2.shape)[fin]),
@@ -163,6 +272,13 @@ def knn_sq8_rerank(
         if pre_encoded
         else base.select("id", "category", "ts", "vec")
     )
+    if corpus_rows is None:
+        corpus_rows = scan.count()
+    if corpus_rows <= knn.CORPUS_BC_MAX_ROWS and not force_scan:
+        # fused small-corpus plan; codes re-derive from the broadcast
+        # floats (bit-identical to encode_expr), so codes_base is only
+        # a scan-plan artifact here
+        return _sq8_corpus_broadcast(base, queries, alpha, k, refine_k)
     cands = knn.chunked_broadcast_scan(
         scan,
         queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
@@ -170,6 +286,7 @@ def knn_sq8_rerank(
         make_kernel,
         "query_id long, id long, cdist long",
         batch_rows or knn.QUERY_BATCH_ROWS,
+        scan_rows=corpus_rows,
     )
     if cands is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
@@ -179,7 +296,7 @@ def knn_sq8_rerank(
         .filter(F.col("crnk") <= refine_k)
         .select("query_id", "id")
     )
-    return knn.exact_rerank(base, queries, pool, k)
+    return knn.exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows)
 
 
 def knn_sq8_rerank_expr(

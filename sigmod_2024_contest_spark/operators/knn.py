@@ -110,6 +110,78 @@ def running_topk_merge(
     return all_d[rows, part], all_i[rows, part]
 
 
+# Query-block width for the double-blocked kernels below. The blocked
+# loop exists because the alternative — chunking only the corpus with
+# the FULL query batch as the other GEMM side — degenerates at contest
+# query counts: bounding the dist block to sim_elems elements with
+# nq=64k forces ~64-row corpus chunks, and the per-chunk mask/merge
+# overhead (six nq×chunk temporaries per chunk) dominates the GEMM ~5×.
+# Blocking the queries first keeps every GEMM wide (qblock × ~2k rows)
+# with the same peak memory.
+QBLOCK = 4096
+SIM_ELEMS = 1 << 23  # ≈8M cells per dist block (64 MB at int64)
+
+
+def blocked_masked_topk(
+    best_d: np.ndarray,
+    best_i: np.ndarray,
+    qpred: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    ids64: np.ndarray,
+    cats: np.ndarray,
+    ts: np.ndarray,
+    dist_fn,
+    keep: int,
+    sentinel,
+) -> None:
+    """Merge one corpus slice into the running per-query top-``keep``,
+    query-blocked: for each ≤QBLOCK query rows, chunk the corpus so the
+    dist block stays ≤SIM_ELEMS cells, apply the type-dispatched
+    predicate mask (Filter functor, searcher.hpp:23-44) in place, and
+    run the guarded ``running_topk_merge``.
+
+    ``best_d``/``best_i`` are pre-allocated ``(nq, keep)`` arrays
+    filled with ``sentinel`` / −1 and are updated in place (the merge's
+    full-width branch writes through the row views). ``dist_fn(qs, qe,
+    cs, ce)`` returns the freshly-allocated dist block for that
+    (query-block × corpus-chunk) — the mask writes into it."""
+    qtype, vv, ll, rr = qpred
+    nq = best_d.shape[0]
+    nb = len(ids64)
+    for qs in range(0, nq, QBLOCK):
+        qe = min(qs + QBLOCK, nq)
+        t = qtype[qs:qe, None]
+        is0, is1 = t == 0, t == 1
+        is2, is3 = t == 2, t == 3
+        chunk = max(2 * keep, SIM_ELEMS // max(qe - qs, 1))
+        bd, bi = best_d[qs:qe], best_i[qs:qe]  # views; merge writes through
+        for cs in range(0, nb, chunk):
+            ce = min(cs + chunk, nb)
+            d = dist_fn(qs, qe, cs, ce)
+            cat_ok = cats[None, cs:ce] == vv[qs:qe, None]
+            ts_ok = (ts[None, cs:ce] >= ll[qs:qe, None]) & (
+                ts[None, cs:ce] <= rr[qs:qe, None]
+            )
+            mask = is0 | (is1 & cat_ok) | (is2 & ts_ok) | (is3 & cat_ok & ts_ok)
+            d[~mask] = sentinel
+            running_topk_merge(bd, bi, d, ids64[cs:ce], keep)
+
+
+def resolve_topk_rows(
+    best_d: np.ndarray, best_i: np.ndarray, out_k: int, sentinel
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-wise exact (dist, id) order over the kept set → the first
+    ``out_k`` columns, vectorized (stable argsort by id then by dist ≡
+    per-row lexsort; sentinel entries sort last). Returns (d, i, finite)
+    matrices of width ≤out_k."""
+    rows = np.arange(best_d.shape[0])[:, None]
+    o1 = np.argsort(best_i, axis=1, kind="stable")
+    d1, i1 = best_d[rows, o1], best_i[rows, o1]
+    o2 = np.argsort(d1, axis=1, kind="stable")[:, :out_k]
+    d2, i2 = d1[rows, o2], i1[rows, o2]
+    fin = np.isfinite(d2) if np.isinf(sentinel) else (d2 < sentinel)
+    return d2, i2, fin
+
+
 def query_batches(queries: DataFrame, batch_rows: int = QUERY_BATCH_ROWS):
     """Stream the query table to the driver in bounded Row batches
     (``toLocalIterator`` holds one partition, not the whole table)."""
@@ -409,40 +481,22 @@ def _knn_exact_corpus_broadcast(
             nq = len(qid)
             if nq == 0:
                 continue
-            chunk = max(2 * (k + MERGE_PAD), (1 << 22) // max(nq, 1))
-            best_d = np.full((nq, 0), np.inf)
-            best_i = np.full((nq, 0), -1, dtype=np.int64)
-            qq = np.einsum("ij,ij->i", qv, qv)[:, None]
-            for cs in range(0, nb, chunk):
-                vc = vecs[cs : cs + chunk]
-                dists = qq + bb[:, cs : cs + chunk] - 2.0 * (qv @ vc.T)
-                np.maximum(dists, 0.0, out=dists)
-                cat_ok = cats[None, cs : cs + chunk] == vv[:, None]
-                ts_ok = (ts[None, cs : cs + chunk] >= ll[:, None]) & (
-                    ts[None, cs : cs + chunk] <= rr[:, None]
-                )
-                mask = (
-                    (qtype[:, None] == 0)
-                    | ((qtype[:, None] == 1) & cat_ok)
-                    | ((qtype[:, None] == 2) & ts_ok)
-                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
-                )
-                dists = np.where(mask, dists, np.inf)
-                best_d, best_i = running_topk_merge(
-                    best_d, best_i, dists, ids[cs : cs + chunk], k + MERGE_PAD
-                )
-            if best_d.shape[1] == 0:
-                continue
-            # vectorized row-wise (dist, id) sort: stable argsort by id
-            # then by dist ≡ lexsort; inf (masked) entries land last in
-            # every row, so the finite entries' ranks are their column
-            # index + 1 — no per-query Python loop at 100k+ queries
-            rows = np.arange(nq)[:, None]
-            o1 = np.argsort(best_i, axis=1, kind="stable")
-            d1, i1 = best_d[rows, o1], best_i[rows, o1]
-            o2 = np.argsort(d1, axis=1, kind="stable")[:, :k]
-            d2, i2 = d1[rows, o2], i1[rows, o2]
-            finite = np.isfinite(d2)
+            keep = k + MERGE_PAD
+            best_d = np.full((nq, keep), np.inf)
+            best_i = np.full((nq, keep), -1, dtype=np.int64)
+            qq = np.einsum("ij,ij->i", qv, qv)
+
+            def dist_fn(qs, qe, cs, ce):
+                d = qq[qs:qe, None] + bb[:, cs:ce] - 2.0 * (qv[qs:qe] @ vecs[cs:ce].T)
+                np.maximum(d, 0.0, out=d)
+                return d
+
+            blocked_masked_topk(
+                best_d, best_i, (qtype, vv, ll, rr), ids, cats, ts, dist_fn, keep, np.inf
+            )
+            # finite entries' ranks are their column index + 1 after the
+            # row-wise (dist, id) resolve — no per-query Python loop
+            d2, i2, finite = resolve_topk_rows(best_d, best_i, k, np.inf)
             rnks = np.broadcast_to(
                 np.arange(1, d2.shape[1] + 1, dtype=np.int64)[None, :], d2.shape
             )
@@ -462,8 +516,11 @@ def _knn_exact_corpus_broadcast(
             )
 
     qdf = queries.select("query_id", "query_type", "v", "l", "r", "qvec")
+    # pin the task count (see _sq8_corpus_broadcast: AQE would coalesce
+    # a small shuffled query side to one partition, serializing the
+    # kernel; a thin file source under-splits it)
     target = spark.sparkContext.defaultParallelism
-    if qdf.rdd.getNumPartitions() < target:
+    if qdf.rdd.getNumPartitions() != target:
         qdf = qdf.repartition(target)
     return qdf.mapInArrow(kernel, "query_id long, id long, rnk long")
 
@@ -533,57 +590,43 @@ def knn_exact_arrow(
     def partial_topk(bc, batches):
         qm, qv = bc.value
         qid = qm[:, 0].astype(np.int64)
-        qtype = qm[:, 1].astype(np.int64)
-        vv, ll, rr = qm[:, 2], qm[:, 3], qm[:, 4]
+        qpred = (qm[:, 1].astype(np.int64), qm[:, 2], qm[:, 3], qm[:, 4])
         nq = len(qid)
-        # chunk ≥ 2(k+PAD) so the running merge below strictly shrinks;
-        # the (1<<22)//nq term bounds the dist block to ≈32 MB
-        chunk = max(2 * (k + MERGE_PAD), (1 << 22) // max(nq, 1))
+        if nq == 0:
+            return
+        keep = k + MERGE_PAD
         # running per-partition top-k (dist, id) per query — emitted
         # ONCE at partition end. Emitting per chunk is wrong when the
         # chunk is narrower than k: min(k, chunk) keeps every row and
         # the "partial top-k" degenerates to all pairs.
-        best_d = np.full((nq, 0), np.inf)
-        best_i = np.full((nq, 0), -1, dtype=np.int64)
+        best_d = np.full((nq, keep), np.inf)
+        best_i = np.full((nq, keep), -1, dtype=np.int64)
+        qq = np.einsum("ij,ij->i", qv, qv)
+        saw = False
         for tbl in batches:
-            ids_all = tbl.column("id").to_numpy(zero_copy_only=False)
+            ids_all = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(ids_all):
+                continue
+            saw = True
             cats_all = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.float64)
             ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
             vecs_all = list_column_matrix(tbl, "vec")
-            for cs in range(0, vecs_all.shape[0], chunk):
-                ids = ids_all[cs : cs + chunk]
-                cats = cats_all[cs : cs + chunk]
-                ts = ts_all[cs : cs + chunk]
-                vecs = vecs_all[cs : cs + chunk]
-                # one GEMM for the (query-batch × row-chunk) block
-                qq = np.einsum("ij,ij->i", qv, qv)[:, None]
-                bb = np.einsum("ij,ij->i", vecs, vecs)[None, :]
-                dists = qq + bb - 2.0 * (qv @ vecs.T)
-                np.maximum(dists, 0.0, out=dists)
-                # type-dispatched predicate mask (Filter functor, searcher.hpp:23-44)
-                cat_ok = cats[None, :] == vv[:, None]
-                ts_ok = (ts[None, :] >= ll[:, None]) & (ts[None, :] <= rr[:, None])
-                mask = (
-                    (qtype[:, None] == 0)
-                    | ((qtype[:, None] == 1) & cat_ok)
-                    | ((qtype[:, None] == 2) & ts_ok)
-                    | ((qtype[:, None] == 3) & cat_ok & ts_ok)
-                )
-                dists = np.where(mask, dists, np.inf)
-                best_d, best_i = running_topk_merge(
-                    best_d, best_i, dists, ids.astype(np.int64), k + MERGE_PAD
-                )
-        if best_d.shape[1]:
-            # resolve the (dist, id) boundary before emitting: row-wise
-            # stable sort by id then by dist ≡ lexsort((id, dist)), so
-            # the ≤k rows shipped per query are the exact partial top-k
-            # — the slack columns never reach the shuffle
-            rows = np.arange(nq)[:, None]
-            o1 = np.argsort(best_i, axis=1, kind="stable")
-            d1, i1 = best_d[rows, o1], best_i[rows, o1]
-            o2 = np.argsort(d1, axis=1, kind="stable")[:, :k]
-            d2, i2 = d1[rows, o2], i1[rows, o2]
-            finite = np.isfinite(d2)
+            bb = np.einsum("ij,ij->i", vecs_all, vecs_all)
+
+            def dist_fn(qs, qe, cs, ce):
+                # one GEMM per (query-block × row-chunk)
+                d = qq[qs:qe, None] + bb[None, cs:ce] - 2.0 * (qv[qs:qe] @ vecs_all[cs:ce].T)
+                np.maximum(d, 0.0, out=d)
+                return d
+
+            blocked_masked_topk(
+                best_d, best_i, qpred, ids_all, cats_all, ts_all, dist_fn, keep, np.inf
+            )
+        if saw:
+            # resolve the (dist, id) boundary before emitting, so the
+            # ≤k rows shipped per query are the exact partial top-k —
+            # the slack columns never reach the shuffle
+            d2, i2, finite = resolve_topk_rows(best_d, best_i, k, np.inf)
             rq = np.broadcast_to(qid[:, None], d2.shape)[finite]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rq), pa.array(i2[finite]), pa.array(d2[finite])],

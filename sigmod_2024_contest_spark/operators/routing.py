@@ -37,6 +37,17 @@ ROUTE_CAT_GRAPH = "cat_graph"
 ROUTE_TIME_GRAPH = "time_graph"
 ROUTE_GLOBAL_GRAPH = "global_graph"
 
+# Cost-based addition to the reference ladder: a type-0 query has no
+# predicate, so its "graph" route fans out to EVERY decile shard — the
+# whole corpus in code space plus nshards×150 candidate rows through
+# the pool shuffle. When the corpus is small enough for the bf branch's
+# fused corpus-broadcast plan (== knn.CORPUS_BC_MAX_ROWS — one
+# zero-shuffle GEMM kernel, exact result), that plan strictly dominates
+# the fan-out, so route type-0 to bf below this corpus size. At 100 TB
+# (corpus ≫ this bound) type-0 keeps the reference's graph route —
+# there the sublinear beam beats any scan.
+BF_ALL_MAX_ROWS = 200_000
+
 # ts histogram resolution for routing selectivity: bin mass ≈ 0.1 % of
 # the corpus — far below every routing threshold — while keeping the
 # stats table bounded at |cats|×1000 rows for any corpus size (the
@@ -62,6 +73,10 @@ def route_plan(
     thr = F.when(F.col("query_type") == 3, F.lit(BF_THR_T3)).otherwise(F.lit(BF_THR))
     route = (
         F.when(frac < thr, F.lit(ROUTE_BF))
+        .when(
+            (F.col("query_type") == 0) & (F.col("n_total") <= BF_ALL_MAX_ROWS),
+            F.lit(ROUTE_BF),
+        )
         .when(F.col("query_type").isin(1, 3), F.lit(ROUTE_CAT_GRAPH))
         .when(F.col("query_type") == 2, F.lit(ROUTE_TIME_GRAPH))
         .otherwise(F.lit(ROUTE_GLOBAL_GRAPH))
@@ -78,6 +93,7 @@ SELECT query_id, query_type, sel_num, n_total,
        CASE
          WHEN sel_num::DOUBLE / n_total::DOUBLE <
               (CASE WHEN query_type = 3 THEN {BF_THR_T3} ELSE {BF_THR} END) THEN '{ROUTE_BF}'
+         WHEN query_type = 0 AND n_total <= {BF_ALL_MAX_ROWS} THEN '{ROUTE_BF}'
          WHEN query_type IN (1, 3) THEN '{ROUTE_CAT_GRAPH}'
          WHEN query_type = 2 THEN '{ROUTE_TIME_GRAPH}'
          ELSE '{ROUTE_GLOBAL_GRAPH}'
