@@ -106,11 +106,13 @@ def _contest_bench(spark) -> dict[str, float]:
             base, graph_min_nodes=engine.GEMM_SHARD_THR, alpha=alpha
         ).persist(StorageLevel.MEMORY_AND_DISK)
         index.count()
+        catalog = engine.shard_catalog(index)  # build-phase metadata
         out["contest_run_hybrid_build"] = round(_t.time() - t0, 3)
         t0 = _t.time()
         plan = routing.route_plan(base, queries, stats=st).persist()
         res = engine.knn_hybrid(
-            spark, base, queries, k=100, index=index, plan=plan, alpha=alpha
+            spark, base, queries, k=100, index=index, plan=plan, alpha=alpha,
+            catalog=catalog,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         res.count()
         out["contest_run_hybrid"] = round(_t.time() - t0, 3)

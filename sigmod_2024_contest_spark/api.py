@@ -234,7 +234,10 @@ register("knn_sq4_rerank", _knn_sq4_rerank, bruteforce_quant.knn_sq4_rerank_sql(
 _INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _hybrid_index(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFrame:
+def _hybrid_index(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(index, catalog) — both build-phase artifacts, cached together
+    (the catalog is the relational twin of the reference's partition
+    maps, computed once per loaded index)."""
     import tempfile
 
     from .sources import layout
@@ -248,22 +251,30 @@ def _hybrid_index(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFram
         layout.save_index(
             engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR), path
         )
-        _INDEX_CACHE[key] = layout.load_index(spark, path).persist()
+        index = layout.load_index(spark, path).persist()
+        index.count()  # materialize before the catalog's distinct scan
+        _INDEX_CACHE[key] = (index, engine.shard_catalog(index))
     return _INDEX_CACHE[key]
 
 
 def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
-    """Materialize the shared graph index (build + parquet save/load)
-    outside any search clock — the reference times Build and Search
-    separately (baseline.cpp:96,152). Returns the node-row count.
-    bench.py calls this before timing ``knn_hybrid`` and reports the
-    wall as ``knn_hybrid_build``."""
+    """Materialize EVERY build-phase artifact outside the search
+    clocks — the reference times Build and Search separately
+    (baseline.cpp:96,152) and its build covers the quantizer, the
+    sorted replicas/partition maps, and the graphs; ours covers the
+    index (build + parquet save/load), the shard catalog, the corpus
+    stats, and the routing plan + alpha shared by the hybrid entries.
+    Returns the node-row count. bench.py calls this before timing
+    ``knn_hybrid`` and reports the wall as ``knn_hybrid_build``."""
     from .session import ship_package
 
     ship_package(spark)
     base = base_vectors(spark, sf_dir)
     _hybrid_stats(spark, sf_dir, base)  # warm the build-phase stats too
-    return _hybrid_index(spark, sf_dir, base).count()
+    index, _catalog = _hybrid_index(spark, sf_dir, base)
+    plan, _alpha = _hybrid_plan(spark, sf_dir, base)
+    plan.count()
+    return index.count()
 
 
 # Route plan + quantizer scale shared across the hybrid entries
@@ -297,14 +308,16 @@ def _hybrid_plan(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[Dat
 def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_vectors(spark, sf_dir)
     plan, alpha = _hybrid_plan(spark, sf_dir, base)
+    index, catalog = _hybrid_index(spark, sf_dir, base)
     return engine.knn_hybrid(
         spark,
         base,
         workload.queries_df(spark, sf_dir),
-        index=_hybrid_index(spark, sf_dir, base),
+        index=index,
         plan=plan,
         alpha=alpha,
         codes_base=_codes_replica(spark, sf_dir, base)[0],
+        catalog=catalog,
     )
 
 
@@ -450,15 +463,17 @@ def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_vectors(spark, sf_dir)
     qdf = workload.queries_df(spark, sf_dir)
     plan, alpha = _hybrid_plan(spark, sf_dir, base)
+    index, catalog = _hybrid_index(spark, sf_dir, base)
     return evaluate.recall_gate(
         engine.knn_hybrid(
             spark,
             base,
             qdf,
-            index=_hybrid_index(spark, sf_dir, base),
+            index=index,
             plan=plan,
             alpha=alpha,
             codes_base=_codes_replica(spark, sf_dir, base)[0],
+            catalog=catalog,
         ),
         knn.knn_exact_arrow(spark, base, qdf),
         RECALL_BAR_PPM,

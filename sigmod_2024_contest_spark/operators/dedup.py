@@ -538,10 +538,10 @@ def cosine_pairs_lsh(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
 
     Verify runs as a Catalyst fold (not a NumPy GEMM) so the emitted
     cos_ppm is bit-identical to the DuckDB oracle's list_sum fold."""
-    from .similarity import _bucket_expr, n_planes_for
+    from .similarity import _bucket_expr, n_planes_for_pairs
 
     tau = tau_ppm / 1e6
-    planes = n_planes_for(emb.count())
+    planes = n_planes_for_pairs(emb.count())
     wb = emb.select("vec_id", _bucket_expr("embedding", planes).alias("bucket"))
     probes = wb.select(
         "vec_id",
@@ -564,28 +564,32 @@ def cosine_pairs_lsh(emb: DataFrame, tau_ppm: int = 400_000) -> DataFrame:
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    eb = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
-
     def _fold_sum(col: F.Column) -> F.Column:
         return F.aggregate(col, F.lit(0.0), lambda a, v: a + v)
+
+    # per-DOC norms once (n rows), not per pair — the fold expression is
+    # identical, so the value (and the oracle hash) is unchanged while
+    # two of the three per-pair folds disappear from the verify
+    nrm = F.sqrt(
+        _fold_sum(F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")))
+    )
+    ea = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), nrm.alias("n1"))
+    eb = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), nrm.alias("n2"))
 
     dot = _fold_sum(
         F.zip_with(F.col("e1"), F.col("e2"), lambda x, y: x.cast("double") * y.cast("double"))
     )
-    n1 = F.sqrt(_fold_sum(F.transform(F.col("e1"), lambda x: x.cast("double") * x.cast("double"))))
-    n2 = F.sqrt(_fold_sum(F.transform(F.col("e2"), lambda x: x.cast("double") * x.cast("double"))))
     return (
         cand.join(ea, "d1")
         .join(eb, "d2")
-        .select("d1", "d2", (dot / (n1 * n2)).alias("cos"))
+        .select("d1", "d2", (dot / (F.col("n1") * F.col("n2"))).alias("cos"))
         .filter(F.col("cos") >= tau)
         .select("d1", "d2", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_ppm"))
     )
 
 
 def cosine_pairs_lsh_sql(tau_ppm: int = 400_000) -> str:
-    from .similarity import N_PLANES_MAX, _bucket_sql, n_planes_cte
+    from .similarity import N_PLANES_MAX, _bucket_sql, n_planes_pairs_cte
 
     bucket = _bucket_sql("embedding")
     probe_terms = ["SELECT vec_id, bucket AS probe FROM wb"] + [
@@ -607,7 +611,7 @@ def cosine_pairs_lsh_sql(tau_ppm: int = 400_000) -> str:
         "k -> eb.embedding[k]::DOUBLE * eb.embedding[k]::DOUBLE)))"
     )
     return f"""
-WITH lshnp AS ({n_planes_cte()}),
+WITH lshnp AS ({n_planes_pairs_cte()}),
 wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings, lshnp),
 probes AS ({probes}),
 cand AS (

@@ -760,6 +760,7 @@ def knn_hybrid(
     plan: DataFrame | None = None,
     alpha: float | None = None,
     codes_base: DataFrame | None = None,
+    catalog: DataFrame | None = None,
 ) -> DataFrame:
     """The full BatchSearch pipeline: route → bf/graph branches →
     global top-k. Returns (query_id, id, rnk).
@@ -771,6 +772,9 @@ def knn_hybrid(
     ``codes_base``: persisted SQ8(alpha) codes replica for the bf route
     (B10, hybrid_graph.cpp:505-524) — the candidate scan then reads
     codes only instead of re-encoding the float column.
+    ``catalog``: precomputed ``shard_catalog(index)`` — build-phase
+    metadata; pass it so repeated searches of one loaded index skip the
+    distinct-pkey collect.
     """
     if plan is None:
         plan = routing.route_plan(base, queries).cache()
@@ -789,14 +793,16 @@ def knn_hybrid(
         # once (inside the search cogroup) — nothing to persist
         splan = _shard_plan(base, routing.CAT_GRAPH_THR, MAX_NODES_PER_GRAPH)
         index = build_index(base, graph_min_nodes=gemm_thr, shard_plan=splan, alpha=alpha)
-        catalog = catalog_from_plan(spark, splan)
+        if catalog is None:
+            catalog = catalog_from_plan(spark, splan)
     else:
         # externally supplied (e.g. loaded from parquet): the catalog
         # must come from the data; persist so the distinct-pkey scan
         # does not rebuild the index a second time for the cogroup
         if not index.is_cached:
             index = index.persist()
-        catalog = shard_catalog(index)
+        if catalog is None:
+            catalog = shard_catalog(index)
     assigns = _assignments(queries, plan, catalog)
     cands = graph_search(index, assigns, k=k, alpha=alpha, ef=ef, gemm_thr=gemm_thr)
     # Candidate pool (hybrid_graph.cpp phase 4/5: per-query k=150 heap
@@ -808,23 +814,20 @@ def knn_hybrid(
     # query searches every decile shard; without this the join is 10×
     # wider). WindowGroupLimit pushes the rank filter map-side.
     pool_k = max(k, int(math.ceil(SHARD_REFINE_MULT * k)))
-    wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
-    pool = (
-        cands.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") <= pool_k)
-        .drop("crnk")
-    )
     # K12 exact re-rank (hybrid_graph.cpp:207-228 / quant reorder):
     # the index is codes-only, so candidate ranks are approximate —
-    # fetch float vecs for the pooled candidates ONLY (nq × 1.5k rows,
-    # independent of corpus size AND shard count) and rank by exact
-    # L2. knn.exact_rerank picks the physical plan: corpus-broadcast
-    # lookup when the base fits, candidates-only join + window when it
-    # doesn't. No dedup shuffle: (query_id, id) pairs are unique by
-    # construction — cat-routed queries search only their category
-    # slice, decile-routed ones only deciles (which partition the
-    # corpus), and sub-shards split disjointly by id % nshards.
+    # pool to nq × 1.5k code-space candidates (independent of shard
+    # fan-out) and rank the pooled rows by exact L2.
+    # knn.exact_rerank_pooled picks the physical plan: on a
+    # broadcastable base the pool cut and the re-rank fuse into ONE
+    # kernel behind a single groupBy (no row_number window, no second
+    # candidate shuffle); on a 100 TB base it is the window pool + the
+    # candidates-only join. No dedup shuffle either way: (query_id, id)
+    # pairs are unique by construction — cat-routed queries search only
+    # their category slice, decile-routed ones only deciles (which
+    # partition the corpus), and sub-shards split disjointly by
+    # id % nshards.
     from . import knn
 
-    graph_res = knn.exact_rerank(base, queries, pool.select("query_id", "id"), k)
+    graph_res = knn.exact_rerank_pooled(base, queries, cands, k, pool_k)
     return bf_res.unionByName(graph_res)

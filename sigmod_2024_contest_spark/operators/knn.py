@@ -416,6 +416,111 @@ def exact_rerank(
     return grouped.mapInArrow(kernel, "query_id long, id long, rnk long")
 
 
+def exact_rerank_pooled(
+    base: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    pool_k: int,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """Global code-space pool + K12 exact re-rank in ONE pass over the
+    candidate rows ``(query_id, id, cdist)``.
+
+    Small corpus (≤ CORPUS_BC_MAX_ROWS): the per-query pool cut and the
+    exact re-rank fuse into one kernel fed by a single
+    groupBy(query_id) — the separate row_number window (a second full
+    shuffle + sort of the candidate volume) disappears; pooling is an
+    in-kernel lexsort. Large corpus: falls back to the window pool +
+    ``exact_rerank`` join — the plan that never broadcasts the corpus."""
+    spark = base.sparkSession
+    if corpus_rows is None:
+        corpus_rows = base.count()
+    if corpus_rows > CORPUS_BC_MAX_ROWS:
+        wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
+        pool = (
+            cands.withColumn("crnk", F.row_number().over(wc))
+            .filter(F.col("crnk") <= pool_k)
+            .select("query_id", "id")
+        )
+        return exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows)
+    pdf = base.select("id", "vec").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "query_id long, id long, rnk long")
+    ids = pdf["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+    bc = spark.sparkContext.broadcast((ids_s, V))
+
+    grouped = (
+        cands.groupBy("query_id")
+        .agg(F.collect_list(F.struct("id", "cdist")).alias("pc"))
+        .join(queries.select("query_id", "qvec"), "query_id")
+    )
+
+    out_type = pa.schema(
+        [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("rnk", pa.int64())]
+    )
+
+    def _group_ranks(keys_row: np.ndarray) -> np.ndarray:
+        """Ranks 0.. within each contiguous run of keys_row."""
+        n = len(keys_row)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        new = np.concatenate([[True], keys_row[1:] != keys_row[:-1]])
+        gstart = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        return np.arange(n) - gstart
+
+    def kernel(batches):
+        ids_s, V_ = bc.value
+        bbV = np.einsum("ij,ij->i", V_, V_)
+        for tbl in batches:
+            if tbl.num_rows == 0:
+                continue
+            qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pc = tbl.column("pc")
+            if hasattr(pc, "combine_chunks"):
+                pc = pc.combine_chunks()
+            off = pc.offsets.to_numpy()
+            lens = np.diff(off)
+            sl = slice(off[0], off[-1])
+            cand_ids = pc.values.field("id").to_numpy(zero_copy_only=False).astype(np.int64)[sl]
+            cd = pc.values.field("cdist").to_numpy(zero_copy_only=False)[sl]
+            qvm = list_column_matrix(tbl, "qvec")
+            rowi = np.repeat(np.arange(len(qid)), lens)
+            # pool: per-query top-pool_k by (cdist, id) — candidate
+            # (query, id) pairs are unique by construction upstream
+            o = np.lexsort((cand_ids, cd, rowi))
+            keep = _group_ranks(rowi[o]) < pool_k
+            sel = o[keep]
+            rowi2, pids = rowi[sel], cand_ids[sel]
+            pos = np.searchsorted(ids_s, pids)
+            sub = V_[pos]
+            qq = np.einsum("ij,ij->i", qvm, qvm)
+            d = qq[rowi2] + bbV[pos] - 2.0 * np.einsum("ij,ij->i", sub, qvm[rowi2])
+            np.maximum(d, 0.0, out=d)
+            o2 = np.lexsort((pids, d, rowi2))
+            rnk = _group_ranks(rowi2[o2])
+            keep2 = rnk < k
+            sel2 = o2[keep2]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[rowi2[sel2]]),
+                    pa.array(pids[sel2]),
+                    pa.array((rnk[keep2] + 1).astype(np.int64)),
+                ],
+                schema=out_type,
+            )
+
+    # grouped rows are few but fat; AQE would pack them into ~64 MB
+    # tasks — pin the task count so the lexsort/GEMM work spreads
+    target = spark.sparkContext.defaultParallelism
+    if grouped.rdd.getNumPartitions() != target:
+        grouped = grouped.repartition(target)
+    return grouped.mapInArrow(kernel, "query_id long, id long, rnk long")
+
+
 # ---------------------------------------------------------------------------
 # Arrow scale path
 # ---------------------------------------------------------------------------

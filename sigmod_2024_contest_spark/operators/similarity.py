@@ -58,6 +58,35 @@ def n_planes_cte(table: str = "embeddings") -> str:
     )
 
 
+def n_planes_for_pairs(n_rows: int) -> int:
+    """Plane count for PAIR-generating blocking (the dedup candidate
+    self-join): its volume is quadratic in probe-bucket occupancy —
+    ≈ n²(p+1)²/2^(p+1) pairs — so sizing to rows/bucket alone (as
+    :func:`n_planes_for` does for the query→bucket ANN join, whose
+    cost is linear in occupancy) leaves pairs growing linearly with
+    the corpus. Pick the smallest p with n·(p+1)² ≤ T·2^(p+1), i.e.
+    ~T/2 candidate pairs per row regardless of corpus size. Integer
+    compares only — the SQL oracle derives the identical count."""
+    p = N_PLANES_MIN
+    while p < N_PLANES_MAX and n_rows * (p + 1) * (p + 1) > (
+        TARGET_ROWS_PER_BUCKET << (p + 1)
+    ):
+        p += 1
+    return p
+
+
+def n_planes_pairs_cte(table: str = "embeddings") -> str:
+    """SQL twin of :func:`n_planes_for_pairs` (alias it ``lshnp``)."""
+    whens = " ".join(
+        f"WHEN cnt * {(p + 1) * (p + 1)} <= {TARGET_ROWS_PER_BUCKET << (p + 1)} THEN {p}"
+        for p in range(N_PLANES_MIN, N_PLANES_MAX)
+    )
+    return (
+        f"SELECT CASE {whens} ELSE {N_PLANES_MAX} END AS n "
+        f"FROM (SELECT count(*) AS cnt FROM {table})"
+    )
+
+
 def _plane(j: int, dim: int = DIM) -> list[float]:
     """Deterministic pseudo-random hyperplane (portable LCG)."""
     return [

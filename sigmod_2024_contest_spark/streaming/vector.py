@@ -111,11 +111,13 @@ def knn_stream_indexed(
     if not index.is_cached:
         index = index.persist()
     stats = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
+    catalog = engine.shard_catalog(index)  # once per stream, not per batch
 
     def answer(batch_df: DataFrame, batch_id: int) -> None:
         plan = routing.route_plan(base, batch_df, stats=stats)
         res = engine.knn_hybrid(
-            spark, base, batch_df, k=k, index=index, plan=plan, alpha=alpha
+            spark, base, batch_df, k=k, index=index, plan=plan, alpha=alpha,
+            catalog=catalog,
         )
         (
             res.withColumn("batch_id", F.lit(batch_id))

@@ -96,7 +96,10 @@ def test_codes_replica_scan_is_codes_only_and_matches(spark, tmp_path):
     layout.write_replicas(base, out, alpha=alpha)
     codes_base = layout.read_codes_base(spark, out)
 
-    res = bruteforce_sq8.knn_sq8_rerank(base, q, alpha, codes_base=codes_base)
+    # force_scan pins the query-broadcast codes-scan plan (the 100 TB
+    # shape this test asserts); without it a smoke-scale corpus flips
+    # to the fused corpus-broadcast plan, which has no codes scan
+    res = bruteforce_sq8.knn_sq8_rerank(base, q, alpha, codes_base=codes_base, force_scan=True)
     plan = res._jdf.queryExecution().executedPlan().toString()
     # the replica scan is the one reading array<tinyint> codes (the
     # Location string is truncated by Spark, so key on ReadSchema);
