@@ -50,6 +50,21 @@ def _contest_paths() -> tuple[str, str]:
     return bp, qp
 
 
+def _sweep(spark) -> None:
+    """Release cross-entry memory pressure between bench sections:
+    driver-side references (chunked scans localCheckpoint eagerly; the
+    blocks live until their RDDs are GC'd) and a JVM full GC so one
+    section's garbage is not the next section's pause. Outside every
+    timing clock."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _contest_bench(spark) -> dict[str, float]:
     """Wall clocks for the contest .bin pipeline at 100k queries:
 
@@ -82,6 +97,7 @@ def _contest_bench(spark) -> dict[str, float]:
     # size shuffle partitions to THAT data volume, restore after
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "128")
+    _sweep(spark)
     t0 = _t.time()
     try:
         contest.contest_run(spark, bp, qp, k=100, mode="exact").count()
@@ -91,6 +107,7 @@ def _contest_bench(spark) -> dict[str, float]:
         out["contest_run_exact"] = -1.0
     base = bin_format.read_base_bin(spark, bp).persist(StorageLevel.MEMORY_AND_DISK)
     queries = bin_format.read_queries_bin(spark, qp)
+    _sweep(spark)
     t0 = _t.time()
     try:
         knn.knn_exact_arrow(spark, base, queries, k=100, force_query_broadcast=True).count()
@@ -99,6 +116,7 @@ def _contest_bench(spark) -> dict[str, float]:
         print(f"bench: contest_run_exact_scan failed: {e}", file=sys.stderr)
         out["contest_run_exact_scan"] = -1.0
     try:
+        _sweep(spark)
         t0 = _t.time()
         st = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
         alpha = Q.train_alpha(base)
@@ -108,6 +126,7 @@ def _contest_bench(spark) -> dict[str, float]:
         index.count()
         catalog = engine.shard_catalog(index)  # build-phase metadata
         out["contest_run_hybrid_build"] = round(_t.time() - t0, 3)
+        _sweep(spark)
         t0 = _t.time()
         plan = routing.route_plan(base, queries, stats=st).persist()
         res = engine.knn_hybrid(
@@ -198,8 +217,11 @@ def main() -> None:
         print(f"bench: knn_hybrid_build failed: {e}", file=sys.stderr)
         prep["knn_hybrid_build"] = -1.0
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
+        gc.collect()  # one entry's droppable refs are not the next one's pause
         t0 = time.time()
         try:
             n = reg[name](spark, SF_DIR).count()

@@ -97,3 +97,54 @@ def test_exact_rerank_paths_identical(spark):
     )
     assert bcast == joined
     assert len(bcast) == q.count() * 10
+
+
+def test_sq8_paths_identical(spark):
+    """knn_sq8_rerank's two physical plans — the fused corpus-broadcast
+    kernel (small base) and the query-broadcast codes scan + pool
+    window + K12 rerank (the 100 TB shape) — must emit identical rows,
+    and both must match the fully-declarative variant."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import bruteforce_sq8
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base)
+    fused = rows_set(bruteforce_sq8.knn_sq8_rerank(base, q, alpha).collect())
+    scan = rows_set(
+        bruteforce_sq8.knn_sq8_rerank(base, q, alpha, force_scan=True).collect()
+    )
+    expr = rows_set(bruteforce_sq8.knn_sq8_rerank_expr(base, q, alpha).collect())
+    assert fused == scan == expr
+
+
+def test_exact_rerank_pooled_paths_identical(spark):
+    """exact_rerank_pooled's fused groupBy kernel vs the window pool +
+    exact_rerank fallback: same candidate rows in, identical final
+    rows out."""
+    from pyspark.sql import functions as F
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    # synthetic candidates: every query × 40 base ids, code distance =
+    # a deterministic shuffle so pooling has real work to do
+    cands = (
+        q.select("query_id")
+        .crossJoin(base.select("id").orderBy("id").limit(40))
+        .select(
+            "query_id",
+            "id",
+            ((F.col("id") * 7919 + F.col("query_id")) % 1000).cast("long").alias("cdist"),
+        )
+    )
+    fused = sorted(
+        map(tuple, knn.exact_rerank_pooled(base, q, cands, k=5, pool_k=12, corpus_rows=1).collect())
+    )
+    windowed = sorted(
+        map(
+            tuple,
+            knn.exact_rerank_pooled(base, q, cands, k=5, pool_k=12, corpus_rows=1 << 40).collect(),
+        )
+    )
+    assert fused == windowed
+    assert len(fused) == q.count() * 5
