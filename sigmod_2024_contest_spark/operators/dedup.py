@@ -658,22 +658,65 @@ FROM pairs WHERE cos >= {tau_ppm / 1e6}
 # ---------------------------------------------------------------------------
 
 
+# Below this many duplicate PAIRS, connected components runs as one
+# driver-side union-find over a single collect (two jobs total) instead
+# of the iterative join loop (~3 jobs/round): the pair set is the
+# OUTPUT of dedup — orders of magnitude smaller than the corpus — so
+# even 100 TB corpora usually land here. 5M pairs ≈ 80 MB collected.
+CC_DRIVER_MAX_PAIRS = 5_000_000
+
+
+def _cc_driver(pairs: DataFrame) -> DataFrame:
+    """Exact union-find over a collected pair list; same contract as
+    the distributed loop (cluster_id = min doc_id in the component)."""
+    import numpy as np
+
+    pdf = pairs.select("d1", "d2").toPandas()
+    a = pdf["d1"].to_numpy().astype(np.int64)
+    b = pdf["d2"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # nodes are sorted ⇒ min id wins
+    roots = np.array([find(i) for i in range(len(nodes))])
+    out = [(int(n), int(nodes[r])) for n, r in zip(nodes, roots)]
+    return pairs.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """(doc_id, cluster_id): connected components over duplicate pairs
     — the step that turns pairwise dedup output into the curation
     deliverable (cluster_id = min doc_id in the component ⇒ "keep the
     canonical doc, drop the rest" is a filter).
 
-    Iterative min-label propagation as repeated joins: each round every
-    node adopts the smallest label among itself and its neighbors, and
-    the driver stops at fixpoint (the convergence count is the one
-    scalar that crosses to the driver per round). Rounds needed =
-    component diameter; near-dup clusters are shallow (pairs share a
-    common near-identical text), so this converges in a handful of
+    Cost-based like every other two-plan op here: a pair set under
+    ``CC_DRIVER_MAX_PAIRS`` (the common case — pairs are dedup OUTPUT,
+    not corpus) collects once and resolves with driver union-find (two
+    jobs); larger pair sets run the distributed loop below.
+
+    The distributed plan is iterative min-label propagation as repeated
+    joins: each round every node adopts the smallest label among itself
+    and its neighbors, and the driver stops at fixpoint (the
+    convergence count is the one scalar that crosses to the driver per
+    round). Rounds needed = O(log diameter) via pointer jumping;
+    near-dup clusters are shallow, so this converges in a handful of
     rounds even when the pair set is 100 TB-scale. Each intermediate is
     persisted and replaces its parent so lineage stays O(1) deep —
     without that, iteration k would replay all k-1 prior shuffles.
     """
+    n_pairs = pairs.count()
+    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+        return _cc_driver(pairs)
     e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     # pairs are d1<d2-canonical, so the swapped union is already
     # duplicate-free — no distinct shuffle needed
