@@ -131,7 +131,7 @@ def _contest_bench(spark) -> dict[str, float]:
         plan = routing.route_plan(base, queries, stats=st).persist()
         res = engine.knn_hybrid(
             spark, base, queries, k=100, index=index, plan=plan, alpha=alpha,
-            catalog=catalog,
+            catalog=catalog, corpus_rows=st[1],
         ).persist(StorageLevel.MEMORY_AND_DISK)
         res.count()
         out["contest_run_hybrid"] = round(_t.time() - t0, 3)

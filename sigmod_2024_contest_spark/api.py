@@ -318,6 +318,7 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=alpha,
         codes_base=_codes_replica(spark, sf_dir, base)[0],
         catalog=catalog,
+        corpus_rows=_hybrid_stats(spark, sf_dir, base)[1],
     )
 
 
@@ -474,6 +475,7 @@ def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             alpha=alpha,
             codes_base=_codes_replica(spark, sf_dir, base)[0],
             catalog=catalog,
+            corpus_rows=_hybrid_stats(spark, sf_dir, base)[1],
         ),
         knn.knn_exact_arrow(spark, base, qdf),
         RECALL_BAR_PPM,

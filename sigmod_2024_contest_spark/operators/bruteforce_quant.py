@@ -73,8 +73,15 @@ def _int_cut_rerank(
     k: int,
     refine_k: int,
     batch_rows: int | None = None,
+    corpus_rows: int | None = None,
+    force_scan: bool = False,
 ) -> DataFrame:
     """Shared two-phase plan: integer code distance cut → exact re-rank.
+
+    Cost-based like ``knn_sq8_rerank``: a corpus at or under
+    ``knn.CORPUS_BC_MAX_ROWS`` flips to the fused corpus-broadcast plan
+    (``bruteforce_sq8.fused_quant_bc_search`` with these encoders);
+    ``force_scan`` pins the scan plan below.
 
     ONE codes scan per query batch; the kernel maintains a RUNNING
     per-partition (cdist, id) top-refine_k per query (same fix as
@@ -153,6 +160,12 @@ def _int_cut_rerank(
             schema=schema,
         )
 
+    if corpus_rows is None:
+        corpus_rows = base.count()
+    if corpus_rows <= knn.CORPUS_BC_MAX_ROWS and not force_scan:
+        from .bruteforce_sq8 import fused_quant_bc_search
+
+        return fused_quant_bc_search(base, queries, encode_q, encode_b, k, refine_k)
     cands = knn.chunked_broadcast_scan(
         base.select("id", "category", "ts", "vec"),
         queries.select("query_id", "query_type", "v", "l", "r", "qvec"),
@@ -160,6 +173,7 @@ def _int_cut_rerank(
         make_kernel,
         "query_id long, id long, cdist long",
         batch_rows or knn.QUERY_BATCH_ROWS,
+        scan_rows=corpus_rows,
     )
     if cands is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
@@ -169,7 +183,7 @@ def _int_cut_rerank(
         .filter(F.col("crnk") <= refine_k)
         .select("query_id", "id")
     )
-    return knn.exact_rerank(base, queries, pool, k)
+    return knn.exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows)
 
 
 def knn_asym_rerank(
@@ -180,6 +194,7 @@ def knn_asym_rerank(
     k: int = workload.K,
     refine_k: int = BF_REFINE_K,
     batch_rows: int | None = None,
+    force_scan: bool = False,
 ) -> DataFrame:
     """(query_id, id, rnk) — asymmetric-SQ8 brute force with exact
     re-rank (D4, distance.hpp:268-301): per-dim (min,max) grid, stored
@@ -194,6 +209,7 @@ def knn_asym_rerank(
         k,
         refine_k,
         batch_rows,
+        force_scan=force_scan,
     )
 
 
@@ -205,6 +221,7 @@ def knn_sq4_rerank(
     k: int = workload.K,
     refine_k: int = BF_REFINE_K,
     batch_rows: int | None = None,
+    force_scan: bool = False,
 ) -> DataFrame:
     """(query_id, id, rnk) — SQ4 brute force with exact re-rank (D5,
     distance.hpp:399-436): global (min,max) grid, symmetric integer
@@ -218,6 +235,7 @@ def knn_sq4_rerank(
         k,
         refine_k,
         batch_rows,
+        force_scan=force_scan,
     )
 
 

@@ -35,25 +35,30 @@ from ..plans import workload
 BF_REFINE_K = 140  # hybrid_graph.h:80
 
 
-def _sq8_corpus_broadcast(
+def fused_quant_bc_search(
     base: DataFrame,
     queries: DataFrame,
-    alpha: float,
+    encode_q,
+    encode_b,
     k: int,
     refine_k: int,
 ) -> DataFrame:
-    """Small-corpus plan: both phases fused in ONE kernel over query
-    partitions — zero shuffles, no candidate window, output is final.
+    """Small-corpus plan shared by every quantized brute force (SQ8
+    symmetric, asymmetric fixed-point, SQ4): both phases fused in ONE
+    kernel over query partitions — zero shuffles, no candidate window,
+    output is final.
 
-    The whole corpus (float vecs + their SQ8 codes, encoded once on the
-    driver) broadcasts to every *query* partition; each task runs the
-    quantized blocked GEMM cut to refine_k, then the exact float64
-    re-rank of its own candidates in place. The same cost-based side
-    selection as ``knn.knn_exact_arrow`` — below CORPUS_BC_MAX_ROWS the
-    corpus is the small join side, and at contest query counts (100k+)
-    partitioning the queries is what buys parallelism; the
-    query-broadcast scan would bottleneck on ~corpus_rows/4096 tasks
-    and push nq×refine_k×P rows through the merge window."""
+    The whole corpus (float vecs + integer codes from ``encode_b``,
+    encoded once on the driver) broadcasts to every *query* partition;
+    each task runs the quantized blocked GEMM cut to refine_k, then the
+    exact float64 re-rank of its own candidates in place. The same
+    cost-based side selection as ``knn.knn_exact_arrow`` — below
+    CORPUS_BC_MAX_ROWS the corpus is the small join side, and at
+    contest query counts (100k+) partitioning the queries is what buys
+    parallelism; the query-broadcast scan would bottleneck on
+    ~corpus_rows/4096 tasks and push nq×refine_k×P rows through the
+    merge window. ``encode_q``/``encode_b`` map float matrices onto a
+    shared integer grid (as in ``bruteforce_quant._int_cut_rerank``)."""
     import numpy as np
     import pyarrow as pa
 
@@ -70,14 +75,15 @@ def _sq8_corpus_broadcast(
     V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
     cats_s = pdf["category"].to_numpy().astype(np.float64)[order]
     ts_s = pdf["ts"].to_numpy().astype(np.float64)[order]
-    # pre-cast to float32 driver-side: values ≤127 are exact in f32 and
-    # code_l2_sqr_np's sgemm cast becomes a no-op in every task
-    codes_s = Q.encode_np(V, float(alpha)).astype(np.float32)
+    codes_s = encode_b(V)
+    if np.abs(codes_s).max(initial=0) <= 127:
+        # pre-cast so code_l2_sqr_np's sgemm cast is a no-op per task
+        # (values ≤127 are exact in f32); wider grids keep their ints
+        codes_s = codes_s.astype(np.float32)
     bc = spark.sparkContext.broadcast((ids_s, cats_s, ts_s, V, codes_s))
 
     PAD = 64
     big = np.int64(1) << 62
-    a = float(alpha)
     out_schema = pa.schema(
         [
             pa.field("query_id", pa.int64()),
@@ -100,7 +106,7 @@ def _sq8_corpus_broadcast(
             ll = tbl.column("l").to_numpy(zero_copy_only=False)
             rr = tbl.column("r").to_numpy(zero_copy_only=False)
             qv = list_column_matrix(tbl, "qvec")
-            qc = Q.encode_np(qv, a)
+            qc = encode_q(qv)
             keep = refine_k + PAD
             best_cd = np.full((nq, keep), big, dtype=np.int64)
             best_pi = np.full((nq, keep), -1, dtype=np.int64)
@@ -278,7 +284,15 @@ def knn_sq8_rerank(
         # fused small-corpus plan; codes re-derive from the broadcast
         # floats (bit-identical to encode_expr), so codes_base is only
         # a scan-plan artifact here
-        return _sq8_corpus_broadcast(base, queries, alpha, k, refine_k)
+        a = float(alpha)
+        return fused_quant_bc_search(
+            base,
+            queries,
+            lambda qm: Q.encode_np(qm, a),
+            lambda bm: Q.encode_np(bm, a),
+            k,
+            refine_k,
+        )
     cands = knn.chunked_broadcast_scan(
         scan,
         queries.select("query_id", "query_type", "v", "l", "r", "qvec"),

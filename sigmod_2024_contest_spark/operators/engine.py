@@ -761,6 +761,7 @@ def knn_hybrid(
     alpha: float | None = None,
     codes_base: DataFrame | None = None,
     catalog: DataFrame | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """The full BatchSearch pipeline: route → bf/graph branches →
     global top-k. Returns (query_id, id, rnk).
@@ -774,8 +775,11 @@ def knn_hybrid(
     codes only instead of re-encoding the float column.
     ``catalog``: precomputed ``shard_catalog(index)`` — build-phase
     metadata; pass it so repeated searches of one loaded index skip the
-    distinct-pkey collect.
+    distinct-pkey collect. ``corpus_rows``: base row count when known
+    (build-phase stat) — skips two count jobs in the search clock.
     """
+    if corpus_rows is None:
+        corpus_rows = base.count()
     if plan is None:
         plan = routing.route_plan(base, queries).cache()
     bf_queries = queries.join(
@@ -784,7 +788,7 @@ def knn_hybrid(
     if alpha is None:
         alpha = Q.train_alpha(base)
     bf_res = bruteforce_sq8.knn_sq8_rerank(
-        base, bf_queries, alpha, k=k, codes_base=codes_base
+        base, bf_queries, alpha, k=k, codes_base=codes_base, corpus_rows=corpus_rows
     ).select("query_id", "id", "rnk")
 
     if index is None:
@@ -829,5 +833,5 @@ def knn_hybrid(
     # id % nshards.
     from . import knn
 
-    graph_res = knn.exact_rerank_pooled(base, queries, cands, k, pool_k)
+    graph_res = knn.exact_rerank_pooled(base, queries, cands, k, pool_k, corpus_rows=corpus_rows)
     return bf_res.unionByName(graph_res)

@@ -148,3 +148,22 @@ def test_exact_rerank_pooled_paths_identical(spark):
     )
     assert fused == windowed
     assert len(fused) == q.count() * 5
+
+
+def test_quant_variants_paths_identical(spark):
+    """asym/SQ4 inherit the same cost-based twin plans via
+    _int_cut_rerank — fused corpus-broadcast vs forced codes scan must
+    be row-identical for both grids."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import bruteforce_quant as BQ
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    mins, maxs = Q.train_minmax(base, "vec")
+    assert rows_set(BQ.knn_asym_rerank(base, q, mins, maxs).collect()) == rows_set(
+        BQ.knn_asym_rerank(base, q, mins, maxs, force_scan=True).collect()
+    )
+    mn, mx = Q.train_global_minmax(base, "vec")
+    assert rows_set(BQ.knn_sq4_rerank(base, q, mn, mx).collect()) == rows_set(
+        BQ.knn_sq4_rerank(base, q, mn, mx, force_scan=True).collect()
+    )
