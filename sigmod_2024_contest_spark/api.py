@@ -20,6 +20,7 @@ from .functions import text as T
 from .operators import (
     bruteforce_quant,
     bruteforce_sq8,
+    curation,
     dedup,
     engine,
     evaluate,
@@ -389,6 +390,11 @@ register(
     "sample_balanced_splits",
     lambda s, d: sampling.balanced_sample_splits(_docs(s, d)),
     sampling.balanced_sample_splits_sql(),
+)
+register(
+    "curate_corpus",
+    lambda s, d: curation.curate_corpus(_docs(s, d)),
+    curation.curate_corpus_sql(),
 )
 register(
     "dedup_embedding_cosine",

@@ -1,0 +1,115 @@
+"""End-to-end corpus curation — the composition every training-data
+pipeline actually ships: near-dup detection → duplicate clustering →
+canonical selection → quality filtering → held-out split assignment,
+as ONE DataFrame pipeline.
+
+Each stage is an already-verified operator from this package
+(``dedup.jaccard_pairs``, ``dedup.dedup_clusters``,
+``functions.text.text_stats``, ``sampling.split_expr``) — this module
+adds the joins that turn them into a curated training set, and a
+single composed SQL oracle so the WHOLE pipeline is hash-checked
+end-to-end, not just its pieces.
+
+No reference counterpart (the reference is a vector-search engine);
+this is the beyond-the-reference training-pipeline surface (SURVEY
+§7.5) exercised as a composition.
+
+Scale posture: inherits each stage's — candidate-bounded pair
+generation (hot-shingle df cap), cost-based connected components,
+projection-only quality stats and split hashing. The only NEW shuffles
+are the canonical anti-join (|clusters| rows, bounded by the duplicate
+count, not the corpus) and one broadcast-sized join of the kept set
+against per-doc stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TEXT_STATS_SQL, text_stats
+from .dedup import JACCARD_TAU_PPM, dedup_clusters, jaccard_pairs, jaccard_pairs_sql
+from .sampling import PPM, _SPLIT_TAG, split_expr
+from .dedup import _hash48_sql
+
+# Keep docs whose combined quality score clears this bar (the standard
+# length/redundancy/stopword combination from text_stats, in ppm).
+QUALITY_BAR_PPM = 500_000
+
+
+def curate_corpus(
+    docs: DataFrame,
+    tau_ppm: int = JACCARD_TAU_PPM,
+    quality_bar_ppm: int = QUALITY_BAR_PPM,
+    val_ppm: int = 100_000,
+    test_ppm: int = 100_000,
+) -> DataFrame:
+    """(doc_id, cluster_id, quality_ppm, split) for the CURATED corpus:
+    one canonical doc per near-duplicate cluster (smallest doc_id —
+    ``dedup_clusters``'s label), quality ≥ the bar, deterministic
+    train/val/test assignment that never changes when the corpus does."""
+    pairs = jaccard_pairs(docs, tau_ppm=tau_ppm)
+    clusters = dedup_clusters(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    kept = canon.filter(F.col("doc_id") == F.col("cluster_id"))
+    stats = text_stats(docs).select("doc_id", "quality_ppm")
+    return (
+        kept.join(stats, "doc_id")
+        .filter(F.col("quality_ppm") >= quality_bar_ppm)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_ppm",
+            split_expr(F.col("doc_id"), val_ppm, test_ppm).alias("split"),
+        )
+    )
+
+
+def curate_corpus_sql(
+    tau_ppm: int = JACCARD_TAU_PPM,
+    quality_bar_ppm: int = QUALITY_BAR_PPM,
+    val_ppm: int = 100_000,
+    test_ppm: int = 100_000,
+) -> str:
+    """The composed oracle: the same four stages as one SQL statement
+    (jaccard pairs CTE → recursive-CTE components → canonical keep →
+    quality join + hash split)."""
+    split_key = f"'{_SPLIT_TAG}' || k.doc_id::VARCHAR"
+    pb = f"({_hash48_sql(split_key)}) % {PPM}"
+    return f"""
+WITH RECURSIVE
+pairs AS ({jaccard_pairs_sql(tau_ppm)}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+),
+stats AS ({TEXT_STATS_SQL}),
+canon AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+kept AS (SELECT * FROM canon WHERE doc_id = cluster_id)
+SELECT k.doc_id, k.cluster_id, s.quality_ppm,
+       CASE WHEN {pb} < {test_ppm} THEN 'test'
+            WHEN {pb} < {test_ppm + val_ppm} THEN 'val'
+            ELSE 'train' END AS split
+FROM kept k JOIN stats s ON s.doc_id = k.doc_id
+WHERE s.quality_ppm >= {quality_bar_ppm}
+"""

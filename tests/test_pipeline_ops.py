@@ -232,3 +232,25 @@ def test_ivf_recall_beats_lsh(spark):
     mean_lsh = lsh.agg(F.avg("recall_ppm")).first()[0]
     assert mean_ivf > mean_lsh, (mean_ivf, mean_lsh)
     assert mean_ivf > 300_000, mean_ivf
+
+
+def test_curate_corpus(spark):
+    """The composed curation pipeline (dedup -> clusters -> canonical
+    keep -> quality filter -> split) hash-matches its single composed
+    SQL oracle end-to-end."""
+    _check(spark, "curate_corpus")
+
+
+def test_curate_corpus_invariants(spark):
+    """Structural invariants: one doc per cluster survives, every kept
+    doc is its own cluster label, splits are exhaustive."""
+    from sigmod_2024_contest_spark.operators import curation
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = curation.curate_corpus(docs).collect()
+    assert out, "curated corpus must be non-empty"
+    assert all(r.doc_id == r.cluster_id for r in out)
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
