@@ -167,3 +167,20 @@ def test_quant_variants_paths_identical(spark):
     assert rows_set(BQ.knn_sq4_rerank(base, q, mn, mx).collect()) == rows_set(
         BQ.knn_sq4_rerank(base, q, mn, mx, force_scan=True).collect()
     )
+
+
+def test_sq8_fused_plan_shape(spark):
+    """The fused corpus-broadcast plan's contract is physical: ONE
+    exchange (the pinned query repartition), no window, no sort, no
+    join — both phases live inside a single MapInArrow stage."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import bruteforce_sq8
+
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base)
+    res = bruteforce_sq8.knn_sq8_rerank(base, q, alpha)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    for op in ("Window", "SortMergeJoin", "BroadcastHashJoin", "Sort "):
+        assert op not in plan, (op, plan)
