@@ -529,6 +529,11 @@ register(
     streaming.SESSIONIZED_SQL,
 )
 register(
+    "events_click_attribution",
+    lambda s, d: streaming.click_attribution(_events(s, d), _events(s, d)),
+    streaming.CLICK_ATTRIBUTION_SQL,
+)
+register(
     "user_totals",
     lambda s, d: streaming.user_totals_batch(_events(s, d)),
     streaming.USER_TOTALS_SQL,

@@ -175,3 +175,61 @@ USER_TOTALS_SQL = f"""
 SELECT user_id, count(*)::BIGINT AS n_events, sum({_CENTS})::BIGINT AS total_cents
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: click → purchase attribution
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def click_attribution(
+    clicks_src: DataFrame, purchases_src: DataFrame, window: str = ATTRIBUTION_WINDOW
+) -> DataFrame:
+    """(purch_id, click_id, user_id, lag_us): every click by the same
+    user within ``window`` before (or at) a purchase — the canonical
+    stream-stream JOIN surface. On streaming inputs both sides carry
+    watermarks and the event-time range condition bounds join state
+    (Spark drops a buffered click once no future purchase can reach
+    it); on batch inputs the same body is a plain range join. Lag is
+    exact microseconds so both engines emit identical integers.
+
+    At 100 TB the join state is what matters: per user only
+    ``window``+watermark of clicks is ever buffered, independent of
+    stream length — the state-bounded shape, not a growing cache."""
+    c = clicks_src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases_src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purch_id"),
+        F.col("ts").alias("purch_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", WATERMARK)
+    if p.isStreaming:
+        p = p.withWatermark("purch_ts", WATERMARK)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purch_ts"))
+        & (F.col("click_ts") >= F.col("purch_ts") - F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond).select(
+        "purch_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("purch_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+CLICK_ATTRIBUTION_SQL = f"""
+SELECT p.event_id AS purch_id, c.event_id AS click_id, p.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '{ATTRIBUTION_WINDOW}'
+"""

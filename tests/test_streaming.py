@@ -187,3 +187,22 @@ def test_stateful_user_totals_converges_to_batch(spark, events_dir):
         if cur is None or r["n_events"] > cur[0]:
             final[r["user_id"]] = (r["n_events"], r["total_cents"])
     assert final == batch
+
+
+def test_click_attribution_batch_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["events_click_attribution"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["events_click_attribution"])
+
+
+def test_click_attribution_streaming_matches_batch(spark, events_dir):
+    """Stream-stream join with event-time range condition: two streams
+    over the same event files, watermarked both sides, must emit
+    exactly the batch join's rows once all input is processed."""
+    ev = spark.read.parquet(events_dir)
+    batch = P.click_attribution(ev, ev)
+    stream = P.click_attribution(
+        P.stream_events(spark, events_dir), P.stream_events(spark, events_dir)
+    )
+    got = _run_stream(spark, stream, "append", "click_attr")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
