@@ -397,6 +397,11 @@ register(
     curation.curate_corpus_sql(),
 )
 register(
+    "pack_sequences",
+    lambda s, d: curation.pack_sequences(_docs(s, d)),
+    curation.pack_sequences_sql(),
+)
+register(
     "dedup_embedding_cosine",
     lambda s, d: dedup.cosine_pairs(load_table(s, d, "embeddings")),
     dedup.cosine_pairs_sql(),

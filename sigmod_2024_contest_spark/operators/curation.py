@@ -113,3 +113,85 @@ SELECT k.doc_id, k.cluster_id, s.quality_ppm,
 FROM kept k JOIN stats s ON s.doc_id = k.doc_id
 WHERE s.quality_ppm >= {quality_bar_ppm}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — training-batch assembly
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 2048
+PACK_BUCKETS = 64
+_PACK_TAG = "pack:"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """(doc_id, bucket, pack_id, start_offset, n_tokens): concat-and-
+    chunk sequence packing — the batch-assembly step of an LLM
+    pretraining pipeline. Documents hash into ``buckets`` independent
+    streams; within a bucket they concatenate in deterministic
+    (doc_id) order and chunk boundaries fall every ``budget`` tokens.
+    A document's pack is the chunk holding its first token;
+    start_offset is its position inside that chunk.
+
+    Scale shape: the ONLY wide operation is a window cumsum
+    partitioned by bucket — B independent sorted streams, no global
+    ordering, no driver state. More buckets = more parallelism; a
+    document's (bucket, order) never changes when other buckets grow,
+    so packing is stable under corpus growth within a bucket stream.
+    Token counts use the whitespace tokenizer (``text.token_counts``'s
+    n_ws_tokens) — swap in a real tokenizer upstream by adding an
+    n_tokens column; everything downstream is integer arithmetic both
+    engines reproduce exactly."""
+    from pyspark.sql import Window
+
+    from .dedup import _hash48_expr
+
+    t = docs.select(
+        "doc_id",
+        F.pmod(
+            _hash48_expr(F.concat(F.lit(_PACK_TAG), F.col("doc_id").cast("string"))),
+            F.lit(buckets),
+        ).alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "bucket",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        (start - F.floor(start / budget) * budget).cast("long").alias("start_offset"),
+        "n_tokens",
+    )
+
+
+def pack_sequences_sql(
+    budget: int = PACK_BUDGET_TOKENS, buckets: int = PACK_BUCKETS
+) -> str:
+    pack_key = f"'{_PACK_TAG}' || doc_id::VARCHAR"
+    bkt = f"({_hash48_sql(pack_key)}) % {buckets}"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {bkt} AS bucket,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, bucket,
+       (start // {budget})::BIGINT AS pack_id,
+       (start - (start // {budget}) * {budget})::BIGINT AS start_offset,
+       n_tokens
+FROM c
+"""

@@ -254,3 +254,28 @@ def test_curate_corpus_invariants(spark):
     assert {r.split for r in out} <= {"train", "val", "test"}
     ids = [r.doc_id for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_pack_sequences(spark):
+    _check(spark, "pack_sequences")
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk invariants: offsets stay inside the budget,
+    consecutive docs in a bucket abut exactly, every doc packed once."""
+    from sigmod_2024_contest_spark.operators import curation
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = curation.pack_sequences(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r.start_offset < curation.PACK_BUDGET_TOKENS for r in rows)
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in rs:
+            assert r.pack_id * curation.PACK_BUDGET_TOKENS + r.start_offset == pos, (b, r)
+            pos += r.n_tokens
