@@ -402,6 +402,16 @@ register(
     curation.pack_sequences_sql(),
 )
 register(
+    "mixture_sample",
+    lambda s, d: sampling.mixture_sample(_docs(s, d)),
+    sampling.mixture_sample_sql(),
+)
+register(
+    "vocab_counts",
+    lambda s, d: T.vocab_counts(_docs(s, d)),
+    T.vocab_counts_sql(),
+)
+register(
     "dedup_embedding_cosine",
     lambda s, d: dedup.cosine_pairs(load_table(s, d, "embeddings")),
     dedup.cosine_pairs_sql(),

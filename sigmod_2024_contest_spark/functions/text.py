@@ -166,3 +166,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary — the tokenizer-training / frequency-filter input
+# ---------------------------------------------------------------------------
+
+VOCAB_MIN_DF = 2
+VOCAB_TOP_K = 1000
+
+
+def vocab_counts(
+    docs: DataFrame, min_df: int = VOCAB_MIN_DF, top_k: int = VOCAB_TOP_K
+) -> DataFrame:
+    """(token, tf, df): the corpus-level vocabulary — total term
+    frequency and document frequency for the ``top_k`` most frequent
+    whitespace tokens with document frequency ≥ ``min_df``, ordered
+    deterministically by (tf desc, token asc).
+
+    The classic wordcount shape: explode → groupBy(token) with
+    map-side partial aggregation, so the shuffle carries one partial
+    row per (task, distinct token), not one per token occurrence; df
+    via count_distinct(doc_id) rides the same shuffle. The top-k cut
+    is a global sort of |vocab| aggregate rows — bounded by vocabulary
+    size, not corpus size."""
+    tok = docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        agg.filter(F.col("df") >= min_df)
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def vocab_counts_sql(min_df: int = VOCAB_MIN_DF, top_k: int = VOCAB_TOP_K) -> str:
+    return f"""
+SELECT token, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+HAVING count(DISTINCT doc_id) >= {min_df}
+ORDER BY tf DESC, token ASC
+LIMIT {top_k}
+"""

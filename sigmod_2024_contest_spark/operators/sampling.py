@@ -98,3 +98,69 @@ SELECT h.doc_id, h.{strata},
 FROM h JOIN r USING ({strata})
 WHERE sb < rate_ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted mixture sampling — dataset mixing by target proportions
+# ---------------------------------------------------------------------------
+
+_MIX_TAG = "mix:"
+
+# Target mixture proportions by source (relative weights, not ppm) —
+# the "data recipe" every pretraining run specifies; sources absent
+# from the map keep weight 1. The default recipe upweights two of the
+# fixture's sources so the registry entry exercises real non-uniform
+# rates; production callers pass their own map.
+DEFAULT_MIX_WEIGHTS: dict[str, float] = {"src0": 4.0, "src1": 2.0}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    strata: str = "source",
+) -> DataFrame:
+    """(doc_id, <strata>): downsample each stratum so the KEPT corpus
+    follows the target mixture ``weights`` as closely as possible
+    without upsampling (the stratum with the highest demand-to-supply
+    ratio is kept whole, everything else scales down proportionally).
+
+    Same physical shape as :func:`balanced_sample_splits`: one bounded
+    per-stratum count, keep-rates re-enter the plan as a literal map,
+    and the filter is a pure hash projection — one scan, no shuffle,
+    deterministic at any corpus size."""
+    w = DEFAULT_MIX_WEIGHTS if weights is None else weights
+    cnts = {r[0]: r[1] for r in docs.groupBy(strata).count().collect()}
+    if not cnts:
+        return docs.select("doc_id", strata).limit(0)
+    # scale s.t. the tightest stratum keeps 100%: rate_s ∝ w_s / n_s
+    demand = {s: w.get(s, 1.0) / c for s, c in cnts.items()}
+    mx = max(demand.values())
+    pairs: list[F.Column] = []
+    for s in sorted(cnts):
+        pairs += [F.lit(s), F.lit(int(demand[s] / mx * PPM))]
+    rate = F.element_at(F.create_map(*pairs), F.col(strata))
+    return docs.filter(_bucket(_MIX_TAG, F.col("doc_id")) < rate).select("doc_id", strata)
+
+
+def mixture_sample_sql(
+    weights: dict[str, float] | None = None, strata: str = "source"
+) -> str:
+    """Oracle: the identical demand/supply arithmetic in SQL. Rates are
+    computed as integer ppm from exact per-stratum counts; the float
+    weight division is the same double math in both engines (one
+    divide + one multiply on exact integers — bit-identical)."""
+    w = DEFAULT_MIX_WEIGHTS if weights is None else weights
+    cases = " ".join(
+        f"WHEN {strata} = '{s}' THEN {float(wt)}" for s, wt in sorted(w.items())
+    )
+    wexpr = f"CASE {cases} ELSE 1.0 END"
+    mix_key = f"'{_MIX_TAG}' || doc_id::VARCHAR"
+    hb = f"({_hash48_sql(mix_key)}) % {PPM}"
+    return f"""
+WITH c AS (SELECT {strata}, count(*) AS cnt, ({wexpr}) AS w FROM documents GROUP BY {strata}),
+m AS (SELECT max(w / cnt) AS mx FROM c),
+r AS (SELECT {strata}, floor((w / cnt) / m.mx * {PPM})::BIGINT AS rate_ppm FROM c, m)
+SELECT d.doc_id, d.{strata}
+FROM documents d JOIN r USING ({strata})
+WHERE ({hb}) < rate_ppm
+"""

@@ -279,3 +279,28 @@ def test_pack_sequences_invariants(spark):
         for r in rs:
             assert r.pack_id * curation.PACK_BUDGET_TOKENS + r.start_offset == pos, (b, r)
             pos += r.n_tokens
+
+
+def test_mixture_sample(spark):
+    _check(spark, "mixture_sample")
+
+
+def test_mixture_sample_proportions(spark):
+    """The kept corpus must follow the weight recipe: the max-demand
+    stratum is kept whole, and kept counts track w_s up to hash noise."""
+    from sigmod_2024_contest_spark.operators import sampling
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = sampling.mixture_sample(docs, weights={"src0": 4.0, "src1": 2.0}).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["src0"] == 25  # highest demand → kept whole
+    assert by_src["src0"] > by_src.get("src1", 0) > max(
+        v for s, v in by_src.items() if s not in ("src0", "src1")
+    )
+
+
+def test_vocab_counts(spark):
+    _check(spark, "vocab_counts")
