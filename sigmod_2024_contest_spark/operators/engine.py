@@ -11,7 +11,9 @@ boundaries are shuffles:
 3. type-1/3 graph branch   → per-category index partitions
 4. type-0 branch           → all decile index partitions
 5. type-2 branch           → overlapped decile partitions (SplitInterval)
-6. global merge            → union candidates + window top-k
+6. global merge            → union candidates + pooled K12 re-rank
+                             (fused kernel on broadcastable bases,
+                             window + join above CORPUS_BC_MAX_ROWS)
 
 Index partitions are built once (``build_index``) as a Parquet-able
 DataFrame; search ships each query group to exactly the partitions its
