@@ -175,7 +175,7 @@ def knn_sq8_rerank(
 
     Cost-based side selection (same rule as ``knn.knn_exact_arrow``):
     a corpus at or under ``knn.CORPUS_BC_MAX_ROWS`` flips to the fused
-    corpus-broadcast plan (``_sq8_corpus_broadcast`` — both phases in
+    corpus-broadcast plan (``fused_quant_bc_search`` — both phases in
     one kernel over query partitions, zero shuffles); above it, the
     query-broadcast codes scan below is the 100 TB shape.
     ``force_scan`` pins the scan plan (tests, ablations).

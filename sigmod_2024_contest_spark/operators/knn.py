@@ -621,7 +621,7 @@ def _knn_exact_corpus_broadcast(
             )
 
     qdf = queries.select("query_id", "query_type", "v", "l", "r", "qvec")
-    # pin the task count (see _sq8_corpus_broadcast: AQE would coalesce
+    # pin the task count (see fused_quant_bc_search: AQE would coalesce
     # a small shuffled query side to one partition, serializing the
     # kernel; a thin file source under-splits it)
     target = spark.sparkContext.defaultParallelism
