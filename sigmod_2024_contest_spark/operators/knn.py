@@ -428,11 +428,13 @@ def exact_rerank_pooled(
     candidate rows ``(query_id, id, cdist)``.
 
     Small corpus (≤ CORPUS_BC_MAX_ROWS): the per-query pool cut and the
-    exact re-rank fuse into one kernel fed by a single
-    groupBy(query_id) — the separate row_number window (a second full
-    shuffle + sort of the candidate volume) disappears; pooling is an
-    in-kernel lexsort. Large corpus: falls back to the window pool +
-    ``exact_rerank`` join — the plan that never broadcasts the corpus."""
+    exact re-rank fuse into one cogroup kernel — candidate rows shuffle
+    ONCE, skinny and codegen'd, on a coarse query-hash bucket (no
+    collect_list object aggregation, no fat-row repartition, no
+    row_number window), and the matching query vectors cogroup in by
+    the same bucket; pooling and ranking are in-kernel lexsorts. Large
+    corpus: falls back to the window pool + ``exact_rerank`` join — the
+    plan that never broadcasts the corpus."""
     spark = base.sparkSession
     if corpus_rows is None:
         corpus_rows = base.count()
@@ -453,10 +455,22 @@ def exact_rerank_pooled(
     V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
     bc = spark.sparkContext.broadcast((ids_s, V))
 
-    grouped = (
-        cands.groupBy("query_id")
-        .agg(F.collect_list(F.struct("id", "cdist")).alias("pc"))
-        .join(queries.select("query_id", "qvec"), "query_id")
+    # coarse buckets: enough groups to spread the lexsort/GEMM work,
+    # few enough that per-group Arrow overhead is negligible. The hash
+    # only decides WHICH task processes a query — nothing about the
+    # output depends on it.
+    nbuckets = spark.sparkContext.defaultParallelism * 4
+    # the candidate side renames its columns (fresh attributes): cands
+    # often derive from the same plan as queries, and cogrouping two
+    # branches of one lineage would otherwise be an ambiguous self-join
+    cb = cands.select(
+        F.col("query_id").alias("cqid"),
+        F.col("id").alias("cid"),
+        F.col("cdist").alias("ccd"),
+        F.pmod(F.hash("query_id"), F.lit(nbuckets)).alias("qb"),
+    )
+    qb = queries.select("query_id", "qvec").withColumn(
+        "qb", F.pmod(F.hash("query_id"), F.lit(nbuckets))
     )
 
     out_type = pa.schema(
@@ -472,53 +486,50 @@ def exact_rerank_pooled(
         gstart = np.maximum.accumulate(np.where(new, np.arange(n), 0))
         return np.arange(n) - gstart
 
-    def kernel(batches):
+    def kernel(ctbl, qtbl):
         ids_s, V_ = bc.value
-        bbV = np.einsum("ij,ij->i", V_, V_)
-        for tbl in batches:
-            if tbl.num_rows == 0:
-                continue
-            qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            pc = tbl.column("pc")
-            if hasattr(pc, "combine_chunks"):
-                pc = pc.combine_chunks()
-            off = pc.offsets.to_numpy()
-            lens = np.diff(off)
-            sl = slice(off[0], off[-1])
-            cand_ids = pc.values.field("id").to_numpy(zero_copy_only=False).astype(np.int64)[sl]
-            cd = pc.values.field("cdist").to_numpy(zero_copy_only=False)[sl]
-            qvm = list_column_matrix(tbl, "qvec")
-            rowi = np.repeat(np.arange(len(qid)), lens)
-            # pool: per-query top-pool_k by (cdist, id) — candidate
-            # (query, id) pairs are unique by construction upstream
-            o = np.lexsort((cand_ids, cd, rowi))
-            keep = _group_ranks(rowi[o]) < pool_k
-            sel = o[keep]
-            rowi2, pids = rowi[sel], cand_ids[sel]
-            pos = np.searchsorted(ids_s, pids)
-            sub = V_[pos]
-            qq = np.einsum("ij,ij->i", qvm, qvm)
-            d = qq[rowi2] + bbV[pos] - 2.0 * np.einsum("ij,ij->i", sub, qvm[rowi2])
-            np.maximum(d, 0.0, out=d)
-            o2 = np.lexsort((pids, d, rowi2))
-            rnk = _group_ranks(rowi2[o2])
-            keep2 = rnk < k
-            sel2 = o2[keep2]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(qid[rowi2[sel2]]),
-                    pa.array(pids[sel2]),
-                    pa.array((rnk[keep2] + 1).astype(np.int64)),
-                ],
-                schema=out_type,
+        if ctbl.num_rows == 0 or qtbl.num_rows == 0:
+            return pa.table(
+                {"query_id": [], "id": [], "rnk": []}, schema=out_type
             )
+        ctbl = ctbl.combine_chunks()
+        qtbl = qtbl.combine_chunks()
+        qid_c = ctbl.column("cqid").to_numpy(zero_copy_only=False).astype(np.int64)
+        cand_ids = ctbl.column("cid").to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = ctbl.column("ccd").to_numpy(zero_copy_only=False)
+        # pool: per-query top-pool_k by (cdist, id) — candidate
+        # (query, id) pairs are unique by construction upstream
+        o = np.lexsort((cand_ids, cd, qid_c))
+        keep = _group_ranks(qid_c[o]) < pool_k
+        sel = o[keep]
+        qsel, pids = qid_c[sel], cand_ids[sel]
+        # query vectors for this bucket, addressed by searchsorted
+        qids_q = qtbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        qorder = np.argsort(qids_q)
+        qids_s = qids_q[qorder]
+        qvm = list_column_matrix(qtbl, "qvec")[qorder]
+        qq = np.einsum("ij,ij->i", qvm, qvm)
+        qpos = np.searchsorted(qids_s, qsel)
+        pos = np.searchsorted(ids_s, pids)
+        sub = V_[pos]
+        bb = np.einsum("ij,ij->i", sub, sub)  # pooled rows only
+        d = qq[qpos] + bb - 2.0 * np.einsum("ij,ij->i", sub, qvm[qpos])
+        np.maximum(d, 0.0, out=d)
+        o2 = np.lexsort((pids, d, qsel))
+        rnk = _group_ranks(qsel[o2])
+        keep2 = rnk < k
+        sel2 = o2[keep2]
+        return pa.table(
+            {
+                "query_id": qsel[sel2],
+                "id": pids[sel2],
+                "rnk": (rnk[keep2] + 1).astype(np.int64),
+            },
+            schema=out_type,
+        )
 
-    # grouped rows are few but fat; AQE would pack them into ~64 MB
-    # tasks — pin the task count so the lexsort/GEMM work spreads
-    target = spark.sparkContext.defaultParallelism
-    if grouped.rdd.getNumPartitions() != target:
-        grouped = grouped.repartition(target)
-    return grouped.mapInArrow(kernel, "query_id long, id long, rnk long")
+    cg = cb.groupby("qb").cogroup(qb.groupby("qb"))
+    return cg.applyInArrow(kernel, "query_id long, id long, rnk long")
 
 
 # ---------------------------------------------------------------------------
