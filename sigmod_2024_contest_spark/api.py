@@ -232,7 +232,7 @@ register("knn_sq4_rerank", _knn_sq4_rerank, bruteforce_quant.knn_sq4_rerank_sql(
 # entry searches the *loaded* index — so the driver exercises
 # save_index/load_index, not just pytest. Keyed by (application,
 # sf_dir) so a new session never sees a stale plan.
-_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _hybrid_index(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -323,24 +323,51 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("knn_hybrid", _knn_hybrid, None)
+# Full hash-matched oracle (r4 verdict #1): at correctness scale every
+# branch the engine takes is EXACT, so the oracle is the exact filtered
+# kNN itself — (a) every shard is ≤ GEMM_SHARD_THR (engine.py
+# MAX_NODES_PER_GRAPH sharding at sf0.01 yields ≤4k-row shards), so
+# type-0/1 graph queries take the all-queries masked code GEMM whose
+# SHARD_REFINE_MULT·k per-shard candidates contain the true top-k of
+# their slice, and slices cover each query's allowed set; (b) SMALL
+# type-2/3 slices take the masked code GEMM; (c) the bf branch's SQ8
+# cut to refine_k=140 retains the true top-100 for the low-selectivity
+# queries it is routed (hash-proven since r4, knn_hybrid_bf_exact);
+# (d) the K12 re-rank restores exact float (dist, id) order. If a
+# future shard config breaks (a), fall back per-route the way
+# knn_hybrid_bf_exact does. The sf-independent quality gate stays
+# recall_hybrid_vs_exact (bar 0.95).
+register("knn_hybrid", _knn_hybrid, knn.knn_oracle_sql())
 
 
 def _knn_hybrid_bf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hybrid engine's brute-force branch, hash-proven: knn_hybrid
-    rows restricted to bf-routed query_ids. The route plan itself
-    hash-matches DuckDB (route_plan row), so the subset is
-    oracle-reproducible, and the bf branch (SQ8 cut + exact re-rank)
-    returns the exact answer for the low-selectivity queries it is
-    routed — so the oracle below is the EXACT kNN restricted to the
-    same subset. This converts part of the engine's flagship from a
-    rows-only check into a value-hashed row."""
+    """The hybrid engine's brute-force branch, hash-proven: the ENGINE
+    invoked on exactly the bf-routed query_ids (routing is per-query,
+    so this equals the full run restricted to that subset — the r4 form
+    — without paying a second full search just to gate one branch).
+    The route plan itself hash-matches DuckDB (route_plan row), so the
+    subset is oracle-reproducible, and the bf branch (SQ8 cut + exact
+    re-rank) returns the exact answer for the low-selectivity queries
+    it is routed — so the oracle below is the EXACT kNN restricted to
+    the same subset."""
     from pyspark.sql import functions as F
 
     base = base_vectors(spark, sf_dir)
-    plan, _ = _hybrid_plan(spark, sf_dir, base)
+    plan, alpha = _hybrid_plan(spark, sf_dir, base)
+    index, catalog = _hybrid_index(spark, sf_dir, base)
     bf_ids = plan.filter(F.col("route") == routing.ROUTE_BF).select("query_id")
-    return _knn_hybrid(spark, sf_dir).join(bf_ids, "query_id")
+    bf_queries = workload.queries_df(spark, sf_dir).join(bf_ids, "query_id")
+    return engine.knn_hybrid(
+        spark,
+        base,
+        bf_queries,
+        index=index,
+        plan=plan,
+        alpha=alpha,
+        codes_base=_codes_replica(spark, sf_dir, base)[0],
+        catalog=catalog,
+        corpus_rows=_hybrid_stats(spark, sf_dir, base)[1],
+    )
 
 
 _KNN_HYBRID_BF_EXACT_SQL = f"""

@@ -27,21 +27,31 @@ def contest_run(
     out_path: str | None = None,
     k: int = 100,
     mode: str = "hybrid",
+    base: DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full contest pipeline. Returns (query_id, id, rnk);
     writes the reference's Nq×k uint32 matrix when ``out_path`` given.
 
     mode='hybrid' → the routed engine (BatchSearch parity);
     mode='exact'  → the brute-force oracle path (ground-truth parity,
-    generate_groundtruth.cpp:4-45)."""
+    generate_groundtruth.cpp:4-45).
+
+    ``base``/``queries``: already-decoded DataFrames to reuse instead
+    of decoding the .bin paths — repeat callers (bench, a service
+    answering many batches over one corpus) pass their persisted base
+    so each run's clock measures the search plan, not a fresh decode
+    lineage (the reference's Build/Search split, baseline.cpp:96,152)."""
     # the pipeline reads base ~6× (stats, quantizer train, bf scan,
     # index build); persist the decoded columns once — the .bin decode
     # is the expensive part, and MEMORY_AND_DISK spills rather than
     # OOMs when the corpus outgrows executor memory
     from pyspark import StorageLevel
 
-    base = bin_format.read_base_bin(spark, base_path).persist(StorageLevel.MEMORY_AND_DISK)
-    queries = bin_format.read_queries_bin(spark, queries_path)
+    if base is None:
+        base = bin_format.read_base_bin(spark, base_path).persist(StorageLevel.MEMORY_AND_DISK)
+    if queries is None:
+        queries = bin_format.read_queries_bin(spark, queries_path)
     if mode == "exact":
         result = knn.knn_exact_arrow(spark, base, queries, k=k)
     else:

@@ -42,6 +42,7 @@ def fused_quant_bc_search(
     encode_b,
     k: int,
     refine_k: int,
+    cache_key=None,
 ) -> DataFrame:
     """Small-corpus plan shared by every quantized brute force (SQ8
     symmetric, asymmetric fixed-point, SQ4): both phases fused in ONE
@@ -58,7 +59,14 @@ def fused_quant_bc_search(
     parallelism; the query-broadcast scan would bottleneck on
     ~corpus_rows/4096 tasks and push nq×refine_k×P rows through the
     merge window. ``encode_q``/``encode_b`` map float matrices onto a
-    shared integer grid (as in ``bruteforce_quant._int_cut_rerank``)."""
+    shared integer grid (as in ``bruteforce_quant._int_cut_rerank``).
+
+    ``cache_key``: hashable identifier of the ``encode_b`` grid (e.g.
+    ``("sq8", alpha)``) — when given, the collected corpus payload is
+    cached/broadcast once per (application, corpus, grid) via
+    ``knn.cached_corpus_broadcast`` so per-micro-batch streaming callers
+    stop leaking one corpus-sized broadcast per batch; None collects
+    fresh (one-shot callers with non-hashable encoder state)."""
     import numpy as np
     import pyarrow as pa
 
@@ -66,21 +74,29 @@ def fused_quant_bc_search(
     from .knn import list_column_matrix
 
     spark = base.sparkSession
-    pdf = base.select("id", "category", "ts", "vec").toPandas()
-    if len(pdf) == 0:
+
+    def payload(pdf):
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)  # position order == id order ⇒ pos ties ≡ id ties
+        ids_s = ids[order]
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+        cats_s = pdf["category"].to_numpy().astype(np.float64)[order]
+        ts_s = pdf["ts"].to_numpy().astype(np.float64)[order]
+        codes_s = encode_b(V)
+        if np.abs(codes_s).max(initial=0) <= 127:
+            # pre-cast so code_l2_sqr_np's sgemm cast is a no-op per task
+            # (values ≤127 are exact in f32); wider grids keep their ints
+            codes_s = codes_s.astype(np.float32)
+        return ids_s, cats_s, ts_s, V, codes_s
+
+    cols = ("id", "category", "ts", "vec")
+    if cache_key is not None:
+        bc = knn.cached_corpus_broadcast(base, cols, ("fused_quant", cache_key), payload)
+    else:
+        pdf = base.select(*cols).toPandas()
+        bc = spark.sparkContext.broadcast(payload(pdf)) if len(pdf) else None
+    if bc is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
-    ids = pdf["id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids)  # position order == id order ⇒ pos ties ≡ id ties
-    ids_s = ids[order]
-    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
-    cats_s = pdf["category"].to_numpy().astype(np.float64)[order]
-    ts_s = pdf["ts"].to_numpy().astype(np.float64)[order]
-    codes_s = encode_b(V)
-    if np.abs(codes_s).max(initial=0) <= 127:
-        # pre-cast so code_l2_sqr_np's sgemm cast is a no-op per task
-        # (values ≤127 are exact in f32); wider grids keep their ints
-        codes_s = codes_s.astype(np.float32)
-    bc = spark.sparkContext.broadcast((ids_s, cats_s, ts_s, V, codes_s))
 
     PAD = 64
     big = np.int64(1) << 62
@@ -292,6 +308,7 @@ def knn_sq8_rerank(
             lambda bm: Q.encode_np(bm, a),
             k,
             refine_k,
+            cache_key=("sq8", a),
         )
     cands = knn.chunked_broadcast_scan(
         scan,

@@ -693,7 +693,12 @@ def _cc_driver(pairs: DataFrame) -> DataFrame:
     return pairs.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    n_pairs: int | None = None,
+    force_distributed: bool = False,
+) -> DataFrame:
     """(doc_id, cluster_id): connected components over duplicate pairs
     — the step that turns pairwise dedup output into the curation
     deliverable (cluster_id = min doc_id in the component ⇒ "keep the
@@ -713,10 +718,24 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     rounds even when the pair set is 100 TB-scale. Each intermediate is
     persisted and replaces its parent so lineage stays O(1) deep —
     without that, iteration k would replay all k-1 prior shuffles.
+
+    ``n_pairs``: pass the pair count when the caller already knows it
+    (skips the branch-choice count job). When unknown, ``pairs`` is
+    persisted before counting so the (typically expensive) pair
+    pipeline executes once — the count and the chosen plan both read
+    the cache, not the lineage. ``force_distributed``: pin the
+    distributed join loop regardless of pair count (A/B twin tests).
     """
-    n_pairs = pairs.count()
-    if n_pairs <= CC_DRIVER_MAX_PAIRS:
-        return _cc_driver(pairs)
+    owned: DataFrame | None = None
+    if n_pairs is None:
+        owned = pairs.persist()
+        pairs = owned
+        n_pairs = owned.count()
+    if n_pairs <= CC_DRIVER_MAX_PAIRS and not force_distributed:
+        out = _cc_driver(pairs)
+        if owned is not None:
+            owned.unpersist()
+        return out
     e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     # pairs are d1<d2-canonical, so the swapped union is already
     # duplicate-free — no distinct shuffle needed
@@ -770,6 +789,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if owned is not None:
+        owned.unpersist()  # the final labels are served by their own cache
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

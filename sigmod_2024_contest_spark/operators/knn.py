@@ -263,6 +263,53 @@ def chunked_broadcast_scan(
     return out
 
 
+# Corpus-payload broadcast cache for the corpus-broadcast kernels.
+# ``knn_stream_indexed`` invokes knn_hybrid once per micro-batch over
+# ONE base; without this every batch re-collects the corpus and leaks a
+# ~corpus-sized broadcast on the executors for the stream's lifetime.
+# Keyed by (application, canonicalized plan, payload kind); a hit is
+# confirmed with ``sameSemantics`` (exact plan equality — semanticHash
+# alone could collide), a miss with a colliding key recomputes without
+# poisoning the cache. Bounded: evicting the oldest entry unpersists
+# its broadcast.
+_CORPUS_BC_CACHE: dict[tuple, tuple[DataFrame, object]] = {}
+_CORPUS_BC_CACHE_MAX = 4
+
+
+def cached_corpus_broadcast(base: DataFrame, cols: tuple[str, ...], extra_key, builder):
+    """Broadcast of ``builder(pdf)`` over ``base.select(*cols)``,
+    cached per (application, corpus plan, extra_key). Returns None for
+    an empty corpus. ``extra_key`` must capture anything else the
+    payload depends on (e.g. the quantizer scale)."""
+    spark = base.sparkSession
+    try:
+        key = (spark.sparkContext.applicationId, base.semanticHash(), cols, extra_key)
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _CORPUS_BC_CACHE.get(key)
+        if hit is not None and hit[0].sameSemantics(base):
+            return hit[1]
+    pdf = base.select(*cols).toPandas()
+    if len(pdf) == 0:
+        return None
+    bc = spark.sparkContext.broadcast(builder(pdf))
+    if key is not None:
+        while len(_CORPUS_BC_CACHE) >= _CORPUS_BC_CACHE_MAX:
+            _, old = _CORPUS_BC_CACHE.pop(next(iter(_CORPUS_BC_CACHE)))
+            old.unpersist()
+        _CORPUS_BC_CACHE[key] = (base, bc)
+    return bc
+
+
+def _ids_vec_payload(pdf) -> tuple[np.ndarray, np.ndarray]:
+    """(ids_sorted, V) — the K12 re-rank kernels' corpus payload."""
+    ids = pdf["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
+    return ids[order], V
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
@@ -354,14 +401,9 @@ def exact_rerank(
             .filter(F.col("rnk") <= k)
             .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
         )
-    pdf = base.select("id", "vec").toPandas()
-    if len(pdf) == 0:
+    bc = cached_corpus_broadcast(base, ("id", "vec"), "ids_vec", _ids_vec_payload)
+    if bc is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
-    ids = pdf["id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids)
-    ids_sorted = ids[order]
-    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
-    bc = spark.sparkContext.broadcast((ids_sorted, V))
 
     grouped = (
         pool.groupBy("query_id")
@@ -446,14 +488,9 @@ def exact_rerank_pooled(
             .select("query_id", "id")
         )
         return exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows)
-    pdf = base.select("id", "vec").toPandas()
-    if len(pdf) == 0:
+    bc = cached_corpus_broadcast(base, ("id", "vec"), "ids_vec", _ids_vec_payload)
+    if bc is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
-    ids = pdf["id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids)
-    ids_s = ids[order]
-    V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])[order]
-    bc = spark.sparkContext.broadcast((ids_s, V))
 
     # coarse buckets: enough groups to spread the lexsort/GEMM work,
     # few enough that per-group Arrow overhead is negligible. The hash

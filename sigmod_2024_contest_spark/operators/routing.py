@@ -41,12 +41,16 @@ ROUTE_GLOBAL_GRAPH = "global_graph"
 # predicate, so its "graph" route fans out to EVERY decile shard — the
 # whole corpus in code space plus nshards×150 candidate rows through
 # the pool shuffle. When the corpus is small enough for the bf branch's
-# fused corpus-broadcast plan (== knn.CORPUS_BC_MAX_ROWS — one
-# zero-shuffle GEMM kernel, exact result), that plan strictly dominates
-# the fan-out, so route type-0 to bf below this corpus size. At 100 TB
-# (corpus ≫ this bound) type-0 keeps the reference's graph route —
-# there the sublinear beam beats any scan.
-BF_ALL_MAX_ROWS = 200_000
+# fused corpus-broadcast plan (one zero-shuffle GEMM kernel: SQ8 cut to
+# refine_k + exact re-rank — recall-gated, same posture as the scan
+# twin), that plan strictly dominates the fan-out, so route type-0 to
+# bf below this corpus size. At 100 TB (corpus ≫ this bound) type-0
+# keeps the reference's graph route — there the sublinear beam beats
+# any scan. Derived from knn.CORPUS_BC_MAX_ROWS (not duplicated): the
+# rule is only valid while the bf branch's fused corpus-broadcast plan
+# actually applies; a drifted copy would route type-0 to a full-corpus
+# codes SCAN per query batch.
+from .knn import CORPUS_BC_MAX_ROWS as BF_ALL_MAX_ROWS
 
 # ts histogram resolution for routing selectivity: bin mass ≈ 0.1 % of
 # the corpus — far below every routing threshold — while keeping the

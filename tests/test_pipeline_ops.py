@@ -3,7 +3,7 @@ search) vs DuckDB oracles, plus LSH quality gates."""
 
 from __future__ import annotations
 
-from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+from conftest import SF_SMOKE, assert_matches_oracle, duck_con, rows_set
 
 from sigmod_2024_contest_spark import api
 
@@ -279,6 +279,68 @@ def test_pack_sequences_invariants(spark):
         for r in rs:
             assert r.pack_id * curation.PACK_BUDGET_TOKENS + r.start_offset == pos, (b, r)
             pos += r.n_tokens
+
+
+def test_pack_sequences_scale_derived_buckets(spark):
+    """Bucket fan-out derives from the corpus token total (constant
+    tokens/bucket — the 100 TB shape): two corpora whose totals land in
+    different bands derive different counts, and Spark hash-matches the
+    SQL oracle at BOTH sizes (the oracle derives the identical count
+    from its own token sum, no side-channel)."""
+    import duckdb
+    import pandas as pd
+
+    from sigmod_2024_contest_spark.operators import curation
+
+    small = [(i, "a b c d") for i in range(100)]  # 400 tokens
+    big = [(i, " ".join(["tok"] * 100)) for i in range(2000)]  # 200k tokens
+    assert curation.n_pack_buckets(400) == 4
+    assert curation.n_pack_buckets(200_000) == 32
+    for rows in (small, big):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        assert_matches_oracle(
+            curation.pack_sequences(docs), con, curation.pack_sequences_sql()
+        )
+
+
+def test_pack_sequences_growth_stability(spark):
+    """At a fixed bucket count, appending documents with larger doc_ids
+    (growing every bucket stream at its tail) leaves each existing
+    document's (bucket, pack_id, start_offset) unchanged — packing is
+    append-stable, so incremental corpus growth never repacks history."""
+    from sigmod_2024_contest_spark.operators import curation
+
+    schema = "doc_id long, text string"
+    base_rows = [(i, " ".join(["w"] * (7 + i % 13))) for i in range(200)]
+    extra = [(1000 + i, " ".join(["w"] * 9)) for i in range(100)]
+    nb = 8
+
+    def packed(rows):
+        return {
+            r.doc_id: (r.bucket, r.pack_id, r.start_offset)
+            for r in curation.pack_sequences(
+                spark.createDataFrame(rows, schema), buckets=nb
+            ).collect()
+        }
+
+    before = packed(base_rows)
+    after = packed(base_rows + extra)
+    assert before and all(after[d] == v for d, v in before.items())
+
+
+def test_curate_corpus_distributed_cc_twin(spark):
+    """A/B the composed pipeline's 100 TB clustering twin: curate_corpus
+    with the distributed pointer-jumping CC loop pinned must be
+    row-identical to the cost-based (driver-CC) plan."""
+    from sigmod_2024_contest_spark.operators import curation
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = rows_set(curation.curate_corpus(docs).collect())
+    b = rows_set(curation.curate_corpus(docs, force_distributed_cc=True).collect())
+    assert a and a == b
 
 
 def test_mixture_sample(spark):

@@ -20,9 +20,45 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def main() -> None:
+def synth_base(spark, n_rows: int, dim: int = 64):
+    """Distributed synthetic corpus (no driver-side data): rand()
+    columns stay executor-side. Category 0/1 get 30%/12% of rows
+    (index-worthy), the rest spread ~5.8% each."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_rows).select(
+        F.col("id"),
+        F.when(F.rand(1) < 0.3, 0)
+        .when(F.rand(1) < 0.42, 1)
+        .otherwise((F.floor(F.rand(2) * 10) + 2).cast("int"))
+        .cast("int")
+        .alias("category"),
+        F.rand(3).alias("ts"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.rand(4) * 2 - 1)
+        .cast("array<float>")
+        .alias("vec"),
+    )
+
+
+def synth_queries(spark, n_queries: int, dim: int = 64, seed: int = 7):
+    """Mixed 4-type query batch (qid % 4), deterministic."""
     import numpy as np
 
+    rng = np.random.default_rng(seed)
+    qrows = []
+    for qid in range(n_queries):
+        t = qid % 4
+        v = int(rng.integers(0, 12)) if t in (1, 3) else -1
+        lo = float(rng.random() * 0.7)
+        hi = min(lo + 0.05 + float(rng.random() * 0.3), 1.0)
+        l, r = (lo, hi) if t in (2, 3) else (-1.0, -1.0)
+        qrows.append((qid, t, v, l, r, (rng.random(dim) * 2 - 1).astype(float).tolist()))
+    return spark.createDataFrame(
+        qrows, "query_id long, query_type int, v int, l double, r double, qvec array<float>"
+    )
+
+
+def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dim = 64
@@ -35,40 +71,9 @@ def main() -> None:
     spark = get_spark("stress-scale")
     ship_package(spark)
 
-    # synthesize distributed (no driver-side corpus): ids → hash-derived
-    # vectors via Arrow kernel would be overkill; rand() columns suffice
-    # and stay executor-side. Category 0/1 get 30%/10% of rows (index-
-    # worthy), the rest spread thin (bf-routed).
-    base = (
-        spark.range(n_rows)
-        .select(
-            F.col("id"),
-            F.when(F.rand(1) < 0.3, 0)
-            .when(F.rand(1) < 0.42, 1)
-            .otherwise((F.floor(F.rand(2) * 10) + 2).cast("int"))
-            .cast("int")
-            .alias("category"),
-            F.rand(3).alias("ts"),
-            F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.rand(4) * 2 - 1)
-            .cast("array<float>")
-            .alias("vec"),
-        )
-        .persist()
-    )
+    base = synth_base(spark, n_rows, dim).persist()
     nb = base.count()
-
-    rng = np.random.default_rng(7)
-    qrows = []
-    for qid in range(n_queries):
-        t = qid % 4
-        v = int(rng.integers(0, 12)) if t in (1, 3) else -1
-        lo = float(rng.random() * 0.7)
-        hi = min(lo + 0.05 + float(rng.random() * 0.3), 1.0)
-        l, r = (lo, hi) if t in (2, 3) else (-1.0, -1.0)
-        qrows.append((qid, t, v, l, r, (rng.random(dim) * 2 - 1).astype(float).tolist()))
-    queries = spark.createDataFrame(
-        qrows, "query_id long, query_type int, v int, l double, r double, qvec array<float>"
-    ).persist()
+    queries = synth_queries(spark, n_queries, dim).persist()
     queries.count()
 
     t0 = time.time()
