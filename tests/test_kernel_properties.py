@@ -113,3 +113,54 @@ def test_code_l2_sqr_blas_path_is_exact_asym_grid(seed):
     got = Q.code_l2_sqr_np(q, b)
     want = ((q[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
     np.testing.assert_array_equal(got, want)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_sliced_predicate_topk_equals_masked(seed):
+    """The predicate-sliced scan (sorted-replica binary search, S3/F2-F4)
+    must keep exactly what GEMM-then-mask keeps, for all 4 query types,
+    after the (dist, id) resolve — including empty slices and duplicate
+    distances."""
+    from sigmod_2024_contest_spark.operators import knn
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    nq = int(rng.integers(1, 40))
+    dim = int(rng.integers(2, 16))
+    keep = int(rng.integers(2, 24))
+    out_k = max(1, keep - 4)
+    # small integer grid => dense distance ties
+    codes = rng.integers(-4, 5, (n, dim)).astype(np.int16)
+    qc = rng.integers(-4, 5, (nq, dim)).astype(np.int16)
+    cats = rng.integers(0, 4, n).astype(np.float64)
+    ts = np.round(rng.random(n), 1)
+    ids = rng.permutation(np.arange(5, 5 + n)).astype(np.int64)
+    qt = rng.integers(0, 4, nq).astype(np.int64)
+    vv = np.where(np.isin(qt, (1, 3)), rng.integers(0, 5, nq), -1).astype(np.float64)
+    lo = np.round(rng.random(nq), 1)
+    hi = np.minimum(lo + np.round(rng.random(nq) * 0.5, 1), 1.0)
+    ll = np.where(np.isin(qt, (2, 3)), lo, -1.0)
+    rr = np.where(np.isin(qt, (2, 3)), hi, -1.0)
+    big = np.int64(1) << 62
+    qpred = (qt, vv, ll, rr)
+
+    bd1 = np.full((nq, keep), big, dtype=np.int64)
+    bi1 = np.full((nq, keep), -1, dtype=np.int64)
+    knn.blocked_masked_topk(
+        bd1, bi1, qpred, ids, cats, ts,
+        lambda qs, qe, cs, ce: Q.code_l2_sqr_np(qc[qs:qe], codes[cs:ce]), keep, big,
+    )
+    d1, i1, f1 = knn.resolve_topk_rows(bd1, bi1, out_k, big)
+
+    bd2 = np.full((nq, keep), big, dtype=np.int64)
+    bi2 = np.full((nq, keep), -1, dtype=np.int64)
+    knn.sliced_predicate_topk(
+        bd2, bi2, qpred, ids, cats, ts,
+        lambda qsel, rows: Q.code_l2_sqr_np(qc[qsel], codes[rows]), keep,
+    )
+    d2, i2, f2 = knn.resolve_topk_rows(bd2, bi2, out_k, big)
+
+    assert np.array_equal(f1, f2)
+    assert np.array_equal(d1[f1], d2[f2])
+    assert np.array_equal(i1[f1], i2[f2])

@@ -150,6 +150,27 @@ def test_exact_rerank_pooled_paths_identical(spark):
     assert len(fused) == q.count() * 5
 
 
+def test_corpus_broadcast_cache_reuse(spark):
+    """Repeat invocations over one corpus must reuse ONE broadcast (the
+    streaming leak fix): knn_stream_indexed calls knn_hybrid per
+    micro-batch, and without the cache every batch re-collected the
+    corpus and left its broadcast on the executors."""
+    from pyspark.sql import functions as F
+
+    base = base_vectors(spark, SF_SMOKE)
+    knn._CORPUS_BC_CACHE.clear()
+    bc1 = knn.cached_corpus_broadcast(base, ("id", "vec"), "ids_vec", knn._ids_vec_payload)
+    bc2 = knn.cached_corpus_broadcast(base, ("id", "vec"), "ids_vec", knn._ids_vec_payload)
+    assert bc1 is bc2 and len(knn._CORPUS_BC_CACHE) == 1
+    # a semantically different corpus is a different entry, and the
+    # bounded eviction unpersists instead of accumulating
+    knn.cached_corpus_broadcast(
+        base.filter(F.col("id") % 2 == 0), ("id", "vec"), "ids_vec", knn._ids_vec_payload
+    )
+    assert len(knn._CORPUS_BC_CACHE) == 2
+    knn._CORPUS_BC_CACHE.clear()
+
+
 def test_quant_variants_paths_identical(spark):
     """asym/SQ4 inherit the same cost-based twin plans via
     _int_cut_rerank — fused corpus-broadcast vs forced codes scan must
