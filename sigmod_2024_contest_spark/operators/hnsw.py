@@ -293,6 +293,47 @@ def build_pruned_knn_graph(
     return nbrs
 
 
+def search_range_filter(
+    vecs: np.ndarray,
+    nbrs: np.ndarray,
+    ts: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    ef: int,
+    ts_range: tuple[float, float],
+    nbr_ts: np.ndarray | None = None,
+    n_seeds: int = 10,
+    stats: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """K9 ``SearchRangeFilter`` (searcher.hpp:493-569): range-filtered
+    best-first search over a single (global) graph — entry points
+    spread evenly across the in-range positions (the reference samples
+    ``num_ep = 10`` points across the id_bound of its ts-sorted ids,
+    searcher.hpp:498-507; range seeding over allowed positions is the
+    same policy without requiring ts-sorted storage), per-edge
+    ``at_time`` admission before any distance call
+    (searcher.hpp:539-540), and the 2-hop starvation expansion
+    (searcher.hpp:544-569). All three already live in
+    :func:`beam_search`; this wrapper derives the allowed mask from the
+    node timestamps and forwards. Unused in the reference's final path
+    (the hybrid engine routes range queries to decile sub-graphs, K7),
+    provided for parity."""
+    lo, hi = ts_range
+    allowed = (ts >= lo) & (ts <= hi)
+    return beam_search(
+        vecs,
+        nbrs,
+        q,
+        k,
+        ef,
+        allowed,
+        n_seeds=n_seeds,
+        nbr_ts=nbr_ts,
+        ts_range=ts_range if nbr_ts is not None else None,
+        stats=stats,
+    )
+
+
 def beam_search(
     vecs: np.ndarray,
     nbrs: np.ndarray,

@@ -290,6 +290,45 @@ def test_edge_ts_filter_fewer_dists_same_recall():
     assert nd["edge"] < 0.8 * nd["node"], (nd["edge"], nd["node"])
 
 
+def test_search_range_filter_global_graph():
+    """K9 SearchRangeFilter (searcher.hpp:493-569): range-filtered
+    search over ONE global graph — spread in-range entry points,
+    per-edge at_time admission, 2-hop starvation repair — holds the
+    0.95 recall bar against the exact filtered answer and returns
+    only in-range nodes."""
+    from sigmod_2024_contest_spark.operators.hnsw import (
+        build_pruned_knn_graph,
+        search_range_filter,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 6000, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ts = rng.random(n)
+    nbrs = build_pruned_knn_graph(vecs, m=16)
+    kept = [row[row >= 0] for row in nbrs]
+    nbr_ts = np.zeros((n, nbrs.shape[1]))
+    for i, row in enumerate(kept):
+        nbr_ts[i, : len(row)] = ts[row]
+    lo, hi = 0.2, 0.5
+    idx = np.flatnonzero((ts >= lo) & (ts <= hi))
+    hit = total = 0
+    for qi in range(30):
+        q = rng.normal(size=d).astype(np.float64)
+        dv = vecs[idx].astype(np.float64) - q
+        exact = set(
+            idx[np.argsort(np.einsum("ij,ij->i", dv, dv), kind="stable")[:10]].tolist()
+        )
+        ef = engine.adaptive_ef(2, n, int(idx.size), 10)
+        pos, _ = search_range_filter(
+            vecs, nbrs, ts, q, k=10, ef=ef, ts_range=(lo, hi), nbr_ts=nbr_ts
+        )
+        assert all(lo <= ts[p] <= hi for p in pos.tolist())
+        hit += len(exact & set(pos.tolist()))
+        total += 10
+    assert hit / total >= 0.95, hit / total
+
+
 def test_knn_hybrid_bf_exact_oracle(spark):
     """The engine's bf branch end-to-end (route → SQ8 cut → exact
     re-rank → union), hash-matched against the exact-kNN oracle
