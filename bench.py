@@ -140,8 +140,8 @@ def _contest_bench(spark) -> dict[str, float]:
         t0 = _t.time()
         st = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
         alpha = Q.train_alpha(base)
-        index = engine.build_index(
-            base, graph_min_nodes=engine.GEMM_SHARD_THR, alpha=alpha
+        index = engine.partition_index_for_search(
+            engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR, alpha=alpha)
         ).persist(StorageLevel.MEMORY_AND_DISK)
         index.count()
         catalog = engine.shard_catalog(index)  # build-phase metadata
@@ -223,8 +223,10 @@ def _stress_bench(spark) -> dict[str, float]:
         st = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
         alpha = Q.train_alpha(base)
         splan = engine._shard_plan(base, routing.CAT_GRAPH_THR, engine.MAX_NODES_PER_GRAPH)
-        index = engine.build_index(
-            base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan, alpha=alpha
+        index = engine.partition_index_for_search(
+            engine.build_index(
+                base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan, alpha=alpha
+            )
         ).persist(StorageLevel.MEMORY_AND_DISK)
         index.count()
         catalog = engine.catalog_from_plan(spark, splan)
@@ -237,22 +239,41 @@ def _stress_bench(spark) -> dict[str, float]:
         knn.knn_exact_arrow(
             spark, base, warm_q, corpus_rows=nb, force_query_broadcast=True
         ).count()
-        _sweep(spark)
-        t0 = _t.time()
-        plan = routing.route_plan(base, queries, stats=st).persist()
-        res = engine.knn_hybrid(
-            spark, base, queries, index=index, plan=plan, alpha=alpha,
-            catalog=catalog, corpus_rows=nb,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        res.count()
-        out["stress_hybrid_search"] = round(_t.time() - t0, 3)
-        _sweep(spark)
-        t0 = _t.time()
-        exact = knn.knn_exact_arrow(
-            spark, base, queries, corpus_rows=nb, force_query_broadcast=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        exact.count()
-        out["stress_exact_scan"] = round(_t.time() - t0, 3)
+        # min-of-2 for BOTH clocks: this host shows ±50% per-entry
+        # wall-clock variance with no external load (THP compaction
+        # stalls); a single paired run can flip the comparison's sign
+        # either way. Each rep re-executes the full plan (route plan
+        # included) from scratch; min = best achievable warm wall,
+        # taken identically for both sides.
+        res = plan = None
+        walls = []
+        for _rep in range(2):
+            if res is not None:
+                res.unpersist()
+                plan.unpersist()
+            _sweep(spark)
+            t0 = _t.time()
+            plan = routing.route_plan(base, queries, stats=st).persist()
+            res = engine.knn_hybrid(
+                spark, base, queries, index=index, plan=plan, alpha=alpha,
+                catalog=catalog, corpus_rows=nb,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            res.count()
+            walls.append(round(_t.time() - t0, 3))
+        out["stress_hybrid_search"] = min(walls)
+        exact = None
+        walls = []
+        for _rep in range(2):
+            if exact is not None:
+                exact.unpersist()
+            _sweep(spark)
+            t0 = _t.time()
+            exact = knn.knn_exact_arrow(
+                spark, base, queries, corpus_rows=nb, force_query_broadcast=True
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            exact.count()
+            walls.append(round(_t.time() - t0, 3))
+        out["stress_exact_scan"] = min(walls)
         mean_ppm = (
             evaluate.recall_at_k(res, exact).agg({"recall_ppm": "avg"}).collect()[0][0]
         )

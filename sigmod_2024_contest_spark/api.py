@@ -252,7 +252,10 @@ def _hybrid_index(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[Da
         layout.save_index(
             engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR), path
         )
-        index = layout.load_index(spark, path).persist()
+        # pkey-clustered cache: searches cogroup on pkey, so persisting
+        # the loaded index pre-partitioned elides the index-side
+        # exchange in every subsequent search (build-once cost)
+        index = engine.partition_index_for_search(layout.load_index(spark, path)).persist()
         index.count()  # materialize before the catalog's distinct scan
         _INDEX_CACHE[key] = (index, engine.shard_catalog(index))
     return _INDEX_CACHE[key]

@@ -278,6 +278,19 @@ def build_index(
     )
 
 
+def partition_index_for_search(index: DataFrame) -> DataFrame:
+    """Build-phase co-location: hash-partition the index by ``pkey``
+    BEFORE persisting, so every subsequent search cogroup finds the
+    index side already clustered on its grouping key and elides that
+    exchange — otherwise every BatchSearch reshuffles the full index
+    (codes + adjacency, the dominant bytes) just to group it. The
+    reference keeps its graphs resident between batches
+    (baseline.cpp builds once, searches many); a pkey-clustered cache
+    is the DataFrame equivalent. Apply to the handle you persist:
+    ``partition_index_for_search(load_index(...)).persist()``."""
+    return index.repartition(F.col("pkey"))
+
+
 def catalog_from_plan(spark: SparkSession, shard_plan: dict[str, int]) -> DataFrame:
     """(prefix, pkey) catalog derived from the shard plan — pure
     metadata, no index scan. The analytic twin of ``shard_catalog``:

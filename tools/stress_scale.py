@@ -78,8 +78,8 @@ def main() -> None:
 
     t0 = time.time()
     splan = engine._shard_plan(base, routing.CAT_GRAPH_THR, engine.MAX_NODES_PER_GRAPH)
-    idx = engine.build_index(
-        base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan
+    idx = engine.partition_index_for_search(
+        engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan)
     ).persist()
     idx_rows = idx.count()
     build_s = round(time.time() - t0, 2)
