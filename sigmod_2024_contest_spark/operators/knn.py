@@ -202,15 +202,31 @@ def sliced_predicate_topk(
     n = len(ids64)
     if n == 0 or best_d.shape[0] == 0:
         return
+
+    def batched_merge(qsel: np.ndarray, rows) -> None:
+        """Merge one query group × row set, double-blocked: ≤QBLOCK
+        queries at a time (bounds the merge temporaries — same reason
+        blocked_masked_topk blocks queries first) and row chunks sized
+        to SIM_ELEMS cells."""
+        nrows = (rows.stop - rows.start) if isinstance(rows, slice) else len(rows)
+        for qs in range(0, qsel.size, QBLOCK):
+            sub = qsel[qs : qs + QBLOCK]
+            bd, bi = best_d[sub], best_i[sub]
+            chunk = max(2 * keep, SIM_ELEMS // int(sub.size))
+            for cs in range(0, nrows, chunk):
+                ce = min(cs + chunk, nrows)
+                rsel = (
+                    slice(rows.start + cs, rows.start + ce)
+                    if isinstance(rows, slice)
+                    else rows[cs:ce]
+                )
+                d = dist_pair_fn(sub, rsel)
+                running_topk_merge(bd, bi, d, ids64[rsel], keep)
+            best_d[sub], best_i[sub] = bd, bi
+
     t0 = np.flatnonzero(qtype == 0)
     if t0.size:
-        bd, bi = best_d[t0], best_i[t0]
-        chunk = max(2 * keep, SIM_ELEMS // int(t0.size))
-        for cs in range(0, n, chunk):
-            ce = min(cs + chunk, n)
-            d = dist_pair_fn(t0, slice(cs, ce))
-            running_topk_merge(bd, bi, d, ids64[cs:ce], keep)
-        best_d[t0], best_i[t0] = bd, bi
+        batched_merge(t0, slice(0, n))
     rest = np.flatnonzero(qtype != 0)
     if rest.size == 0:
         return
@@ -226,15 +242,7 @@ def sliced_predicate_topk(
             hi = np.searchsorted(cats_cb, v, "right")
             if hi <= lo:
                 continue
-            rows = ocb[lo:hi]
-            sid = ids64[rows]
-            bd, bi = best_d[qs], best_i[qs]
-            chunk = max(2 * keep, SIM_ELEMS // int(qs.size))
-            for cs in range(0, len(rows), chunk):
-                ce = min(cs + chunk, len(rows))
-                d = dist_pair_fn(qs, rows[cs:ce])
-                running_topk_merge(bd, bi, d, sid[cs:ce], keep)
-            best_d[qs], best_i[qs] = bd, bi
+            batched_merge(qs, ocb[lo:hi])
     t23 = np.flatnonzero((qtype == 2) | (qtype == 3))
     for qi in t23:
         if qtype[qi] == 2:
