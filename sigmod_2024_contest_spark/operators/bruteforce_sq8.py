@@ -184,6 +184,7 @@ def knn_sq8_rerank(
     codes_base: DataFrame | None = None,
     corpus_rows: int | None = None,
     force_scan: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, id, rnk) — exact-reranked SQ8 brute force, all 4
     query types. Identical to exact kNN whenever the true top-k
@@ -303,7 +304,7 @@ def knn_sq8_rerank(
     )
     if corpus_rows is None:
         corpus_rows = scan.count()
-    if corpus_rows <= knn.CORPUS_BC_MAX_ROWS and not force_scan:
+    if corpus_rows <= knn.bc_rows_bound(dim) and not force_scan:
         # fused small-corpus plan; codes re-derive from the broadcast
         # floats (bit-identical to encode_expr), so codes_base is only
         # a scan-plan artifact here
@@ -334,7 +335,7 @@ def knn_sq8_rerank(
         .filter(F.col("crnk") <= refine_k)
         .select("query_id", "id")
     )
-    return knn.exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows)
+    return knn.exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows, dim=dim)
 
 
 def knn_sq8_rerank_expr(

@@ -777,6 +777,7 @@ def knn_hybrid(
     codes_base: DataFrame | None = None,
     catalog: DataFrame | None = None,
     corpus_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """The full BatchSearch pipeline: route → bf/graph branches →
     global top-k. Returns (query_id, id, rnk).
@@ -796,14 +797,15 @@ def knn_hybrid(
     if corpus_rows is None:
         corpus_rows = base.count()
     if plan is None:
-        plan = routing.route_plan(base, queries).cache()
+        plan = routing.route_plan(base, queries, dim=dim).cache()
     bf_queries = queries.join(
         plan.filter(F.col("route") == routing.ROUTE_BF).select("query_id"), "query_id"
     )
     if alpha is None:
         alpha = Q.train_alpha(base)
     bf_res = bruteforce_sq8.knn_sq8_rerank(
-        base, bf_queries, alpha, k=k, codes_base=codes_base, corpus_rows=corpus_rows
+        base, bf_queries, alpha, k=k, codes_base=codes_base, corpus_rows=corpus_rows,
+        dim=dim,
     ).select("query_id", "id", "rnk")
 
     if index is None:
@@ -848,5 +850,7 @@ def knn_hybrid(
     # id % nshards.
     from . import knn
 
-    graph_res = knn.exact_rerank_pooled(base, queries, cands, k, pool_k, corpus_rows=corpus_rows)
+    graph_res = knn.exact_rerank_pooled(
+        base, queries, cands, k, pool_k, corpus_rows=corpus_rows, dim=dim
+    )
     return bf_res.unionByName(graph_res)

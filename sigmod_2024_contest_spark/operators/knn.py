@@ -463,6 +463,7 @@ def exact_rerank(
     pool: DataFrame,
     k: int,
     corpus_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """K12 exact re-rank of a candidate pool (query_id, id) →
     (query_id, id, rnk): fetch float vectors for candidates ONLY and
@@ -486,7 +487,7 @@ def exact_rerank(
     spark = base.sparkSession
     if corpus_rows is None:
         corpus_rows = base.count()
-    if corpus_rows > CORPUS_BC_MAX_ROWS:
+    if corpus_rows > bc_rows_bound(dim):
         rer = (
             pool.select("query_id", "id")
             .join(base.select("id", "vec"), "id")
@@ -563,6 +564,7 @@ def exact_rerank_pooled(
     k: int,
     pool_k: int,
     corpus_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Global code-space pool + K12 exact re-rank in ONE pass over the
     candidate rows ``(query_id, id, cdist)``.
@@ -578,14 +580,14 @@ def exact_rerank_pooled(
     spark = base.sparkSession
     if corpus_rows is None:
         corpus_rows = base.count()
-    if corpus_rows > CORPUS_BC_MAX_ROWS:
+    if corpus_rows > bc_rows_bound(dim):
         wc = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("id").asc())
         pool = (
             cands.withColumn("crnk", F.row_number().over(wc))
             .filter(F.col("crnk") <= pool_k)
             .select("query_id", "id")
         )
-        return exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows)
+        return exact_rerank(base, queries, pool, k, corpus_rows=corpus_rows, dim=dim)
     bc = cached_corpus_broadcast(base, ("id", "vec"), "ids_vec", _ids_vec_payload)
     if bc is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
@@ -687,7 +689,7 @@ def collect_corpus(base: DataFrame):
     )
 
 
-def prepare_corpus(spark: SparkSession, base: DataFrame):
+def prepare_corpus(spark: SparkSession, base: DataFrame, dim: int | None = None):
     """Amortize the per-call corpus work of ``knn_exact_arrow``: one
     count job and (when the corpus-broadcast plan applies) one collect +
     one broadcast. Pass the returned handle as ``prepared=`` to every
@@ -695,7 +697,7 @@ def prepare_corpus(spark: SparkSession, base: DataFrame):
     of once per micro-batch."""
     rows = base.count()
     bc = None
-    if 0 < rows <= CORPUS_BC_MAX_ROWS:
+    if 0 < rows <= bc_rows_bound(dim):
         corpus = collect_corpus(base)
         if corpus is not None:
             bc = spark.sparkContext.broadcast(corpus)
@@ -788,8 +790,24 @@ def _exact_payload(qrows) -> tuple[np.ndarray, np.ndarray]:
 
 # Corpus side small enough to broadcast whole: flip the join sides.
 # 200k rows × 100 dims × 8 B (float64, kept for bit-identical math)
-# ≈ 160 MB — comfortably under Spark's broadcast ceiling.
+# ≈ 160 MB — comfortably under Spark's broadcast ceiling. This row
+# bound is the dim-unknown default; when the caller knows the vector
+# width, the real bound is BYTES — CORPUS_BC_MAX_CELLS caps the f64
+# payload at ~320 MB (plus ≤½ that again of codes in the quantized
+# kernels), so a 500k×64 corpus broadcasts while a 500k×100 one
+# doesn't. Measured r5 at 500k×64 / 1428 bf queries: fused broadcast
+# kernel 5.2 s warm vs codes scan + window + re-rank 24.6-30 s.
 CORPUS_BC_MAX_ROWS = 200_000
+CORPUS_BC_MAX_CELLS = 40_000_000
+
+
+def bc_rows_bound(dim: int | None) -> int:
+    """Max corpus rows for the corpus-broadcast plans given the vector
+    width (``None`` = unknown → the conservative row default). Never
+    below CORPUS_BC_MAX_ROWS so dim>200 callers keep the r4 behavior."""
+    if dim is None:
+        return CORPUS_BC_MAX_ROWS
+    return max(CORPUS_BC_MAX_ROWS, CORPUS_BC_MAX_CELLS // int(dim))
 
 
 def knn_exact_arrow(
@@ -801,6 +819,7 @@ def knn_exact_arrow(
     corpus_rows: int | None = None,
     prepared=None,
     force_query_broadcast: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact kNN with cost-based side selection (the distributed plan).
 
@@ -830,7 +849,7 @@ def knn_exact_arrow(
         corpus_rows, corpus_bc = prepared
     if corpus_rows is None:
         corpus_rows = base.count()
-    if corpus_rows <= CORPUS_BC_MAX_ROWS and not force_query_broadcast:
+    if corpus_rows <= bc_rows_bound(dim) and not force_query_broadcast:
         return _knn_exact_corpus_broadcast(spark, base, queries, k, bc=corpus_bc)
     out_schema = "query_id long, id long, dist double"
     result_type = pa.schema(

@@ -38,18 +38,26 @@ ROUTE_TIME_GRAPH = "time_graph"
 ROUTE_GLOBAL_GRAPH = "global_graph"
 
 # Cost-based addition to the reference ladder: a type-0 query has no
-# predicate, so its "graph" route fans out to EVERY decile shard — the
-# whole corpus in code space plus nshards×150 candidate rows through
-# the pool shuffle. When the corpus is small enough for the bf branch's
-# fused corpus-broadcast plan (one zero-shuffle GEMM kernel: SQ8 cut to
-# refine_k + exact re-rank — recall-gated, same posture as the scan
-# twin), that plan strictly dominates the fan-out, so route type-0 to
-# bf below this corpus size. At 100 TB (corpus ≫ this bound) type-0
-# keeps the reference's graph route — there the sublinear beam beats
-# any scan. Derived from knn.CORPUS_BC_MAX_ROWS (not duplicated): the
-# rule is only valid while the bf branch's fused corpus-broadcast plan
-# actually applies; a drifted copy would route type-0 to a full-corpus
-# codes SCAN per query batch.
+# predicate, so its "graph" route fans out to EVERY decile shard. When
+# the corpus is small enough for the bf branch's fused corpus-broadcast
+# plan (one zero-shuffle GEMM kernel: SQ8 cut to refine_k + exact
+# re-rank — recall-gated, same posture as the scan twin), that plan
+# strictly dominates the fan-out, so route type-0 to bf below this
+# corpus size. Above it type-0 keeps the reference's graph route —
+# measured r5 at 500k×2048 (both directions): sending type-0 through
+# the bf SCAN plan instead costs +12.5 s of candidate-window + re-rank
+# shuffle against only −5 s of saved beam work, so the graph fan-out
+# wins wall-clock even with a ~3 ms/shard Python beam constant — but
+# when the FUSED plan applies (zero-shuffle, no candidate window;
+# measured 5.2 s vs 24-30 s for the same bf queries at 500k×64), bf
+# dominates again. The bound is therefore exactly fused-plan
+# applicability: ``knn.bc_rows_bound(dim)`` — byte-based when the
+# caller passes the vector width (route_plan(dim=...)), else this
+# row-count default. Kept in lockstep with knn.CORPUS_BC_MAX_ROWS
+# (imported, not duplicated): the rule is only valid while the fused
+# corpus-broadcast plan actually applies, and callers must pass the
+# SAME dim to route_plan and to the engine so the ladder and the bf
+# branch agree on which plan serves the route.
 from .knn import CORPUS_BC_MAX_ROWS as BF_ALL_MAX_ROWS
 
 # ts histogram resolution for routing selectivity: bin mass ≈ 0.1 % of
@@ -64,6 +72,7 @@ def route_plan(
     queries: DataFrame,
     ts_bins: int | None = ROUTING_TS_BINS,
     stats: tuple[DataFrame, int] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, query_type, sel_num, n_total, route).
 
@@ -72,13 +81,15 @@ def route_plan(
     type 2 above threshold → decile graphs (SplitInterval downstream);
     type 0 → global/decile graphs.
     """
+    from .knn import bc_rows_bound
+
     sel = selectivity(base, queries, ts_bins=ts_bins, stats=stats)
     frac = F.col("sel_num").cast("double") / F.col("n_total").cast("double")
     thr = F.when(F.col("query_type") == 3, F.lit(BF_THR_T3)).otherwise(F.lit(BF_THR))
     route = (
         F.when(frac < thr, F.lit(ROUTE_BF))
         .when(
-            (F.col("query_type") == 0) & (F.col("n_total") <= BF_ALL_MAX_ROWS),
+            (F.col("query_type") == 0) & (F.col("n_total") <= bc_rows_bound(dim)),
             F.lit(ROUTE_BF),
         )
         .when(F.col("query_type").isin(1, 3), F.lit(ROUTE_CAT_GRAPH))
@@ -88,7 +99,8 @@ def route_plan(
     return sel.select("query_id", "query_type", "sel_num", "n_total", route.alias("route"))
 
 
-def route_plan_sql(ts_bins: int | None = ROUTING_TS_BINS) -> str:
+def route_plan_sql(ts_bins: int | None = ROUTING_TS_BINS, dim: int | None = None) -> str:
+    from .knn import bc_rows_bound
     from .stats import selectivity_sql
 
     return f"""
@@ -97,7 +109,7 @@ SELECT query_id, query_type, sel_num, n_total,
        CASE
          WHEN sel_num::DOUBLE / n_total::DOUBLE <
               (CASE WHEN query_type = 3 THEN {BF_THR_T3} ELSE {BF_THR} END) THEN '{ROUTE_BF}'
-         WHEN query_type = 0 AND n_total <= {BF_ALL_MAX_ROWS} THEN '{ROUTE_BF}'
+         WHEN query_type = 0 AND n_total <= {bc_rows_bound(dim)} THEN '{ROUTE_BF}'
          WHEN query_type IN (1, 3) THEN '{ROUTE_CAT_GRAPH}'
          WHEN query_type = 2 THEN '{ROUTE_TIME_GRAPH}'
          ELSE '{ROUTE_GLOBAL_GRAPH}'

@@ -119,9 +119,13 @@ def test_code_l2_sqr_blas_path_is_exact_asym_grid(seed):
 @settings(max_examples=25, deadline=None)
 def test_sliced_predicate_topk_equals_masked(seed):
     """The predicate-sliced scan (sorted-replica binary search, S3/F2-F4)
-    must keep exactly what GEMM-then-mask keeps, for all 4 query types,
-    after the (dist, id) resolve — including empty slices and duplicate
-    distances."""
+    must keep what GEMM-then-mask keeps, for all 4 query types, after
+    the (dist, id) resolve. Both kernels share the same documented
+    boundary-tie contract — the kept set is exact up to
+    ``keep − out_k`` duplicates at the out_k-th distance (production
+    slack is MERGE_PAD=64; this test draws dense integer ties, so the
+    id comparison is asserted only for queries within that bound;
+    distances must match for ALL queries regardless)."""
     from sigmod_2024_contest_spark.operators import knn
 
     rng = np.random.default_rng(seed)
@@ -163,4 +167,24 @@ def test_sliced_predicate_topk_equals_masked(seed):
 
     assert np.array_equal(f1, f2)
     assert np.array_equal(d1[f1], d2[f2])
-    assert np.array_equal(i1[f1], i2[f2])
+    # ids: exact where the TRUE boundary-tie multiplicity (over all
+    # admissible rows) fits the slack — and there, both kernels must
+    # equal the brute-force truth, not merely each other
+    slack = keep - out_k
+    full = Q.code_l2_sqr_np(qc, codes)  # nq × n, exact int64
+    for qi in range(nq):
+        fin = f1[qi]
+        if not fin.any():
+            continue
+        t = qt[qi]
+        ok = np.ones(n, dtype=bool)
+        if t in (1, 3):
+            ok &= cats == vv[qi]
+        if t in (2, 3):
+            ok &= (ts >= ll[qi]) & (ts <= rr[qi])
+        dq, iq = full[qi][ok], ids[ok]
+        kth = d1[qi][fin][-1]
+        if int((dq == kth).sum()) <= slack:
+            o = np.lexsort((iq, dq))[: int(fin.sum())]
+            assert np.array_equal(i1[qi][fin], iq[o]), qi
+            assert np.array_equal(i2[qi][fin], iq[o]), qi
