@@ -272,6 +272,11 @@ def _stress_bench(spark) -> dict[str, float]:
             res.count()
             walls.append(round(_t.time() - t0, 3))
         out["stress_hybrid_search"] = min(walls)
+        out["stress_hybrid_search_runs"] = walls  # raw min-of-2 inputs
+        # route mix, outside the clocks: documents that the graph
+        # branches genuinely served queries (the beam path is live)
+        for r in plan.groupBy("route").count().collect():
+            out[f"stress_routed_{r['route']}"] = float(r["count"])
         exact = None
         walls = []
         for _rep in range(2):
@@ -285,6 +290,7 @@ def _stress_bench(spark) -> dict[str, float]:
             exact.count()
             walls.append(round(_t.time() - t0, 3))
         out["stress_exact_scan"] = min(walls)
+        out["stress_exact_scan_runs"] = walls
         mean_ppm = (
             evaluate.recall_at_k(res, exact).agg({"recall_ppm": "avg"}).collect()[0][0]
         )
