@@ -442,6 +442,11 @@ register(
     T.vocab_counts_sql(),
 )
 register(
+    "decontaminate",
+    lambda s, d: dedup.decontaminate(_docs(s, d)),
+    dedup.decontaminate_sql(),
+)
+register(
     "dedup_embedding_cosine",
     lambda s, d: dedup.cosine_pairs(load_table(s, d, "embeddings")),
     dedup.cosine_pairs_sql(),

@@ -184,6 +184,81 @@ shingles AS (
 HOT_SHINGLE_DF_CAP = 64
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# A training doc sharing at least this many rare shingles with an eval
+# doc is flagged contaminated (the Dolma/GPT-3-style n-gram overlap
+# rule). Contamination signal lives in RARE n-grams; shingles above the
+# df cap are stop-phrases, excluded from matching by spec (not merely
+# as an optimization — the SQL oracle applies the same rule).
+DECON_MIN_SHARED = 3
+DECON_BENCH_MOD = 10
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_mod: int = DECON_BENCH_MOD,
+    min_shared: int = DECON_MIN_SHARED,
+    df_cap: int = HOT_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """(train_doc_id, bench_doc_id, shared): training documents that
+    share ≥ ``min_shared`` rare 3-gram shingles with a benchmark
+    document — the train/eval overlap (decontamination) pass every
+    LLM-pretraining pipeline runs before training. The "benchmark" here
+    is the deterministic ``doc_id % bench_mod == 0`` slice standing in
+    for a held-out eval suite; pass a different predicate upstream by
+    filtering ``docs`` yourself and unioning.
+
+    Scale shape: inverted-index join keyed on df-capped shingles — the
+    hot (stop-phrase) keys are removed by a broadcast anti-join exactly
+    as in :func:`jaccard_pairs`, and the BENCH shingle side is
+    broadcast (a real eval suite is MBs against a 100 TB corpus), so
+    the training corpus's shingles never shuffle: one projection scan,
+    one broadcast hash join, one map-side-combined groupBy bounded by
+    the flagged-pair count."""
+    sh = _doc_shingles(docs)
+    hot = (
+        sh.groupBy("skey")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("skey")
+    )
+    cold = sh.join(F.broadcast(hot), "skey", "left_anti")
+    train = cold.filter(F.pmod(F.col("doc_id"), F.lit(bench_mod)) != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "skey"
+    )
+    bench = cold.filter(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "skey"
+    )
+    return (
+        train.join(F.broadcast(bench), "skey")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def decontaminate_sql(
+    bench_mod: int = DECON_BENCH_MOD,
+    min_shared: int = DECON_MIN_SHARED,
+    df_cap: int = HOT_SHINGLE_DF_CAP,
+) -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+cold AS (
+  SELECT * FROM shingles
+  WHERE skey NOT IN (SELECT skey FROM shingles GROUP BY skey HAVING count(*) > {df_cap})
+)
+SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id, count(*) AS shared
+FROM cold t JOIN cold b ON t.skey = b.skey
+WHERE t.doc_id % {bench_mod} != 0 AND b.doc_id % {bench_mod} = 0
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 def _jaccard_candidates(sh: DataFrame, df_cap: int | None) -> DataFrame:
     """(d1, d2) distinct candidate pairs through shared shingles with
     document frequency ≤ df_cap (None = uncapped)."""

@@ -60,6 +60,29 @@ def test_dedup_embedding_cosine(spark):
     _check(spark, "dedup_embedding_cosine")
 
 
+def test_decontaminate(spark):
+    _check(spark, "decontaminate")
+
+
+def test_decontaminate_catches_planted_overlap(spark):
+    """A train doc sharing a long rare phrase with a bench doc is
+    flagged with the exact shared-shingle count; unrelated docs are
+    not; a stop-phrase shared by everyone flags nothing."""
+    from sigmod_2024_contest_spark.operators import dedup
+
+    phrase = "zebra quark lattice morphism entropy gradient"  # 4 shingles
+    rows = [(i, "common stop phrase filler" + f" unique{i}a unique{i}b unique{i}c") for i in range(1, 130)]
+    rows.append((200, "intro words then " + phrase))  # bench (200 % 10 == 0)
+    rows.append((201, "other lead-in text " + phrase))  # train
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.train_doc_id, r.bench_doc_id): r.shared
+        for r in dedup.decontaminate(docs, min_shared=2).collect()
+    }
+    assert got.get((201, 200), 0) >= 4
+    assert all(t == 201 for t, _ in got)
+
+
 def test_dedup_cosine_lsh(spark):
     """LSH-blocked near-dup pairs (the 100 TB shape of the cosine
     dedup: bucket-join candidates + exact Catalyst-fold verify)."""
