@@ -173,7 +173,8 @@ def sliced_predicate_topk(
     ids64: np.ndarray,
     cats: np.ndarray,
     ts: np.ndarray,
-    dist_pair_fn,
+    mat: np.ndarray,
+    pair_dist,
     keep: int,
 ) -> None:
     """Predicate-sliced counterpart of :func:`blocked_masked_topk` —
@@ -192,10 +193,17 @@ def sliced_predicate_topk(
     GEMM-then-mask, which is what made the full-scan-shaped kernel
     lose to the plain float scan at 500k rows.
 
-    ``dist_pair_fn(q_indices, rows)`` → freshly-allocated dist block
-    for those query rows × corpus rows (``rows`` may be a slice or an
-    index array). Updates ``best_d``/``best_i`` (pre-filled (nq, keep)
-    sentinel arrays) in place via the same guarded
+    ``mat`` is the (n, width) row matrix (codes or float vecs);
+    ``pair_dist(q_indices, sub, rows_orig)`` → freshly-allocated dist
+    block for those query rows × ``sub`` (an (m, width) matrix —
+    usually a contiguous VIEW of a pre-gathered sorted copy);
+    ``rows_orig`` gives the original row indices (slice or array) for
+    per-row aux lookups (e.g. precomputed norms). The block is gathered
+    into its two replica orders ONCE — every per-query range slice is
+    then a zero-copy view instead of a fancy-index gather (measured:
+    the gathers, ~20 MB per mid-selectivity query, dominated the fused
+    kernel's wall). Updates ``best_d``/``best_i`` (pre-filled
+    (nq, keep) sentinel arrays) in place via the same guarded
     :func:`running_topk_merge` — kept sets and the final (dist, id)
     resolve are identical to the masked path's."""
     qtype, vv, ll, rr = qpred
@@ -203,38 +211,35 @@ def sliced_predicate_topk(
     if n == 0 or best_d.shape[0] == 0:
         return
 
-    def batched_merge(qsel: np.ndarray, rows) -> None:
+    def batched_merge(qsel: np.ndarray, m, ids_v, rows_orig) -> None:
         """Merge one query group × row set, double-blocked: ≤QBLOCK
         queries at a time (bounds the merge temporaries — same reason
         blocked_masked_topk blocks queries first) and row chunks sized
         to SIM_ELEMS cells."""
-        nrows = (rows.stop - rows.start) if isinstance(rows, slice) else len(rows)
+        nrows = len(ids_v)
         for qs in range(0, qsel.size, QBLOCK):
             sub = qsel[qs : qs + QBLOCK]
             bd, bi = best_d[sub], best_i[sub]
             chunk = max(2 * keep, SIM_ELEMS // int(sub.size))
             for cs in range(0, nrows, chunk):
                 ce = min(cs + chunk, nrows)
-                rsel = (
-                    slice(rows.start + cs, rows.start + ce)
-                    if isinstance(rows, slice)
-                    else rows[cs:ce]
-                )
-                d = dist_pair_fn(sub, rsel)
-                running_topk_merge(bd, bi, d, ids64[rsel], keep)
+                d = pair_dist(sub, m[cs:ce], rows_orig[cs:ce])
+                running_topk_merge(bd, bi, d, ids_v[cs:ce], keep)
             best_d[sub], best_i[sub] = bd, bi
 
     t0 = np.flatnonzero(qtype == 0)
     if t0.size:
-        batched_merge(t0, slice(0, n))
-    rest = np.flatnonzero(qtype != 0)
-    if rest.size == 0:
-        return
-    ocb = np.lexsort((ts, cats))  # (category, ts) replica order
-    cats_cb, ts_cb = cats[ocb], ts[ocb]
-    ot = np.argsort(ts, kind="stable")  # ts replica order
-    ts_t = ts[ot]
+        batched_merge(t0, mat, ids64, np.arange(n))
     t1 = np.flatnonzero(qtype == 1)
+    t2 = np.flatnonzero(qtype == 2)
+    t3 = np.flatnonzero(qtype == 3)
+    if not (t1.size or t2.size or t3.size):
+        return
+    ocb = cats_cb = ts_cb = mat_cb = ids_cb = None
+    if t1.size or t3.size:
+        ocb = np.lexsort((ts, cats))  # (category, ts) replica order
+        cats_cb, ts_cb = cats[ocb], ts[ocb]
+        mat_cb, ids_cb = mat[ocb], ids64[ocb]
     if t1.size:
         for v in np.unique(vv[t1]):
             qs = t1[vv[t1] == v]
@@ -242,25 +247,27 @@ def sliced_predicate_topk(
             hi = np.searchsorted(cats_cb, v, "right")
             if hi <= lo:
                 continue
-            batched_merge(qs, ocb[lo:hi])
-    t23 = np.flatnonzero((qtype == 2) | (qtype == 3))
-    for qi in t23:
+            batched_merge(qs, mat_cb[lo:hi], ids_cb[lo:hi], ocb[lo:hi])
+    if t2.size:
+        ot = np.argsort(ts, kind="stable")  # ts replica order
+        ts_t, mat_ts, ids_ts = ts[ot], mat[ot], ids64[ot]
+    for qi in np.concatenate([t2, t3]) if (t2.size or t3.size) else ():
         if qtype[qi] == 2:
             lo = np.searchsorted(ts_t, ll[qi], "left")
             hi = np.searchsorted(ts_t, rr[qi], "right")
-            rows = ot[lo:hi]
+            m, iv, ro = mat_ts[lo:hi], ids_ts[lo:hi], ot[lo:hi]
         else:
             clo = np.searchsorted(cats_cb, vv[qi], "left")
             chi = np.searchsorted(cats_cb, vv[qi], "right")
             tlo = clo + np.searchsorted(ts_cb[clo:chi], ll[qi], "left")
             thi = clo + np.searchsorted(ts_cb[clo:chi], rr[qi], "right")
-            rows = ocb[tlo:thi]
-        if rows.size == 0:
+            m, iv, ro = mat_cb[tlo:thi], ids_cb[tlo:thi], ocb[tlo:thi]
+        if len(iv) == 0:
             continue
         qsel = np.array([qi])
-        d = dist_pair_fn(qsel, rows)
+        d = pair_dist(qsel, m, ro)
         bd, bi = best_d[qsel], best_i[qsel]
-        running_topk_merge(bd, bi, d, ids64[rows], keep)
+        running_topk_merge(bd, bi, d, iv, keep)
         best_d[qsel], best_i[qsel] = bd, bi
 
 
