@@ -150,14 +150,14 @@ def _contest_bench(spark) -> dict[str, float]:
         # after the build clock and before the search clock
         engine.knn_hybrid(
             spark, base, warm_q, k=100, index=index, alpha=alpha,
-            catalog=catalog, corpus_rows=st[1],
+            catalog=catalog, corpus_rows=st[1], dim=100,
         ).count()
         _sweep(spark)
         t0 = _t.time()
-        plan = routing.route_plan(base, queries, stats=st).persist()
+        plan = routing.route_plan(base, queries, stats=st, dim=100).persist()
         res = engine.knn_hybrid(
             spark, base, queries, k=100, index=index, plan=plan, alpha=alpha,
-            catalog=catalog, corpus_rows=st[1],
+            catalog=catalog, corpus_rows=st[1], dim=100,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         res.count()
         out["contest_run_hybrid"] = round(_t.time() - t0, 3)

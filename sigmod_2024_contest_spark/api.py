@@ -276,7 +276,7 @@ def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
     base = base_vectors(spark, sf_dir)
     _hybrid_stats(spark, sf_dir, base)  # warm the build-phase stats too
     index, _catalog = _hybrid_index(spark, sf_dir, base)
-    plan, _alpha = _hybrid_plan(spark, sf_dir, base)
+    plan, _alpha, _dim = _hybrid_plan(spark, sf_dir, base)
     plan.count()
     return index.count()
 
@@ -285,7 +285,7 @@ def prepare_hybrid_index(spark: SparkSession, sf_dir: str) -> int:
 # (knn_hybrid and recall_hybrid_vs_exact search the same workload):
 # the reference routes once per batch (hybrid_graph.cpp:168-230) and
 # trains the quantizer once at build (hnsw.hpp:38-40).
-_PLAN_CACHE: dict[tuple[str, str], tuple[DataFrame, float]] = {}
+_PLAN_CACHE: dict[tuple[str, str], tuple[DataFrame, float, int | None]] = {}
 _STATS_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 
 
@@ -299,19 +299,29 @@ def _hybrid_stats(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[Da
     return _STATS_CACHE[key]
 
 
-def _hybrid_plan(spark: SparkSession, sf_dir: str, base: DataFrame) -> tuple[DataFrame, float]:
+def _hybrid_plan(
+    spark: SparkSession, sf_dir: str, base: DataFrame
+) -> tuple[DataFrame, float, int | None]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PLAN_CACHE:
+        # derive dim ONCE and thread it to both the routing ladder and
+        # (via the returned tuple) the engine's bf branch, so the two
+        # agree on bc_rows_bound(dim) — see routing.py's lockstep note
+        head = base.select("vec").head()
+        dim = len(head["vec"]) if head is not None else None
         plan = routing.route_plan(
-            base, workload.queries_df(spark, sf_dir), stats=_hybrid_stats(spark, sf_dir, base)
+            base,
+            workload.queries_df(spark, sf_dir),
+            stats=_hybrid_stats(spark, sf_dir, base),
+            dim=dim,
         ).persist()
-        _PLAN_CACHE[key] = (plan, Q.train_alpha(base))
+        _PLAN_CACHE[key] = (plan, Q.train_alpha(base), dim)
     return _PLAN_CACHE[key]
 
 
 def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_vectors(spark, sf_dir)
-    plan, alpha = _hybrid_plan(spark, sf_dir, base)
+    plan, alpha, dim = _hybrid_plan(spark, sf_dir, base)
     index, catalog = _hybrid_index(spark, sf_dir, base)
     return engine.knn_hybrid(
         spark,
@@ -323,6 +333,7 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_base=_codes_replica(spark, sf_dir, base)[0],
         catalog=catalog,
         corpus_rows=_hybrid_stats(spark, sf_dir, base)[1],
+        dim=dim,
     )
 
 
@@ -356,7 +367,7 @@ def _knn_hybrid_bf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     base = base_vectors(spark, sf_dir)
-    plan, alpha = _hybrid_plan(spark, sf_dir, base)
+    plan, alpha, dim = _hybrid_plan(spark, sf_dir, base)
     index, catalog = _hybrid_index(spark, sf_dir, base)
     bf_ids = plan.filter(F.col("route") == routing.ROUTE_BF).select("query_id")
     bf_queries = workload.queries_df(spark, sf_dir).join(bf_ids, "query_id")
@@ -370,6 +381,7 @@ def _knn_hybrid_bf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_base=_codes_replica(spark, sf_dir, base)[0],
         catalog=catalog,
         corpus_rows=_hybrid_stats(spark, sf_dir, base)[1],
+        dim=dim,
     )
 
 
@@ -473,9 +485,21 @@ register(
     lambda s, d: similarity.ann_lsh_topk(load_table(s, d, "embeddings")),
     similarity.ann_lsh_topk_sql(),
 )
-# IVF: iterative float k-means training → no SQL oracle (rows-only);
-# recall vs the exact baseline is gated in tests/test_pipeline_ops.py
-register("ann_ivf_topk", lambda s, d: similarity.ann_ivf_topk(load_table(s, d, "embeddings")), None)
+# IVF, hash-gated (r5 verdict #6): with nprobe=nlist every cell is
+# probed, so the cell-cogroup scan is exhaustive — cells partition the
+# corpus, each (query, row) pair is scored exactly once, and the global
+# (cos desc, id) window equals the exact baseline REGARDLESS of what
+# the iterative k-means training produced. The oracle is therefore the
+# exact cosine SQL. The approximate (nprobe<nlist) config stays
+# quality-gated via recall_ivf_vs_exact below — both physical shapes
+# stay exercised every round.
+register(
+    "ann_ivf_topk",
+    lambda s, d: similarity.ann_ivf_topk(
+        load_table(s, d, "embeddings"), nprobe=similarity.N_LIST
+    ),
+    similarity.ann_cosine_topk_sql(),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +543,7 @@ def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB), emitted as a single oracle-predictable row."""
     base = base_vectors(spark, sf_dir)
     qdf = workload.queries_df(spark, sf_dir)
-    plan, alpha = _hybrid_plan(spark, sf_dir, base)
+    plan, alpha, dim = _hybrid_plan(spark, sf_dir, base)
     index, catalog = _hybrid_index(spark, sf_dir, base)
     return evaluate.recall_gate(
         engine.knn_hybrid(
@@ -532,6 +556,7 @@ def _recall_hybrid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes_base=_codes_replica(spark, sf_dir, base)[0],
             catalog=catalog,
             corpus_rows=_hybrid_stats(spark, sf_dir, base)[1],
+            dim=dim,
         ),
         knn.knn_exact_arrow(spark, base, qdf),
         RECALL_BAR_PPM,

@@ -141,12 +141,12 @@ def _int_cut_rerank(
             ts_all = tbl.column("ts").to_numpy(zero_copy_only=False)
             bcodes_all = encode_b(list_column_matrix(tbl, "vec"))
 
-            def dist_pair(qsel, rows, bcodes_all=bcodes_all):
-                return Q.code_l2_sqr_np(qc[qsel], bcodes_all[rows])
+            def dist_pair(qsel, sub, rows):
+                return Q.code_l2_sqr_np(qc[qsel], sub)
 
             # predicate-sliced scan (S3/F2-F4, same as bruteforce_sq8)
             knn.sliced_predicate_topk(
-                best_cd, best_id, qpred, ids_all, cats_all, ts_all, dist_pair, keep
+                best_cd, best_id, qpred, ids_all, cats_all, ts_all, bcodes_all, dist_pair, keep
             )
         if not saw:
             return

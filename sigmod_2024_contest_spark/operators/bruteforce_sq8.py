@@ -127,8 +127,8 @@ def fused_quant_bc_search(
             best_cd = np.full((nq, keep), big, dtype=np.int64)
             best_pi = np.full((nq, keep), -1, dtype=np.int64)
 
-            def dist_pair(qsel, rows):
-                return Q.code_l2_sqr_np(qc[qsel], codes[rows])
+            def dist_pair(qsel, sub, rows):
+                return Q.code_l2_sqr_np(qc[qsel], sub)
 
             # phase 1: quantized cut via the predicate-sliced scan
             # (S3/F2-F4 — selective queries score only their slice,
@@ -136,7 +136,7 @@ def fused_quant_bc_search(
             # POSITIONS (id-sorted, so the (cdist, pos) order ≡
             # (cdist, id))
             knn.sliced_predicate_topk(
-                best_cd, best_pi, (qtype, vv, ll, rr), pos64, cats, ts, dist_pair, keep
+                best_cd, best_pi, (qtype, vv, ll, rr), pos64, cats, ts, codes, dist_pair, keep
             )
             _, p2, fin = knn.resolve_topk_rows(best_cd, best_pi, refine_k, big)
             qidx, _ = np.nonzero(fin)  # row-major ⇒ per-query contiguous
@@ -273,15 +273,15 @@ def knn_sq8_rerank(
             else:
                 codes_all = Q.encode_np(list_column_matrix(tbl, "vec"), a)
 
-            def dist_pair(qsel, rows, codes_all=codes_all):
-                return Q.code_l2_sqr_np(qc[qsel], codes_all[rows])
+            def dist_pair(qsel, sub, rows):
+                return Q.code_l2_sqr_np(qc[qsel], sub)
 
             # predicate-sliced scan (S3/F2-F4): this kernel serves the
             # bf route, whose queries are low-selectivity by
             # construction (routed bf because sel < 8 %) — score only
             # the admissible slice, never GEMM-then-mask the block
             knn.sliced_predicate_topk(
-                best_cd, best_id, qpred, ids_all, cats_all, ts_all, dist_pair, keep
+                best_cd, best_id, qpred, ids_all, cats_all, ts_all, codes_all, dist_pair, keep
             )
         if not saw:
             return

@@ -202,6 +202,7 @@ def decontaminate(
     bench_mod: int = DECON_BENCH_MOD,
     min_shared: int = DECON_MIN_SHARED,
     df_cap: int = HOT_SHINGLE_DF_CAP,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """(train_doc_id, bench_doc_id, shared): training documents that
     share ≥ ``min_shared`` rare 3-gram shingles with a benchmark
@@ -213,11 +214,17 @@ def decontaminate(
 
     Scale shape: inverted-index join keyed on df-capped shingles — the
     hot (stop-phrase) keys are removed by a broadcast anti-join exactly
-    as in :func:`jaccard_pairs`, and the BENCH shingle side is
-    broadcast (a real eval suite is MBs against a 100 TB corpus), so
-    the training corpus's shingles never shuffle: one projection scan,
-    one broadcast hash join, one map-side-combined groupBy bounded by
-    the flagged-pair count."""
+    as in :func:`jaccard_pairs`. With ``broadcast_bench`` (default) the
+    BENCH shingle side is broadcast so the training corpus's shingles
+    never shuffle: one projection scan, one broadcast hash join, one
+    map-side-combined groupBy bounded by the flagged-pair count. That
+    hint assumes a GENUINELY SMALL eval suite (a real one is MBs) —
+    the ``bench_mod`` slice default is a small-scale stand-in that is
+    ~1/bench_mod of the corpus, which at 100 TB would OOM the driver if
+    broadcast. For a corpus-sized bench side pass
+    ``broadcast_bench=False``: the join falls back to a shuffle hash
+    join that AQE still converts to broadcast at runtime when the built
+    side turns out small."""
     sh = _doc_shingles(docs)
     hot = (
         sh.groupBy("skey")
@@ -232,8 +239,9 @@ def decontaminate(
     bench = cold.filter(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "skey"
     )
+    bench_side = F.broadcast(bench) if broadcast_bench else bench
     return (
-        train.join(F.broadcast(bench), "skey")
+        train.join(bench_side, "skey")
         .groupBy("train_doc_id", "bench_doc_id")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -796,6 +796,15 @@ def knn_hybrid(
     """
     if corpus_rows is None:
         corpus_rows = base.count()
+    if dim is None and corpus_rows:
+        # Derive the vector width once so the routing ladder and the bf
+        # branch agree on bc_rows_bound(dim): a caller threading dim to
+        # only one side would silently route type-0 to bf while the
+        # branch falls back to the measured-slower scan plan. One
+        # head() job, skipped whenever the caller already knows dim.
+        head = base.select("vec").head()
+        if head is not None:
+            dim = len(head["vec"])
     if plan is None:
         plan = routing.route_plan(base, queries, dim=dim).cache()
     bf_queries = queries.join(

@@ -385,16 +385,26 @@ def cached_corpus_broadcast(base: DataFrame, cols: tuple[str, ...], extra_key, b
     """Broadcast of ``builder(pdf)`` over ``base.select(*cols)``,
     cached per (application, corpus plan, extra_key). Returns None for
     an empty corpus. ``extra_key`` must capture anything else the
-    payload depends on (e.g. the quantizer scale)."""
+    payload depends on (e.g. the quantizer scale).
+
+    ASSUMES IMMUTABLE UNDERLYING DATA within one application: the key
+    is the logical plan, so overwriting a plan-identical source's files
+    mid-application would serve a stale payload — re-create the
+    DataFrame (new files ⇒ new plan) or bypass the cache in that case.
+    Eviction is LRU: a hit is reinserted at the tail, so a repeating
+    cycle of up-to-_CORPUS_BC_CACHE_MAX corpora never thrashes."""
     spark = base.sparkSession
     try:
         key = (spark.sparkContext.applicationId, base.semanticHash(), cols, extra_key)
     except Exception:
         key = None
     if key is not None:
-        hit = _CORPUS_BC_CACHE.get(key)
+        hit = _CORPUS_BC_CACHE.pop(key, None)
         if hit is not None and hit[0].sameSemantics(base):
+            _CORPUS_BC_CACHE[key] = hit  # reinsert at tail → LRU order
             return hit[1]
+        # colliding key (semanticHash match, different plan): dropped —
+        # the recompute below re-inserts under the same key
     pdf = base.select(*cols).toPandas()
     if len(pdf) == 0:
         return None
@@ -745,8 +755,9 @@ def _knn_exact_corpus_broadcast(
             best_i = np.full((nq, keep), -1, dtype=np.int64)
             qq = np.einsum("ij,ij->i", qv, qv)
 
-            def dist_pair(qsel, rows):
-                sub = vecs[rows]
+            def dist_pair(qsel, sub, rows):
+                # GEMM on the pre-gathered view; norms indexed by the
+                # original row positions
                 d = qq[qsel][:, None] + bb[rows][None, :] - 2.0 * (qv[qsel] @ sub.T)
                 np.maximum(d, 0.0, out=d)
                 return d
@@ -754,7 +765,7 @@ def _knn_exact_corpus_broadcast(
             # predicate-sliced scan (S3/F2-F4): selective queries score
             # only their (cat, ts) slice of the broadcast corpus
             sliced_predicate_topk(
-                best_d, best_i, (qtype, vv, ll, rr), ids, cats, ts, dist_pair, keep
+                best_d, best_i, (qtype, vv, ll, rr), ids, cats, ts, vecs, dist_pair, keep
             )
             # finite entries' ranks are their column index + 1 after the
             # row-wise (dist, id) resolve — no per-query Python loop

@@ -112,12 +112,17 @@ def knn_stream_indexed(
         index = index.persist()
     stats = stats_ops.corpus_stats(base, routing.ROUTING_TS_BINS)
     catalog = engine.shard_catalog(index)  # once per stream, not per batch
+    # dim once per stream (not per micro-batch): threads the same
+    # bc_rows_bound(dim) to the routing ladder and the engine's bf
+    # branch — the lockstep invariant in routing.py
+    head = base.select("vec").head()
+    dim = len(head["vec"]) if head is not None else None
 
     def answer(batch_df: DataFrame, batch_id: int) -> None:
-        plan = routing.route_plan(base, batch_df, stats=stats)
+        plan = routing.route_plan(base, batch_df, stats=stats, dim=dim)
         res = engine.knn_hybrid(
             spark, base, batch_df, k=k, index=index, plan=plan, alpha=alpha,
-            catalog=catalog,
+            catalog=catalog, dim=dim,
         )
         (
             res.withColumn("batch_id", F.lit(batch_id))

@@ -160,8 +160,8 @@ def test_sliced_predicate_topk_equals_masked(seed):
     bd2 = np.full((nq, keep), big, dtype=np.int64)
     bi2 = np.full((nq, keep), -1, dtype=np.int64)
     knn.sliced_predicate_topk(
-        bd2, bi2, qpred, ids, cats, ts,
-        lambda qsel, rows: Q.code_l2_sqr_np(qc[qsel], codes[rows]), keep,
+        bd2, bi2, qpred, ids, cats, ts, codes,
+        lambda qsel, sub, rows: Q.code_l2_sqr_np(qc[qsel], sub), keep,
     )
     d2, i2, f2 = knn.resolve_topk_rows(bd2, bi2, out_k, big)
 
@@ -188,3 +188,57 @@ def test_sliced_predicate_topk_equals_masked(seed):
             o = np.lexsort((iq, dq))[: int(fin.sum())]
             assert np.array_equal(i1[qi][fin], iq[o]), qi
             assert np.array_equal(i2[qi][fin], iq[o]), qi
+
+
+def test_sq8_arrow_path_end_to_end_tiny(spark):
+    """Signature-drift canary (r5 post-mortem): one REAL Arrow path —
+    ``knn_sq8_rerank`` fused AND forced-scan — end-to-end over a tiny
+    inline corpus, checked against a NumPy brute-force truth. A kernel
+    contract change that misses a call site fails HERE in seconds
+    instead of in 23 downstream Spark tests."""
+    from sigmod_2024_contest_spark.operators import bruteforce_sq8
+
+    rng = np.random.default_rng(7)
+    n, nq, dim, k = 60, 8, 6, 5
+    vecs = rng.random((n, dim)).round(3)
+    cats = rng.integers(0, 3, n)
+    ts = rng.random(n).round(2)
+    base = spark.createDataFrame(
+        [
+            (int(i), float(cats[i]), float(ts[i]), [float(x) for x in vecs[i]])
+            for i in range(n)
+        ],
+        "id long, category double, ts double, vec array<double>",
+    )
+    qt = np.array([0, 1, 2, 3, 0, 1, 2, 3])
+    qv = rng.random((nq, dim)).round(3)
+    vvq = np.where(np.isin(qt, (1, 3)), rng.integers(0, 3, nq), -1).astype(float)
+    llq = np.where(np.isin(qt, (2, 3)), 0.2, -1.0)
+    rrq = np.where(np.isin(qt, (2, 3)), 0.8, -1.0)
+    q = spark.createDataFrame(
+        [
+            (int(i), int(qt[i]), float(vvq[i]), float(llq[i]), float(rrq[i]),
+             [float(x) for x in qv[i]])
+            for i in range(nq)
+        ],
+        "query_id long, query_type long, v double, l double, r double, qvec array<double>",
+    )
+    alpha = Q.train_alpha(base)
+    fused = sorted(map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha, k=k).collect()))
+    scan = sorted(
+        map(tuple, bruteforce_sq8.knn_sq8_rerank(base, q, alpha, k=k, force_scan=True).collect())
+    )
+    # NumPy truth: exact float64 L2 with the 4-type predicate
+    want = []
+    for qi in range(nq):
+        ok = np.ones(n, dtype=bool)
+        if qt[qi] in (1, 3):
+            ok &= cats == vvq[qi]
+        if qt[qi] in (2, 3):
+            ok &= (ts >= llq[qi]) & (ts <= rrq[qi])
+        d = ((vecs[ok] - qv[qi]) ** 2).sum(axis=1)
+        ids_ok = np.flatnonzero(ok)
+        o = np.lexsort((ids_ok, d))[:k]
+        for rnk, j in enumerate(o, 1):
+            want.append((qi, int(ids_ok[j]), rnk))
+    assert fused == scan == sorted(want)
