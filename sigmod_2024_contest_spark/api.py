@@ -25,6 +25,7 @@ from .operators import (
     engine,
     evaluate,
     knn,
+    nndescent,
     relational,
     routing,
     sampling,
@@ -579,6 +580,32 @@ register(
     "recall_ivf_vs_exact",
     _recall_ivf_gate,
     evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), IVF_RECALL_BAR_PPM),
+)
+
+# NN-Descent (B12, nndescent.hpp:17+): iterative hash-seeded join
+# refinement → no SQL twin for the graph itself; the gate row is
+# oracle-predicted exactly like the hybrid/IVF gates. Bar: the widened
+# build (NND_BUILD_MULT) converges to 0.998 recall@10 on the dim-64
+# test embeddings in 5 rounds; 0.95 is the project-standard ANN bar.
+NND_RECALL_BAR_PPM = 950_000
+
+
+def _recall_nndescent_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = nndescent.nndescent_graph(emb, vec_col="embedding", id_col="vec_id")
+    truth = nndescent.exact_knn_graph(emb, vec_col="embedding", id_col="vec_id")
+    as_result = lambda df: df.select(  # noqa: E731
+        F.col("id").alias("query_id"), F.col("nbr").alias("id")
+    )
+    return evaluate.recall_gate(as_result(g), as_result(truth), NND_RECALL_BAR_PPM)
+
+
+register(
+    "recall_nndescent_vs_exact",
+    _recall_nndescent_gate,
+    evaluate.recall_gate_sql(nndescent.exact_knn_graph_sql(), NND_RECALL_BAR_PPM),
 )
 register("workload_stats", _workload_stats, evaluate.workload_stats_sql(stats.selectivity_sql()))
 

@@ -813,8 +813,9 @@ def _exact_payload(qrows) -> tuple[np.ndarray, np.ndarray]:
 # width, the real bound is BYTES — CORPUS_BC_MAX_CELLS caps the f64
 # payload at ~320 MB (plus ≤½ that again of codes in the quantized
 # kernels), so a 500k×64 corpus broadcasts while a 500k×100 one
-# doesn't. Measured r5 at 500k×64 / 1428 bf queries: fused broadcast
-# kernel 5.2 s warm vs codes scan + window + re-rank 24.6-30 s.
+# doesn't. Measured r6 (tools/measure_bf_pair.py, post kernel fix) at
+# 500k×64 / 1428 bf queries, warmed min-of-2: fused broadcast kernel
+# 10.5 s vs codes scan + window + re-rank 24.0-38.5 s.
 CORPUS_BC_MAX_ROWS = 200_000
 CORPUS_BC_MAX_CELLS = 40_000_000
 

@@ -1,0 +1,284 @@
+"""NN-Descent: distributed approximate kNN-graph construction (B12).
+
+Reference parity: ``nndescent.hpp:17+`` builds a k-NN graph by repeated
+neighbor-of-neighbor refinement (Dong et al., WWW'11) as the input to
+NSG pruning (``nsg.hpp:15-96``). In the reference's final pipeline both
+are dead code — the shipped build uses per-shard HNSW inserts — but
+NN-Descent is the one graph builder whose inner loop IS a join, which
+makes it the natural Spark formulation for graphs too large to build
+inside one task: the engine's current answer to an oversized shard is
+sub-sharding (``engine.build_index(max_nodes=...)``); this operator is
+the whole-shard alternative when sub-shard recall isn't enough.
+
+Spark-first shape (everything a DataFrame op, nothing driver-side):
+
+- the graph is an edge DataFrame ``(id, nbr, dist)`` with ≤k rows per
+  node — never an adjacency structure in driver memory;
+- one iteration = reverse-edge union → per-pivot neighbor sampling
+  (deterministic hash order, so runs are reproducible) → pair proposal
+  via a self-join on the pivot (two nodes sharing a neighbor become
+  candidates — exactly the local-join step of the original algorithm)
+  → JVM-side squared-L2 scoring (``aggregate``/``zip_with``, no Python
+  in the loop) → per-node (dist, nbr) top-k window;
+- iteration outputs are eagerly localCheckpoint'ed: iterative joins
+  otherwise stack lineage (each pass re-derives all previous passes)
+  and AQE replans the whole history every iteration.
+
+At 100 TB the candidate volume per pass is n·sample² rows — bounded by
+the sampling window, shuffled on node id (the natural partitioning
+key), with no all-pairs stage anywhere. The exact-graph twin
+(:func:`exact_knn_graph`) is the small-scale truth the recall gate
+measures against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Defaults follow the reference's NN-Descent shape (nndescent.hpp: K
+# neighbors, a handful of refinement rounds); sample bounds the
+# per-pivot join fan-out exactly like the paper's rho-sampling.
+# BUILD_MULT: the graph is refined with build_k = BUILD_MULT·k
+# neighbors and the top-k emitted — on high-dim uniform data plain
+# NN-Descent at k plateaus (measured 0.87-0.88 recall@10 on the dim-64
+# test embeddings regardless of iterations/sampling; the 2-hop
+# neighborhood of a size-k graph stops containing new true neighbors),
+# while the widened graph's neighborhoods keep enough diversity to
+# converge (measured 0.998 at BUILD_MULT=2.5, 5 rounds).
+NND_K = 10
+NND_ITERS = 5
+NND_SAMPLE = None  # None → build_k
+NND_BUILD_MULT = 2.5
+
+
+def _sq_l2(a, b):
+    """Squared L2 between two array<double> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _score_pairs(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
+    """(id, nbr) pairs → (id, nbr, dist): fetch both endpoints' vectors
+    and score. Two shuffle hash joins on the node id — the scale shape;
+    Catalyst/AQE broadcasts the vector side when it is small."""
+    va = vecs.select(F.col("id").alias("id"), F.col("vec").alias("va"))
+    vb = vecs.select(F.col("id").alias("nbr"), F.col("vec").alias("vb"))
+    return (
+        pairs.join(va, "id")
+        .join(vb, "nbr")
+        .select("id", "nbr", _sq_l2(F.col("va"), F.col("vb")).alias("dist"))
+    )
+
+
+def _topk_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Per-node (dist, nbr) top-k over a deduplicated edge set."""
+    uniq = edges.groupBy("id", "nbr").agg(F.min("dist").alias("dist"))
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+    return (
+        uniq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def nndescent_graph(
+    base: DataFrame,
+    k: int = NND_K,
+    iters: int = NND_ITERS,
+    sample: int | None = NND_SAMPLE,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    n_rows: int | None = None,
+    build_mult: float = NND_BUILD_MULT,
+) -> DataFrame:
+    """(id, nbr, dist, rnk): approximate directed kNN graph under
+    squared L2, ≤k neighbors per node, self excluded, rnk = (dist, nbr)
+    rank within the node. Deterministic: initialization and sampling
+    use hash functions of (id, position), not RNG state. Refinement
+    runs at ``build_mult``·k internal neighbors (see NND_BUILD_MULT).
+
+    ``n_rows``: pass the row count when known (skips one count job)."""
+    spark = base.sparkSession
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_rows is None:
+        n_rows = vecs.count()
+    if n_rows <= 1:
+        return spark.createDataFrame([], "id long, nbr long, dist double, rnk long")
+    out_k = min(k, n_rows - 1)
+    k = min(max(out_k, int(round(build_mult * out_k))), n_rows - 1)
+    s = sample or k
+
+    # --- init: k pseudo-random distinct neighbors per node -----------
+    # Dense index via one global sort window (ids need not be
+    # contiguous), then neighbor j of node i is the node at dense index
+    # (idx_i + 1 + hash(i, j) % (n-1)) mod n — never self, uniform-ish,
+    # no cross join, no driver-side RNG.
+    widx = Window.orderBy("id")
+    indexed = vecs.select("id").withColumn(
+        "idx", F.row_number().over(widx).cast("long") - 1
+    )
+    j = F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j")
+    offs = indexed.select("id", "idx", j).withColumn(
+        "nidx",
+        (
+            F.col("idx")
+            + 1
+            + F.pmod(F.xxhash64(F.col("idx"), F.col("j")), F.lit(n_rows - 1))
+        )
+        % F.lit(n_rows),
+    )
+    nbr_ids = indexed.select(
+        F.col("idx").alias("nidx"), F.col("id").alias("nbr")
+    )
+    init_pairs = offs.join(nbr_ids, "nidx").select("id", "nbr").distinct()
+    edges = _topk_edges(_score_pairs(init_pairs, vecs), k).localCheckpoint(eager=True)
+
+    # --- refinement loop ---------------------------------------------
+    for it in range(int(iters)):
+        # undirected adjacency, sampled to ≤s per pivot (hash order
+        # salted by the iteration so successive passes explore
+        # different neighbor subsets — the paper's incremental search)
+        adj = (
+            edges.select("id", "nbr")
+            .unionByName(
+                edges.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+            )
+            .distinct()
+        )
+        ws = Window.partitionBy("id").orderBy(
+            F.xxhash64(F.col("id"), F.col("nbr"), F.lit(it))
+        )
+        adj_s = (
+            adj.withColumn("rs", F.row_number().over(ws))
+            .filter(F.col("rs") <= s)
+            .drop("rs")
+        )
+        # pair proposal: local join on the shared pivot
+        a = adj_s.select(F.col("id").alias("pivot"), F.col("nbr").alias("u"))
+        b = adj_s.select(F.col("id").alias("pivot"), F.col("nbr").alias("v"))
+        cand = (
+            a.join(b, "pivot")
+            .filter(F.col("u") < F.col("v"))
+            .select(F.col("u").alias("id"), F.col("v").alias("nbr"))
+            .distinct()
+        )
+        scored = _score_pairs(cand, vecs)
+        both = scored.unionByName(
+            scored.select(
+                F.col("nbr").alias("id"), F.col("id").alias("nbr"), "dist"
+            )
+        )
+        edges = _topk_edges(edges.unionByName(both), k).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+    return (
+        edges.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= out_k)
+    )
+
+
+def exact_knn_graph(
+    base: DataFrame, k: int = NND_K, vec_col: str = "vec", id_col: str = "id"
+) -> DataFrame:
+    """(id, nbr, dist, rnk): the exact kNN graph — the truth the recall
+    gate measures :func:`nndescent_graph` against. All-pairs join +
+    per-node window; small-scale oracle machinery, not the 100 TB path
+    (that is what NN-Descent is for)."""
+    vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a = vecs.select(F.col("id"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("id").alias("nbr"), F.col("vec").alias("vb"))
+    pairs = a.join(b, F.col("id") != F.col("nbr")).select(
+        "id", "nbr", _sq_l2(F.col("va"), F.col("vb")).alias("dist")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def graph_to_pruned_nbrs(vecs, ids, edges, m: int = 16):
+    """Kernel-level bridge from an NN-Descent edge set to the engine's
+    searchable graph format: the same ``(n, 2m)`` int32 neighbor
+    POSITION matrix ``hnsw.build_pruned_knn_graph`` emits, so
+    ``hnsw.beam_search`` runs on it unchanged. Applies the reference's
+    diversity rule (getNeighborsByHeuristic2, hnswalg.h:629-656: keep a
+    candidate iff it is closer to the node than to every already-kept
+    neighbor — the MRNG prune that is NSG's whole contribution,
+    nsg.hpp:15-96) to each node's NN-Descent candidates, then caps
+    reverse edges (hnswalg.h:682-797). This is the whole-shard build
+    path: NN-Descent supplies distributed candidates where the default
+    build's exact O(n²) candidate GEMM no longer fits one task.
+
+    ``vecs``: (n, d) float array in position order; ``ids``: (n,)
+    SORTED node ids mapping id → position; ``edges``: iterable of
+    (id, nbr, dist) rows (any order; dist used for candidate order).
+    """
+    import numpy as np
+
+    n = len(ids)
+    m0 = 2 * m
+    nbrs = np.full((n, m0), -1, dtype=np.int32)
+    if n <= 1:
+        return nbrs
+    ids = np.asarray(ids)
+    e = np.asarray([(a, b, d) for a, b, d in edges], dtype=np.float64)
+    if e.size == 0:
+        return nbrs
+    src = np.searchsorted(ids, e[:, 0].astype(np.int64))
+    dst = np.searchsorted(ids, e[:, 1].astype(np.int64))
+    order = np.lexsort((e[:, 2], src))  # group by node, dist ascending
+    src, dst, dd = src[order], dst[order], e[:, 2][order]
+    starts = np.searchsorted(src, np.arange(n))
+    ends = np.searchsorted(src, np.arange(n) + 1)
+    v = np.asarray(vecs, dtype=np.float64)
+    deg = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        cand = dst[starts[i] : ends[i]]
+        cd = dd[starts[i] : ends[i]]
+        if cand.size == 0:
+            continue
+        cv = v[cand]
+        kept: list[int] = []
+        for j in range(cand.size):
+            if len(kept) >= m:
+                break
+            if not kept:
+                kept.append(j)
+                continue
+            kv = cv[kept]
+            d_jk = np.einsum("kd,kd->k", kv - cv[j], kv - cv[j])
+            if not (d_jk < cd[j]).any():  # no kept nbr dominates j
+                kept.append(j)
+        kk = cand[kept]
+        nbrs[i, : len(kk)] = kk
+        deg[i] = len(kk)
+    for i in range(n):
+        for j in nbrs[i, : deg[i]]:
+            if deg[j] < m0 and i not in nbrs[j, : deg[j]]:
+                nbrs[j, deg[j]] = i
+                deg[j] += 1
+    return nbrs
+
+
+def exact_knn_graph_sql(k: int = NND_K) -> str:
+    """DuckDB twin of :func:`exact_knn_graph` over the embeddings
+    table, id-set shape (query_id, id) for recall_gate_sql."""
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+           j -> (a.embedding[j]::DOUBLE - b.embedding[j]::DOUBLE)
+              * (a.embedding[j]::DOUBLE - b.embedding[j]::DOUBLE))) AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+)
+SELECT query_id, id FROM (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rn
+  FROM pairs
+) WHERE rn <= {int(k)}
+"""

@@ -49,7 +49,8 @@ ROUTE_GLOBAL_GRAPH = "global_graph"
 # shuffle against only −5 s of saved beam work, so the graph fan-out
 # wins wall-clock even with a ~3 ms/shard Python beam constant — but
 # when the FUSED plan applies (zero-shuffle, no candidate window;
-# measured 5.2 s vs 24-30 s for the same bf queries at 500k×64), bf
+# re-measured r6 post kernel fix via tools/measure_bf_pair.py: 10.5 s
+# fused vs 24.0-38.5 s scan for the same bf queries at 500k×64), bf
 # dominates again. The bound is therefore exactly fused-plan
 # applicability: ``knn.bc_rows_bound(dim)`` — byte-based when the
 # caller passes the vector width (route_plan(dim=...)), else this
