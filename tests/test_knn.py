@@ -205,3 +205,28 @@ def test_sq8_fused_plan_shape(spark):
     assert plan.count("Exchange") <= 1, plan
     for op in ("Window", "SortMergeJoin", "BroadcastHashJoin", "Sort "):
         assert op not in plan, (op, plan)
+
+
+def test_cached_corpus_broadcast_lru(spark):
+    """A cache hit moves the entry to the eviction tail (LRU): cycling
+    through max+1 distinct corpora must never evict the entry that was
+    touched most recently."""
+    from sigmod_2024_contest_spark.operators import knn
+
+    knn._CORPUS_BC_CACHE.clear()
+    bases = [
+        spark.createDataFrame([(i, [float(i)])], "id long, vec array<double>")
+        for i in range(knn._CORPUS_BC_CACHE_MAX + 1)
+    ]
+    build = lambda pdf: pdf["id"].to_numpy()  # noqa: E731
+    handles = [
+        knn.cached_corpus_broadcast(b, ("id", "vec"), "lru-test", build) for b in bases
+    ]
+    # cache is full with entries 1..MAX (entry 0 evicted); touch entry 1
+    hit = knn.cached_corpus_broadcast(bases[1], ("id", "vec"), "lru-test", build)
+    assert hit is handles[1]  # same broadcast object = cache hit
+    # adding one more evicts the LRU entry — which must NOT be entry 1
+    knn.cached_corpus_broadcast(bases[0], ("id", "vec"), "lru-test", build)
+    still = knn.cached_corpus_broadcast(bases[1], ("id", "vec"), "lru-test", build)
+    assert still is handles[1]
+    knn._CORPUS_BC_CACHE.clear()

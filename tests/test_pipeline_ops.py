@@ -389,3 +389,17 @@ def test_mixture_sample_proportions(spark):
 
 def test_vocab_counts(spark):
     _check(spark, "vocab_counts")
+
+
+def test_decontaminate_shuffle_twin_matches_broadcast(spark):
+    """broadcast_bench=False (the corpus-sized-bench fallback) must
+    produce exactly the broadcast plan's rows — the hint changes the
+    physical join only."""
+    from sigmod_2024_contest_spark.operators import dedup
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, dedup.decontaminate(docs).collect()))
+    b = sorted(map(tuple, dedup.decontaminate(docs, broadcast_bench=False).collect()))
+    assert a == b and a
