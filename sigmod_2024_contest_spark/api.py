@@ -582,6 +582,22 @@ register(
     evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), IVF_RECALL_BAR_PPM),
 )
 
+def _knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-level cost choice (engine.knn_auto): at correctness scale
+    the scan branch is taken (tiny flops product) and is exact, so the
+    oracle is the exact kNN SQL; the engine branch is the same
+    hash-gated knn_hybrid entry above. Both branches are additionally
+    pinned equal in tests/test_hnsw_engine.py."""
+    base = base_vectors(spark, sf_dir)
+    stats_df, n_total = _hybrid_stats(spark, sf_dir, base)
+    return engine.knn_auto(
+        spark, base, workload.queries_df(spark, sf_dir), corpus_rows=n_total
+    )
+
+
+register("knn_auto", _knn_auto, knn.knn_oracle_sql())
+
+
 # NN-Descent (B12, nndescent.hpp:17+): iterative hash-seeded join
 # refinement → no SQL twin for the graph itself; the gate row is
 # oracle-predicted exactly like the hybrid/IVF gates. Bar: the widened

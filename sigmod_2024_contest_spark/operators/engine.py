@@ -863,3 +863,60 @@ def knn_hybrid(
         base, queries, cands, k, pool_k, corpus_rows=corpus_rows, dim=dim
     )
     return bf_res.unionByName(graph_res)
+
+
+# Batch-level plan choice for knn_auto: below this many scan FLOPs
+# (n_queries × corpus_rows × dim) the exact scan answers the whole
+# batch faster than the routed engine can pay its fixed costs (route
+# plan, shard assignment, cogroup dispatch, pooled re-rank — each a
+# multi-job constant that does NOT shrink with batch size). Measured r6
+# on this host (BENCH_r06 stress + contest pairs): 2048 queries ×
+# 500k × 64 = 6.6e10 FLOPs → scan 5.9 s vs engine 33.1 s (scan wins);
+# 100k × 20k × 100 = 2.0e11 → scan 72.1 s vs engine 43.1 s (engine
+# wins). 1e11 splits the two measured points; the decision is
+# order-of-magnitude robust — at 100 TB the product is astronomically
+# above any threshold, so the engine always serves real corpora and
+# this rule only protects small interactive batches.
+SCAN_FLOPS_BOUND = 1e11
+
+
+def knn_auto(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = workload.K,
+    n_queries: int | None = None,
+    corpus_rows: int | None = None,
+    dim: int | None = None,
+    scan_flops_bound: float = SCAN_FLOPS_BOUND,
+    **hybrid_kwargs,
+) -> DataFrame:
+    """Cost-based batch entry: the exact scan for batches too small to
+    amortize the routed engine's fixed costs, :func:`knn_hybrid`
+    otherwise. Both produce (query_id, id, rnk); the scan is exact, the
+    engine recall-gated — so the choice only ever trades time.
+
+    The reference has no such whole-batch fallback (its workload is
+    fixed at 1M queries × 10M rows — deep engine territory); this is
+    the decision its cost model would make first if batch sizes varied.
+    Pass ``n_queries``/``corpus_rows``/``dim`` when known to skip the
+    count/head jobs; ``hybrid_kwargs`` (index, plan, alpha, catalog,
+    codes_base) forward to the engine branch untouched."""
+    from . import knn
+
+    if corpus_rows is None:
+        corpus_rows = base.count()
+    if n_queries is None:
+        n_queries = queries.count()
+    if dim is None and corpus_rows:
+        head = base.select("vec").head()
+        if head is not None:
+            dim = len(head["vec"])
+    flops = float(n_queries) * float(corpus_rows) * float(dim or 100)
+    if flops < scan_flops_bound:
+        return knn.knn_exact_arrow(
+            spark, base, queries, k=k, corpus_rows=corpus_rows, dim=dim
+        )
+    return knn_hybrid(
+        spark, base, queries, k=k, corpus_rows=corpus_rows, dim=dim, **hybrid_kwargs
+    )

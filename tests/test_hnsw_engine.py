@@ -433,3 +433,23 @@ def test_adaptive_ef_bands():
     # pool cap: ef never exceeds the allowed population (floor k)
     assert engine.adaptive_ef(3, n, 55, k) == 55
     assert engine.adaptive_ef(3, n, 4, k) == k
+
+
+def test_knn_auto_both_branches(spark):
+    """knn_auto's two branches, forced via the flops bound: the scan
+    branch must equal exact kNN row-for-row; the engine branch must be
+    the routed engine's own (recall-gated) output — here compared on
+    the bf-routed subset, where the engine is exact."""
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    exact = sorted(map(tuple, knn.knn_exact_arrow(spark, base, q).collect()))
+    scan_branch = sorted(
+        map(tuple, engine.knn_auto(spark, base, q, scan_flops_bound=float("inf")).collect())
+    )
+    assert scan_branch == exact
+    # engine branch (bound 0 → always engine): exact at smoke scale
+    # (every shard under GEMM_SHARD_THR + exact bf branch + K12 rerank)
+    eng_branch = sorted(
+        map(tuple, engine.knn_auto(spark, base, q, scan_flops_bound=0.0).collect())
+    )
+    assert eng_branch == exact
