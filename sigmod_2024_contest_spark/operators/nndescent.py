@@ -38,18 +38,31 @@ from pyspark.sql import functions as F
 
 # Defaults follow the reference's NN-Descent shape (nndescent.hpp: K
 # neighbors, a handful of refinement rounds); sample bounds the
-# per-pivot join fan-out exactly like the paper's rho-sampling.
+# per-pivot join fan-out exactly like the paper's rho-sampling, and
+# defaults to the full undirected list (2·build_k — the classic local
+# join; halving it to build_k cost 0.98 → 0.79 recall at 2000 nodes
+# because fwd/rev duplicates burn sample slots). Candidate volume per
+# round is n·sample²/2 pairs — sample is the wall-vs-recall knob.
 # BUILD_MULT: the graph is refined with build_k = BUILD_MULT·k
 # neighbors and the top-k emitted — on high-dim uniform data plain
 # NN-Descent at k plateaus (measured 0.87-0.88 recall@10 on the dim-64
 # test embeddings regardless of iterations/sampling; the 2-hop
 # neighborhood of a size-k graph stops containing new true neighbors),
 # while the widened graph's neighborhoods keep enough diversity to
-# converge (measured 0.998 at BUILD_MULT=2.5, 5 rounds).
+# converge (measured 0.998 at BUILD_MULT=2.5, 5 rounds, 500 nodes;
+# 0.979 at 2000 nodes).
 NND_K = 10
-NND_ITERS = 5
-NND_SAMPLE = None  # None → build_k
+NND_ITERS = 4  # full-local-join rounds converge fast: 3 rounds → 1.0
+# recall at 500 nodes, 0.97 at 2000; 4 keeps margin over the 0.95 bar
+NND_SAMPLE = None  # None → 2·build_k (full local join)
 NND_BUILD_MULT = 2.5
+# Wall-clock note: each round is one eager-checkpointed job of ~4
+# shuffle/Arrow stages, so a SMALL graph's build time is round-count ×
+# scheduler constants (~3 s/round on this host), invariant to data
+# size — AQE already coalesces the tiny shuffles (an explicit
+# repartition per round was measured strictly worse). The constants
+# amortize away exactly where the operator is meant to run: graphs too
+# big for one task.
 
 
 def _sq_l2(a, b):
@@ -111,14 +124,51 @@ def _score_pairs(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
 
 
 def _topk_edges(edges: DataFrame, k: int) -> DataFrame:
-    """Per-node (dist, nbr) top-k over a deduplicated edge set."""
-    uniq = edges.groupBy("id", "nbr").agg(F.min("dist").alias("dist"))
+    """Per-node (dist, nbr) top-k with (id, nbr) dedup in ONE window
+    pass (one shuffle, not groupBy + window): duplicates of a pair
+    always carry the identical float64 dist (same kernel, same
+    arithmetic), so they sort adjacent — ``dense_rank`` counts distinct
+    neighbors and a same-spec ``lag`` drops the copies."""
     w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("nbr").asc())
     return (
-        uniq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+        edges.select(
+            "id",
+            "nbr",
+            "dist",
+            F.dense_rank().over(w).alias("_dr"),
+            F.lag("nbr").over(w).alias("_pn"),
+        )
+        .filter(
+            (F.col("_dr") <= k)
+            & (F.col("_pn").isNull() | (F.col("_pn") != F.col("nbr")))
+        )
+        .drop("_dr", "_pn")
     )
+
+
+def _dense_index(vecs: DataFrame) -> DataFrame:
+    """(id, idx): dense 0..n-1 index over the node ids, DISTRIBUTED —
+    a single global row_number window would sort every id in one task
+    (the classic single-partition-window scale bug). Standard two-pass
+    shape instead: range-partition by id, rank within each partition,
+    then add per-partition offsets (bounded metadata: one ≤P-row
+    collect, broadcast back)."""
+    spark = vecs.sparkSession
+    ranged = vecs.select("id").repartitionByRange("id").select(
+        "id", F.spark_partition_id().alias("pid")
+    )
+    w = Window.partitionBy("pid").orderBy("id")
+    local = ranged.withColumn("li", F.row_number().over(w).cast("long") - 1)
+    cnts = sorted(
+        (r["pid"], r["cnt"])
+        for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in cnts:
+        offs.append((pid, acc))
+        acc += c
+    odf = F.broadcast(spark.createDataFrame(offs, "pid int, off long"))
+    return local.join(odf, "pid").select("id", (F.col("li") + F.col("off")).alias("idx"))
 
 
 def nndescent_graph(
@@ -146,17 +196,14 @@ def nndescent_graph(
         return spark.createDataFrame([], "id long, nbr long, dist double, rnk long")
     out_k = min(k, n_rows - 1)
     k = min(max(out_k, int(round(build_mult * out_k))), n_rows - 1)
-    s = sample or k
+    s = sample or 2 * k
 
     # --- init: k pseudo-random distinct neighbors per node -----------
-    # Dense index via one global sort window (ids need not be
-    # contiguous), then neighbor j of node i is the node at dense index
+    # Dense index (distributed two-pass, ids need not be contiguous),
+    # then neighbor j of node i is the node at dense index
     # (idx_i + 1 + hash(i, j) % (n-1)) mod n — never self, uniform-ish,
     # no cross join, no driver-side RNG.
-    widx = Window.orderBy("id")
-    indexed = vecs.select("id").withColumn(
-        "idx", F.row_number().over(widx).cast("long") - 1
-    )
+    indexed = _dense_index(vecs)
     j = F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j")
     offs = indexed.select("id", "idx", j).withColumn(
         "nidx",
@@ -170,20 +217,19 @@ def nndescent_graph(
     nbr_ids = indexed.select(
         F.col("idx").alias("nidx"), F.col("id").alias("nbr")
     )
-    init_pairs = offs.join(nbr_ids, "nidx").select("id", "nbr").distinct()
+    init_pairs = offs.join(nbr_ids, "nidx").select("id", "nbr")  # dups → _topk_edges
     edges = _topk_edges(_score_pairs(init_pairs, vecs), k).localCheckpoint(eager=True)
 
     # --- refinement loop ---------------------------------------------
     for it in range(int(iters)):
         # undirected adjacency, sampled to ≤s per pivot (hash order
         # salted by the iteration so successive passes explore
-        # different neighbor subsets — the paper's incremental search)
-        adj = (
-            edges.select("id", "nbr")
-            .unionByName(
-                edges.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
-            )
-            .distinct()
+        # different neighbor subsets — the paper's incremental search).
+        # No distinct: a fwd+rev duplicate just burns a sample slot,
+        # and duplicate pair proposals are deduped by _topk_edges — two
+        # shuffles saved per iteration.
+        adj = edges.select("id", "nbr").unionByName(
+            edges.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
         )
         ws = Window.partitionBy("id").orderBy(
             F.xxhash64(F.col("id"), F.col("nbr"), F.lit(it))
@@ -193,14 +239,14 @@ def nndescent_graph(
             .filter(F.col("rs") <= s)
             .drop("rs")
         )
-        # pair proposal: local join on the shared pivot
+        # pair proposal: local join on the shared pivot (co-partitioned
+        # with the sampling window's output — no extra shuffle)
         a = adj_s.select(F.col("id").alias("pivot"), F.col("nbr").alias("u"))
         b = adj_s.select(F.col("id").alias("pivot"), F.col("nbr").alias("v"))
         cand = (
             a.join(b, "pivot")
             .filter(F.col("u") < F.col("v"))
             .select(F.col("u").alias("id"), F.col("v").alias("nbr"))
-            .distinct()
         )
         scored = _score_pairs(cand, vecs)
         both = scored.unionByName(
@@ -221,18 +267,21 @@ def exact_knn_graph(
     base: DataFrame, k: int = NND_K, vec_col: str = "vec", id_col: str = "id"
 ) -> DataFrame:
     """(id, nbr, dist, rnk): the exact kNN graph — the truth the recall
-    gate measures :func:`nndescent_graph` against. All-pairs join +
-    per-node window; small-scale oracle machinery, not the 100 TB path
-    (that is what NN-Descent is for)."""
+    gate measures :func:`nndescent_graph` against. All-pairs cross join
+    + the same vectorized Arrow scorer the builder uses (the
+    interpreted fold made this twin the gate's whole wall) + per-node
+    window; small-scale oracle machinery, not the 100 TB path (that is
+    what NN-Descent is for)."""
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    a = vecs.select(F.col("id"), F.col("vec").alias("va"))
-    b = vecs.select(F.col("id").alias("nbr"), F.col("vec").alias("vb"))
-    pairs = a.join(b, F.col("id") != F.col("nbr")).select(
-        "id", "nbr", _sq_l2(F.col("va"), F.col("vb")).alias("dist")
+    pairs = (
+        vecs.select("id")
+        .crossJoin(vecs.select(F.col("id").alias("nbr")))
+        .filter(F.col("id") != F.col("nbr"))
     )
+    scored = _score_pairs(pairs, vecs)
     w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("nbr").asc())
     return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
 
@@ -301,16 +350,20 @@ def graph_to_pruned_nbrs(vecs, ids, edges, m: int = 16):
     return nbrs
 
 
-def exact_knn_graph_sql(k: int = NND_K) -> str:
+def exact_knn_graph_sql(k: int = NND_K, max_id: int | None = None) -> str:
     """DuckDB twin of :func:`exact_knn_graph` over the embeddings
-    table, id-set shape (query_id, id) for recall_gate_sql."""
+    table, id-set shape (query_id, id) for recall_gate_sql.
+    ``max_id``: restrict to vec_id < max_id — the gate's constant-cost
+    slice (the registry gate must not grow with the table)."""
+    where = f"WHERE vec_id < {int(max_id)}" if max_id is not None else ""
     return f"""
-WITH pairs AS (
+WITH nodes AS (SELECT vec_id, embedding FROM embeddings {where}),
+pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS id,
          list_sum(list_transform(range(1, len(a.embedding) + 1),
            j -> (a.embedding[j]::DOUBLE - b.embedding[j]::DOUBLE)
               * (a.embedding[j]::DOUBLE - b.embedding[j]::DOUBLE))) AS d
-  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  FROM nodes a JOIN nodes b ON a.vec_id != b.vec_id
 )
 SELECT query_id, id FROM (
   SELECT query_id, id,
