@@ -9,7 +9,7 @@ in between — but every stage a DataFrame job that scales past one
 machine.
 
 CLI: ``python -m sigmod_2024_contest_spark.contest BASE.bin QUERIES.bin
-OUT.bin [k] [exact|hybrid]``.
+OUT.bin [k] [exact|hybrid|auto]``.
 """
 
 from __future__ import annotations
@@ -35,7 +35,10 @@ def contest_run(
 
     mode='hybrid' → the routed engine (BatchSearch parity);
     mode='exact'  → the brute-force oracle path (ground-truth parity,
-    generate_groundtruth.cpp:4-45).
+    generate_groundtruth.cpp:4-45);
+    mode='auto'   → batch-level cost choice (``engine.knn_auto``):
+    small batches take the exact scan (the engine's fixed costs only
+    amortize at volume), large ones the routed engine.
 
     ``base``/``queries``: already-decoded DataFrames to reuse instead
     of decoding the .bin paths — repeat callers (bench, a service
@@ -54,6 +57,8 @@ def contest_run(
         queries = bin_format.read_queries_bin(spark, queries_path)
     if mode == "exact":
         result = knn.knn_exact_arrow(spark, base, queries, k=k)
+    elif mode == "auto":
+        result = engine.knn_auto(spark, base, queries, k=k)
     else:
         result = engine.knn_hybrid(spark, base, queries, k=k)
     if out_path is not None:

@@ -316,7 +316,10 @@ def graph_to_pruned_nbrs(vecs, ids, edges, m: int = 16):
         return nbrs
     src = np.searchsorted(ids, e[:, 0].astype(np.int64))
     dst = np.searchsorted(ids, e[:, 1].astype(np.int64))
-    order = np.lexsort((e[:, 2], src))  # group by node, dist ascending
+    # group by node, (dist, nbr) ascending — the nbr tie-break makes
+    # the prune deterministic under duplicate points (input edge order
+    # must never matter)
+    order = np.lexsort((dst, e[:, 2], src))
     src, dst, dd = src[order], dst[order], e[:, 2][order]
     starts = np.searchsorted(src, np.arange(n))
     ends = np.searchsorted(src, np.arange(n) + 1)

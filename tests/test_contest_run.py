@@ -59,3 +59,26 @@ def test_contest_dummy_recall(spark, tmp_path):
     for i, qid in enumerate(sorted(hybrid)):
         got = {x for x in by_qid[i] if x != np.iinfo(np.uint32).max}
         assert got == hybrid[qid], f"row {i} (query {qid}) mismatch"
+
+
+def test_contest_auto_mode_small_batch_is_exact(spark):
+    """mode='auto' on the dummy workload (100 queries × 10k rows —
+    far below the scan-FLOPs bound) must take the scan branch and
+    therefore equal mode='exact' row-for-row."""
+    auto = sorted(
+        map(
+            tuple,
+            contest.contest_run(
+                spark, DUMMY_BASE, DUMMY_QUERIES, k=100, mode="auto"
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            contest.contest_run(
+                spark, DUMMY_BASE, DUMMY_QUERIES, k=100, mode="exact"
+            ).collect(),
+        )
+    )
+    assert auto == exact and auto

@@ -242,3 +242,54 @@ def test_sq8_arrow_path_end_to_end_tiny(spark):
         for rnk, j in enumerate(o, 1):
             want.append((qi, int(ids_ok[j]), rnk))
     assert fused == scan == sorted(want)
+
+
+@given(st.integers(0, 5_000))
+@settings(max_examples=20, deadline=None)
+def test_graph_to_pruned_nbrs_matches_naive(seed):
+    """The NN-Descent → beam-search bridge must implement exactly the
+    reference diversity rule (keep candidate c iff dist(node, c) <
+    dist(k, c) for every already-kept k) in candidate (dist, nbr)
+    order, then cap reverse edges at 2m — checked against a direct
+    transcription on random graphs with duplicate/tied points."""
+    from sigmod_2024_contest_spark.operators.nndescent import graph_to_pruned_nbrs
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 40))
+    dim = int(rng.integers(2, 6))
+    m = int(rng.integers(1, 6))
+    # small integer grid → duplicate points and tied distances
+    vecs = rng.integers(0, 4, (n, dim)).astype(np.float64)
+    ids = np.sort(rng.choice(np.arange(1000), size=n, replace=False)).astype(np.int64)
+    # random candidate edges: up to 3m per node
+    edges = []
+    for i in range(n):
+        cands = rng.permutation(n)[: int(rng.integers(0, 3 * m + 1))]
+        for j in cands:
+            if j != i:
+                d = float(((vecs[i] - vecs[j]) ** 2).sum())
+                edges.append((float(ids[i]), float(ids[j]), d))
+    got = graph_to_pruned_nbrs(vecs, ids, edges, m=m)
+
+    # naive transcription
+    pos = {int(v): p for p, v in enumerate(ids)}
+    want = np.full((n, 2 * m), -1, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int64)
+    per = {}
+    for a, b, d in edges:
+        per.setdefault(pos[int(a)], []).append((d, pos[int(b)]))
+    for i in range(n):
+        kept = []
+        for d, j in sorted(per.get(i, [])):
+            if len(kept) >= m:
+                break
+            if all(((vecs[kk] - vecs[j]) ** 2).sum() >= d for kk in kept):
+                kept.append(j)
+        want[i, : len(kept)] = kept
+        deg[i] = len(kept)
+    for i in range(n):
+        for j in want[i, : deg[i]]:
+            if deg[j] < 2 * m and i not in want[j, : deg[j]]:
+                want[j, deg[j]] = i
+                deg[j] += 1
+    assert np.array_equal(got, want)
