@@ -406,6 +406,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("text_stats", lambda s, d: T.text_stats(_docs(s, d)), T.TEXT_STATS_SQL)
+register(
+    "text_repetition", lambda s, d: T.text_repetition(_docs(s, d)), T.TEXT_REPETITION_SQL
+)
 register("lang_id", lambda s, d: T.lang_id(_docs(s, d)), T.lang_id_sql())
 register("doc_fingerprint", lambda s, d: T.fingerprint(_docs(s, d)), T.FINGERPRINT_SQL)
 register("token_counts", lambda s, d: T.token_counts(_docs(s, d)), T.TOKEN_COUNTS_SQL)

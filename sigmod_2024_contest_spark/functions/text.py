@@ -211,3 +211,111 @@ HAVING count(DISTINCT doc_id) >= {min_df}
 ORDER BY tf DESC, token ASC
 LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style): the pretraining quality signal that
+# catches boilerplate/SEO spam — fraction of duplicate n-grams and the
+# character mass of the single most frequent 2-gram. Scale shape: one
+# explode + map-side-combined (doc_id, gram) count + a per-doc window —
+# rows ∝ corpus tokens, state bounded by distinct grams per doc.
+# ---------------------------------------------------------------------------
+
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_2grams, distinct_2grams, dup_2gram_ppm,
+    top_2gram_count, top_2gram_char_ppm): 2-gram repetition features.
+    ``dup_2gram_ppm`` = fraction of 2-gram occurrences that are
+    repeats; ``top_2gram_char_ppm`` = chars covered by the most common
+    2-gram (count × gram length / doc chars), ties broken by gram
+    string descending — both deterministic integers."""
+    from pyspark.sql import Window
+
+    ws = tokens_expr("text")
+    base = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), ws.alias("ws")
+    )
+    grams = base.select(
+        "doc_id",
+        # CASE guard, not greatest(…, 0): Spark's sequence(1, 0) steps
+        # DOWNWARD ([1, 0]) instead of being empty, so a 1-token doc
+        # would index past the array
+        F.expr(
+            "CASE WHEN size(ws) < 2 THEN array()"
+            " ELSE transform(sequence(1, size(ws) - 1),"
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END"
+        ).alias("gs"),
+    )
+    cnt = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").desc())
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("tc"), F.length("g").alias("tl"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n2"), F.count("*").alias("d2")
+    )
+    n2 = F.coalesce(F.col("n2"), F.lit(0)).cast("double")
+    return (
+        base.select("doc_id", "n_chars")
+        .join(agg, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n_2grams"),
+            F.coalesce("d2", F.lit(0)).cast("long").alias("distinct_2grams"),
+            F.when(n2 == 0, F.lit(0))
+            .otherwise(F.floor((n2 - F.col("d2").cast("double")) / n2 * 1e6))
+            .cast("long")
+            .alias("dup_2gram_ppm"),
+            F.coalesce("tc", F.lit(0)).cast("long").alias("top_2gram_count"),
+            F.when(
+                F.coalesce("tc", F.lit(0)) == 0, F.lit(0)
+            )
+            .otherwise(
+                F.floor(
+                    F.col("tc").cast("double")
+                    * F.col("tl").cast("double")
+                    / F.col("n_chars").cast("double")
+                    * 1e6
+                )
+            )
+            .cast("long")
+            .alias("top_2gram_char_ppm"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS gs
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM b),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g),
+agg AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2 FROM cnt GROUP BY doc_id),
+top AS (
+  SELECT doc_id, c AS tc, length(g) AS tl FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       coalesce(n2, 0)::BIGINT AS n_2grams,
+       coalesce(d2, 0)::BIGINT AS distinct_2grams,
+       (CASE WHEN coalesce(n2, 0) = 0 THEN 0
+             ELSE floor((n2 - d2)::DOUBLE / n2::DOUBLE * 1e6) END)::BIGINT AS dup_2gram_ppm,
+       coalesce(tc, 0)::BIGINT AS top_2gram_count,
+       (CASE WHEN coalesce(tc, 0) = 0 THEN 0
+             ELSE floor(tc::DOUBLE * tl::DOUBLE / n_chars::DOUBLE * 1e6) END)::BIGINT AS top_2gram_char_ppm
+FROM b LEFT JOIN agg USING (doc_id) LEFT JOIN top USING (doc_id)
+"""

@@ -403,3 +403,34 @@ def test_decontaminate_shuffle_twin_matches_broadcast(spark):
     a = sorted(map(tuple, dedup.decontaminate(docs).collect()))
     b = sorted(map(tuple, dedup.decontaminate(docs, broadcast_bench=False).collect()))
     assert a == b and a
+
+
+def test_text_repetition(spark):
+    _check(spark, "text_repetition")
+
+
+def test_text_repetition_planted_values(spark):
+    """Hand-computed 2-gram features: a doc that is one phrase repeated
+    must show high dup fraction and a dominant top gram; an
+    all-distinct doc must show zero duplicates."""
+    from sigmod_2024_contest_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),   # 2-grams: sh,hs,sh,hs,sh
+            (2, "a b c d"),                      # all distinct
+            (3, "solo"),                         # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.text_repetition(docs).collect()}
+    r1 = got[1]
+    assert r1.n_2grams == 5 and r1.distinct_2grams == 2
+    assert r1.dup_2gram_ppm == 600_000  # 3 of 5 occurrences are repeats
+    # top gram 'spam ham' (count 3, ties broken by gram desc), len 8;
+    # doc chars 26 → floor(3*8/26*1e6)
+    assert r1.top_2gram_count == 3 and r1.top_2gram_char_ppm == 923_076
+    r2 = got[2]
+    assert r2.n_2grams == 3 and r2.dup_2gram_ppm == 0
+    r3 = got[3]
+    assert r3.n_2grams == 0 and r3.top_2gram_count == 0 and r3.top_2gram_char_ppm == 0
