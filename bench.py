@@ -298,6 +298,21 @@ def _stress_bench(spark) -> dict[str, float]:
             evaluate.recall_at_k(res, exact).agg({"recall_ppm": "avg"}).collect()[0][0]
         )
         out["stress_recall"] = round(float(mean_ppm) / 1e6, 4)
+        # knn_auto at the same inputs: 2048×500k×64 = 6.6e10 FLOPs sits
+        # below SCAN_FLOPS_BOUND, so the batch router must take the
+        # exact branch (which then makes its own side choice — at this
+        # corpus size the corpus-broadcast plan) — this clock proves
+        # the cost rule fires: expect scan-family walls, NOT
+        # stress_hybrid_search's
+        _sweep(spark)
+        t0 = _t.time()
+        auto = engine.knn_auto(
+            spark, base, queries, n_queries=STRESS_NQ, corpus_rows=nb, dim=64,
+            index=index, alpha=alpha, catalog=catalog,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        auto.count()
+        out["stress_auto_route"] = round(_t.time() - t0, 3)
+        auto.unpersist()
         for h in (res, exact, plan, index):
             h.unpersist()
     except Exception as e:
