@@ -609,6 +609,12 @@ register("knn_auto", _knn_auto, knn.knn_oracle_sql())
 # The gate runs on a FIXED 500-node slice at every sf (both sides) —
 # a correctness gate must stay constant-cost, not grow with the table
 # (at sf0.1 the full-table gate was ~2/3 of the whole headline bench).
+# At 500 nodes the builder's cost route is the local exact kernel
+# (NND_LOCAL_ROWS; measured r6: the forced join loop is ~7-12 s of
+# scheduler constants at this size vs ~1 s local, identical output
+# quality) — the distributed loop is pinned by the forced
+# local_rows=0 tests in tests/test_nndescent.py, and the local kernel
+# is pinned bit-equal to exact_knn_graph there too.
 NND_RECALL_BAR_PPM = 950_000
 NND_GATE_MAX_ID = 500
 

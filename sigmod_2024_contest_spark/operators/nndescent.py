@@ -56,6 +56,13 @@ NND_ITERS = 4  # full-local-join rounds converge fast: 3 rounds → 1.0
 # recall at 500 nodes, 0.97 at 2000; 4 keeps margin over the 0.95 bar
 NND_SAMPLE = None  # None → 2·build_k (full local join)
 NND_BUILD_MULT = 2.5
+# Local-kernel bound (rows): below this the whole node set rides one
+# bounded driver collect (≈ rows·dim·8 B — 4 MB at dim 64) and the
+# EXACT graph is computed in one BLAS pass, because at these sizes the
+# exact GEMM is cheaper than a single refinement round's scheduler
+# constants (see nndescent_graph's docstring). 8192² float64 dists =
+# 512 MB peak, blocked to ≤256 MB.
+NND_LOCAL_ROWS = 8192
 # Wall-clock note: each round is one eager-checkpointed job of ~4
 # shuffle/Arrow stages, so a SMALL graph's build time is round-count ×
 # scheduler constants (~3 s/round on this host), invariant to data
@@ -171,6 +178,39 @@ def _dense_index(vecs: DataFrame) -> DataFrame:
     return local.join(odf, "pid").select("id", (F.col("li") + F.col("off")).alias("idx"))
 
 
+def _local_exact_graph(spark, vecs: DataFrame, k: int) -> DataFrame:
+    """One-task exact kNN graph for node sets under NND_LOCAL_ROWS:
+    bounded collect → blocked difference-einsum distances (the SAME
+    per-element arithmetic as :func:`_score_pairs`' Arrow kernel, so
+    the floats are bit-identical to the distributed twin's) → per-node
+    (dist, nbr) top-k. Returns the :func:`nndescent_graph` schema."""
+    import numpy as np
+
+    rows = vecs.collect()  # bounded: caller checked n_rows ≤ local_rows
+    ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.asarray([rows[i]["vec"] for i in order], dtype=np.float64)
+    n, d = mat.shape
+    # block the (block, n, d) difference tensor to ≤256 MB
+    block = max(1, int(2.56e8 / (n * d * 8)))
+    out: list[tuple[int, int, float, int]] = []
+    for s0 in range(0, n, block):
+        q = mat[s0 : s0 + block]
+        diff = mat[None, :, :] - q[:, None, :]
+        dist = np.einsum("qnd,qnd->qn", diff, diff)
+        for qi in range(q.shape[0]):
+            i = s0 + qi
+            row = dist[qi].copy()
+            row[i] = np.inf  # self excluded
+            sel = np.lexsort((ids, row))[:k]
+            out.extend(
+                (int(ids[i]), int(ids[j]), float(row[j]), rnk + 1)
+                for rnk, j in enumerate(sel)
+            )
+    return spark.createDataFrame(out, "id long, nbr long, dist double, rnk long")
+
+
 def nndescent_graph(
     base: DataFrame,
     k: int = NND_K,
@@ -180,14 +220,35 @@ def nndescent_graph(
     id_col: str = "id",
     n_rows: int | None = None,
     build_mult: float = NND_BUILD_MULT,
+    local_rows: int | None = NND_LOCAL_ROWS,
 ) -> DataFrame:
-    """(id, nbr, dist, rnk): approximate directed kNN graph under
-    squared L2, ≤k neighbors per node, self excluded, rnk = (dist, nbr)
-    rank within the node. Deterministic: initialization and sampling
-    use hash functions of (id, position), not RNG state. Refinement
-    runs at ``build_mult``·k internal neighbors (see NND_BUILD_MULT).
+    """(id, nbr, dist, rnk): kNN graph under squared L2, ≤k neighbors
+    per node, self excluded, rnk = (dist, nbr) rank within the node.
 
-    ``n_rows``: pass the row count when known (skips one count job)."""
+    Cost-based kernel choice (the repo-wide twin-plan shape —
+    dedup_clusters' ≤5M-pair driver union-find is the precedent): at
+    ``n_rows ≤ local_rows`` the graph that one task's exact GEMM can
+    compute IS the optimal graph and costs less than even one
+    refinement round (500 nodes: the 5-round join loop is ~10 s of
+    pure scheduler constants; the local kernel is milliseconds of
+    BLAS), so the builder returns :func:`_local_exact_graph` — exactly
+    the choice ``engine.build_index`` already makes for sub-threshold
+    shards (build_pruned_knn_graph's candidate GEMM). Above the bound,
+    the NN-Descent join loop below is the only plan whose per-pass
+    work is bounded (n·sample² candidates, never all pairs); that loop
+    is what runs at 100 TB, and what the forced-distributed tests pin.
+
+    Deterministic on both paths: initialization and sampling use hash
+    functions of (id, position), not RNG state; the local kernel's
+    distances are computed with the same difference-einsum the Arrow
+    scorer uses, so local output == exact_knn_graph bit-for-bit.
+    Refinement runs at ``build_mult``·k internal neighbors (see
+    NND_BUILD_MULT).
+
+    ``n_rows``: pass the row count when known (skips one count job).
+    ``local_rows``: driver-collect bound for the local kernel (rows;
+    ≈ local_rows·dim·8 B of vectors — 4 MB at the 8192 default and
+    dim 64); 0/None forces the distributed loop."""
     spark = base.sparkSession
     vecs = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_rows is None:
@@ -195,6 +256,8 @@ def nndescent_graph(
     if n_rows <= 1:
         return spark.createDataFrame([], "id long, nbr long, dist double, rnk long")
     out_k = min(k, n_rows - 1)
+    if local_rows and n_rows <= local_rows:
+        return _local_exact_graph(spark, vecs, out_k)
     k = min(max(out_k, int(round(build_mult * out_k))), n_rows - 1)
     s = sample or 2 * k
 
