@@ -300,10 +300,11 @@ def _stress_bench(spark) -> dict[str, float]:
         out["stress_recall"] = round(float(mean_ppm) / 1e6, 4)
         # knn_auto at the same inputs: 2048×500k×64 = 6.6e10 FLOPs sits
         # below SCAN_FLOPS_BOUND, so the batch router must take the
-        # exact branch (which then makes its own side choice — at this
-        # corpus size the corpus-broadcast plan) — this clock proves
-        # the cost rule fires: expect scan-family walls, NOT
-        # stress_hybrid_search's
+        # exact branch; inside it, nq=2048 < CORPUS_BC_EXT_MIN_NQ keeps
+        # the 256 MB float-corpus broadcast OFF (measured 47.4 s vs the
+        # 5.6 s query-broadcast scan — the r6 datapoint behind that
+        # gate) — this clock proves both cost rules fire: expect
+        # stress_exact_scan-family walls, NOT stress_hybrid_search's
         _sweep(spark)
         t0 = _t.time()
         auto = engine.knn_auto(

@@ -915,7 +915,8 @@ def knn_auto(
     flops = float(n_queries) * float(corpus_rows) * float(dim or 100)
     if flops < scan_flops_bound:
         return knn.knn_exact_arrow(
-            spark, base, queries, k=k, corpus_rows=corpus_rows, dim=dim
+            spark, base, queries, k=k, corpus_rows=corpus_rows, dim=dim,
+            n_queries=n_queries,
         )
     return knn_hybrid(
         spark, base, queries, k=k, corpus_rows=corpus_rows, dim=dim, **hybrid_kwargs

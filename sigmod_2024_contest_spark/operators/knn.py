@@ -818,6 +818,17 @@ def _exact_payload(qrows) -> tuple[np.ndarray, np.ndarray]:
 # 10.5 s vs codes scan + window + re-rank 24.0-38.5 s.
 CORPUS_BC_MAX_ROWS = 200_000
 CORPUS_BC_MAX_CELLS = 40_000_000
+# The byte-extended region (CORPUS_BC_MAX_ROWS < rows ≤ cells/dim)
+# ships the FLOAT64 corpus — a fixed collect+broadcast cost (256 MB at
+# 500k×64) that only pays off when the query batch amortizes it.
+# Measured r6 (BENCH stress/contest pairs): 500k×64 corpus + 2048
+# queries → corpus-bc 47.4 s vs query-bc scan 5.6 s (scan wins by 8×:
+# the wall IS the corpus ship); 20k×100 + 100k queries → corpus-bc
+# 45.9 s vs scan 142 s (bc wins: the scan's nq×k×P merge dominates).
+# The scan's merge cost is ~linear in nq (5.6 s at 2048 → ~40 s at
+# ~15k), so the crossover against the ~40 s ship sits near 16k
+# queries; order-of-magnitude robust on both sides.
+CORPUS_BC_EXT_MIN_NQ = 16_384
 
 
 def bc_rows_bound(dim: int | None) -> int:
@@ -827,6 +838,33 @@ def bc_rows_bound(dim: int | None) -> int:
     if dim is None:
         return CORPUS_BC_MAX_ROWS
     return max(CORPUS_BC_MAX_ROWS, CORPUS_BC_MAX_CELLS // int(dim))
+
+
+def exact_plan_is_corpus_bc(
+    corpus_rows: int,
+    dim: int | None,
+    n_queries: int | None,
+    have_prepared_bc: bool,
+) -> bool:
+    """The exact scan's side-selection ladder, as a pure constant-cost
+    gate (testable without Spark). Corpus-broadcast iff:
+
+    - the broadcast is already paid (``have_prepared_bc`` — streaming
+      callers reuse one corpus broadcast across micro-batches), or
+    - the corpus is under the unconditional row bound (≤160 MB f64 at
+      dim 100 — the ship cost is small at any batch size), or
+    - it is under the byte-extended bound AND the caller's known query
+      count amortizes the float-corpus ship (CORPUS_BC_EXT_MIN_NQ;
+      unknown nq → conservative scan, the 100 TB-safe side)."""
+    if have_prepared_bc:
+        return True
+    if corpus_rows <= CORPUS_BC_MAX_ROWS:
+        return True
+    return (
+        corpus_rows <= bc_rows_bound(dim)
+        and n_queries is not None
+        and n_queries >= CORPUS_BC_EXT_MIN_NQ
+    )
 
 
 def knn_exact_arrow(
@@ -839,11 +877,15 @@ def knn_exact_arrow(
     prepared=None,
     force_query_broadcast: bool = False,
     dim: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact kNN with cost-based side selection (the distributed plan).
 
-    Two physical strategies, picked by corpus size — the same decision
-    Catalyst makes for joins (broadcast the small side):
+    Two physical strategies, picked by :func:`exact_plan_is_corpus_bc`
+    — the same decision Catalyst makes for joins (broadcast the small
+    side), plus a query-count amortization gate on the byte-extended
+    region (``n_queries``: pass when known; unknown defaults to the
+    scan above CORPUS_BC_MAX_ROWS — no hidden count job):
 
     - **corpus-broadcast** (corpus ≤ ``CORPUS_BC_MAX_ROWS``): the whole
       base ships to every *query* partition; each task answers its
@@ -868,7 +910,9 @@ def knn_exact_arrow(
         corpus_rows, corpus_bc = prepared
     if corpus_rows is None:
         corpus_rows = base.count()
-    if corpus_rows <= bc_rows_bound(dim) and not force_query_broadcast:
+    if not force_query_broadcast and exact_plan_is_corpus_bc(
+        corpus_rows, dim, n_queries, corpus_bc is not None
+    ):
         return _knn_exact_corpus_broadcast(spark, base, queries, k, bc=corpus_bc)
     out_schema = "query_id long, id long, dist double"
     result_type = pa.schema(

@@ -230,3 +230,28 @@ def test_cached_corpus_broadcast_lru(spark):
     still = knn.cached_corpus_broadcast(bases[1], ("id", "vec"), "lru-test", build)
     assert still is handles[1]
     knn._CORPUS_BC_CACHE.clear()
+
+
+def test_exact_side_selection_ladder():
+    """exact_plan_is_corpus_bc is the scan's whole side-choice, as a
+    pure gate — pins the r6 measured crossovers: a prepared broadcast
+    always rides; the unconditional row bound is nq-independent; the
+    byte-extended region (float-corpus ship ≈ 256 MB at 500k×64)
+    requires a known amortizing query count, and unknown nq falls to
+    the 100 TB-safe scan."""
+    g = knn.exact_plan_is_corpus_bc
+    # prepared broadcast: already paid, any size/nq
+    assert g(10_000_000, 64, None, True)
+    # unconditional row bound (contest: 20k corpus, 100k queries)
+    assert g(20_000, 100, 100_000, False)
+    assert g(knn.CORPUS_BC_MAX_ROWS, None, None, False)
+    # byte-extended region: 500k×64 fits the cells cap...
+    assert 500_000 <= knn.bc_rows_bound(64)
+    #   ...but 2048 queries can't amortize the ship (measured 47 s vs
+    #   5.6 s scan) and unknown nq must not gamble
+    assert not g(500_000, 64, 2_048, False)
+    assert not g(500_000, 64, None, False)
+    #   a contest-sized batch does amortize it
+    assert g(500_000, 64, knn.CORPUS_BC_EXT_MIN_NQ, False)
+    # above the cells cap: never, regardless of nq
+    assert not g(1_000_000, 100, 10_000_000, False)
