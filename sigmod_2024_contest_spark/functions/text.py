@@ -228,15 +228,24 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     ``dup_2gram_ppm`` = fraction of 2-gram occurrences that are
     repeats; ``top_2gram_char_ppm`` = chars covered by the most common
     2-gram (count × gram length / doc chars), ties broken by gram
-    string descending — both deterministic integers."""
-    from pyspark.sql import Window
+    string descending — both deterministic integers.
 
+    Physical plan: a pure PROJECTION — per-doc features need no data
+    movement, so everything (gram build, distinct count, and the mode
+    gram via a single left-to-right run scan over the sorted gram
+    array) happens JVM-side in one scan with ZERO shuffles. The
+    previous explode → groupBy → window → two-joins plan paid five
+    shuffles of gram rows for the same per-row arithmetic (measured
+    r6 at sf0.1: 6.3 s → sub-second). Tie-break falls out of the scan
+    order: runs arrive in ascending gram order, so on equal counts the
+    later (larger) gram replaces — exactly 'ties by gram descending'."""
     ws = tokens_expr("text")
     base = docs.select(
         "doc_id", F.length("text").alias("n_chars"), ws.alias("ws")
     )
     grams = base.select(
         "doc_id",
+        "n_chars",
         # CASE guard, not greatest(…, 0): Spark's sequence(1, 0) steps
         # DOWNWARD ([1, 0]) instead of being empty, so a 1-token doc
         # would index past the array
@@ -246,48 +255,59 @@ def text_repetition(docs: DataFrame) -> DataFrame:
             " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END"
         ).alias("gs"),
     )
-    cnt = (
-        grams.select("doc_id", F.explode("gs").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
+    # (c, g) of the most frequent gram: longest equal-run in the sorted
+    # array, one aggregate pass. acc = (prev run's gram, its length so
+    # far, best count, best gram); the finish lambda commits the final
+    # run. `a.prev >= a.bg` is the ascending-order tie rule above.
+    top_expr = """
+aggregate(
+  sort_array(gs),
+  named_struct('prev', cast(null as string), 'run', cast(0 as bigint),
+               'bc', cast(0 as bigint), 'bg', cast(null as string)),
+  (a, x) -> CASE
+    WHEN a.prev IS NULL THEN
+      named_struct('prev', x, 'run', cast(1 as bigint), 'bc', a.bc, 'bg', a.bg)
+    WHEN x = a.prev THEN
+      named_struct('prev', a.prev, 'run', a.run + cast(1 as bigint), 'bc', a.bc, 'bg', a.bg)
+    WHEN a.run >= a.bc THEN
+      named_struct('prev', x, 'run', cast(1 as bigint), 'bc', a.run, 'bg', a.prev)
+    ELSE
+      named_struct('prev', x, 'run', cast(1 as bigint), 'bc', a.bc, 'bg', a.bg)
+    END,
+  a -> CASE WHEN a.prev IS NOT NULL AND a.run >= a.bc
+            THEN named_struct('c', a.run, 'g', a.prev)
+            ELSE named_struct('c', a.bc, 'g', a.bg) END
+)
+"""
+    feats = grams.select(
+        "doc_id",
+        "n_chars",
+        F.size("gs").cast("long").alias("n2"),
+        F.size(F.array_distinct("gs")).cast("long").alias("d2"),
+        F.expr(top_expr).alias("tg"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").desc())
-    top = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("c").alias("tc"), F.length("g").alias("tl"))
-    )
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n2"), F.count("*").alias("d2")
-    )
-    n2 = F.coalesce(F.col("n2"), F.lit(0)).cast("double")
-    return (
-        base.select("doc_id", "n_chars")
-        .join(agg, "doc_id", "left")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n2", F.lit(0)).cast("long").alias("n_2grams"),
-            F.coalesce("d2", F.lit(0)).cast("long").alias("distinct_2grams"),
-            F.when(n2 == 0, F.lit(0))
-            .otherwise(F.floor((n2 - F.col("d2").cast("double")) / n2 * 1e6))
-            .cast("long")
-            .alias("dup_2gram_ppm"),
-            F.coalesce("tc", F.lit(0)).cast("long").alias("top_2gram_count"),
-            F.when(
-                F.coalesce("tc", F.lit(0)) == 0, F.lit(0)
+    n2 = F.col("n2").cast("double")
+    tc = F.col("tg.c")
+    return feats.select(
+        "doc_id",
+        F.col("n2").alias("n_2grams"),
+        F.col("d2").alias("distinct_2grams"),
+        F.when(F.col("n2") == 0, F.lit(0))
+        .otherwise(F.floor((n2 - F.col("d2").cast("double")) / n2 * 1e6))
+        .cast("long")
+        .alias("dup_2gram_ppm"),
+        tc.cast("long").alias("top_2gram_count"),
+        F.when(tc == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                tc.cast("double")
+                * F.length("tg.g").cast("double")
+                / F.col("n_chars").cast("double")
+                * 1e6
             )
-            .otherwise(
-                F.floor(
-                    F.col("tc").cast("double")
-                    * F.col("tl").cast("double")
-                    / F.col("n_chars").cast("double")
-                    * 1e6
-                )
-            )
-            .cast("long")
-            .alias("top_2gram_char_ppm"),
         )
+        .cast("long")
+        .alias("top_2gram_char_ppm"),
     )
 
 
