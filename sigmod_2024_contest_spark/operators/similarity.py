@@ -315,9 +315,18 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK) -> DataFrame:
 
 N_LIST = 64  # IVF cells
 N_PROBE = 16  # cells scanned per query (compute fraction = 16/64 = 0.25)
+# Local-training bound (rows): below this the embedding set rides one
+# bounded collect (≈ rows·dim·8 B — 32 MB at dim 64) and all Lloyd
+# iterations run driver-side in one pass, instead of iters+2 Spark
+# jobs whose wall is pure scheduler constants at small n (the same
+# cost route as nndescent.NND_LOCAL_ROWS / dedup_clusters' driver CC).
+IVF_LOCAL_ROWS = 65_536
 
 
-def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):
+def ivf_train(
+    emb: DataFrame, nlist: int = N_LIST, iters: int = 4,
+    local_rows: int | None = IVF_LOCAL_ROWS,
+):
     """Deterministic distributed k-means (the IVF coarse quantizer).
 
     Init = every (n/nlist)-th vector by id rank (seedless, stable).
@@ -325,7 +334,15 @@ def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):
     nearest centroid via GEMM and emits per-partition partial sums
     (nlist rows per partition — not the corpus), which the driver
     reduces into new centroids. Only the (nlist × dim) centroid table
-    ever reaches the driver; the corpus never moves."""
+    ever reaches the driver; the corpus never moves.
+
+    Below ``local_rows`` the same Lloyd updates run driver-side over
+    one bounded collect (0/None forces distributed). Both paths use
+    the same init and the same assignment/update formulas; centroid
+    floats can differ at ulp level because the local sum folds in one
+    order and the distributed one reduces per-partition partials —
+    every consumer is recall-gated, not centroid-bit-gated, and the
+    forced-distributed twin is pinned approximately equal in tests."""
     import numpy as np
     import pyarrow as pa
 
@@ -333,6 +350,8 @@ def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):
 
     spark = emb.sparkSession
     n = emb.count()
+    if local_rows and n <= local_rows:
+        return _ivf_train_local(emb, nlist, iters)
     stride = max(n // nlist, 1)
     init = (
         emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < nlist))
@@ -374,6 +393,37 @@ def ivf_train(emb: DataFrame, nlist: int = N_LIST, iters: int = 4):
         for r in rows:
             cnts[r["cluster"]] += r["cnt"]
             sums[r["cluster"]] += np.asarray(r["vsum"])
+        nz = cnts > 0
+        cents[nz] = sums[nz] / cnts[nz, None]
+    return cents
+
+
+def _ivf_train_local(emb: DataFrame, nlist: int, iters: int):
+    """Driver-side Lloyd twin for sub-``IVF_LOCAL_ROWS`` embedding
+    sets: one bounded collect, then the same init rule and
+    assignment/update arithmetic as the distributed loop."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    n = len(rows)
+    stride = max(n // nlist, 1)
+    init = [
+        r["embedding"]
+        for r in rows
+        if r["vec_id"] % stride == 0 and r["vec_id"] / stride < nlist
+    ]
+    cents = np.array(init, dtype=np.float64)[:nlist]
+    nlist = cents.shape[0]
+    if nlist == 0 or n == 0:
+        return cents
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    for _ in range(iters):
+        cc = np.einsum("ij,ij->i", cents, cents)
+        assign = np.argmin(cc[:, None] - 2.0 * (cents @ V.T), axis=0)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, V)
+        cnts = np.bincount(assign, minlength=nlist).astype(np.float64)
         nz = cnts > 0
         cents[nz] = sums[nz] / cnts[nz, None]
     return cents

@@ -257,6 +257,23 @@ def test_ivf_recall_beats_lsh(spark):
     assert mean_ivf > 300_000, mean_ivf
 
 
+def test_ivf_train_local_twin_matches_distributed(spark):
+    """The driver-side Lloyd twin (default route under IVF_LOCAL_ROWS)
+    and the forced-distributed loop share init and update formulas —
+    centroids must agree to float tolerance (exact equality is not
+    promised: the two sides fold partial sums in different orders)."""
+    import numpy as np
+
+    from sigmod_2024_contest_spark.operators import similarity
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    local = similarity.ivf_train(emb)
+    dist = similarity.ivf_train(emb, local_rows=0)
+    assert local.shape == dist.shape and local.shape[0] > 0
+    assert np.allclose(local, dist, rtol=1e-9, atol=1e-9)
+
+
 def test_curate_corpus(spark):
     """The composed curation pipeline (dedup -> clusters -> canonical
     keep -> quality filter -> split) hash-matches its single composed
