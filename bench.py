@@ -304,15 +304,25 @@ def _stress_bench(spark) -> dict[str, float]:
         # the 256 MB float-corpus broadcast OFF (measured 47.4 s vs the
         # 5.6 s query-broadcast scan — the r6 datapoint behind that
         # gate) — this clock proves both cost rules fire: expect
-        # stress_exact_scan-family walls, NOT stress_hybrid_search's
-        _sweep(spark)
-        t0 = _t.time()
-        auto = engine.knn_auto(
-            spark, base, queries, n_queries=STRESS_NQ, corpus_rows=nb, dim=64,
-            index=index, alpha=alpha, catalog=catalog,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        auto.count()
-        out["stress_auto_route"] = round(_t.time() - t0, 3)
+        # stress_exact_scan-family walls, NOT stress_hybrid_search's.
+        # Min-of-2 like its siblings: this plan's single-run wall
+        # swings 5-46 s on this host (measured r6), so only the
+        # in-run min is comparable across sections.
+        auto = None
+        walls = []
+        for _rep in range(2):
+            if auto is not None:
+                auto.unpersist()
+            _sweep(spark)
+            t0 = _t.time()
+            auto = engine.knn_auto(
+                spark, base, queries, n_queries=STRESS_NQ, corpus_rows=nb,
+                dim=64, index=index, alpha=alpha, catalog=catalog,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            auto.count()
+            walls.append(round(_t.time() - t0, 3))
+        out["stress_auto_route"] = min(walls)
+        out["stress_auto_route_runs"] = walls
         auto.unpersist()
         for h in (res, exact, plan, index):
             h.unpersist()
