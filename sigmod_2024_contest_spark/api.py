@@ -448,6 +448,11 @@ register(
     curation.pack_sequences_sql(),
 )
 register(
+    "chunk_documents",
+    lambda s, d: curation.chunk_documents(_docs(s, d)),
+    curation.chunk_documents_sql(),
+)
+register(
     "mixture_sample",
     lambda s, d: sampling.mixture_sample(_docs(s, d)),
     sampling.mixture_sample_sql(),

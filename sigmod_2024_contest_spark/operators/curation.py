@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import TEXT_STATS_SQL, text_stats
+from ..functions.text import TEXT_STATS_SQL, text_stats, tokens_expr
 from .dedup import JACCARD_TAU_PPM, dedup_clusters, jaccard_pairs, jaccard_pairs_sql
 from .sampling import PPM, _SPLIT_TAG, split_expr
 from .dedup import _hash48_sql
@@ -244,4 +244,75 @@ SELECT doc_id, bucket,
        (start - (start // {budget}) * {budget})::BIGINT AS start_offset,
        n_tokens
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — long-document splitting
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tok, chunk_text): sliding
+    context-window chunking — the other half of training-batch
+    assembly next to :func:`pack_sequences` (that op concatenates
+    short docs up to the budget; this one splits docs longer than the
+    window). Windows start every ``chunk_tokens - overlap`` tokens
+    (1-based), the last window may be short, and every token of the
+    document is covered.
+
+    Scale shape: a pure projection + explode — per-doc work with no
+    shuffle anywhere; output volume is input tokens × (1 + overlap /
+    stride), bounded by the overlap ratio. All outputs are integers
+    and substrings of the input, so the DuckDB oracle hash-matches
+    exactly (whitespace tokens via the same single-space split the
+    rest of the text ops use; swap in a real tokenizer upstream by
+    materializing a token-array column)."""
+    stride = max(int(chunk_tokens) - int(overlap), 1)
+    s = docs.select(
+        "doc_id", tokens_expr("text").alias("ws")
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n"),
+        F.explode(F.expr(f"sequence(1, size(ws), {stride})")).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        F.expr(f"(start - 1) DIV {stride} + 1").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(
+            F.lit(int(chunk_tokens)), F.col("n") - F.col("start") + 1
+        ).cast("long").alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("start"), F.lit(int(chunk_tokens))), " "
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` over the documents table."""
+    stride = max(int(chunk_tokens) - int(overlap), 1)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         unnest(range(1, len(ws) + 1, {stride})) AS start
+  FROM t
+)
+SELECT doc_id,
+       ((start - 1) // {stride} + 1)::BIGINT AS chunk_id,
+       start::BIGINT AS start_tok,
+       least({int(chunk_tokens)}, n - start + 1)::BIGINT AS n_tok,
+       array_to_string(list_slice(ws, start, least(start + {int(chunk_tokens)} - 1, n)), ' ') AS chunk_text
+FROM s
 """

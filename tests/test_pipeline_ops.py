@@ -300,6 +300,40 @@ def test_pack_sequences(spark):
     _check(spark, "pack_sequences")
 
 
+def test_chunk_documents(spark):
+    _check(spark, "chunk_documents")
+
+
+def test_chunk_documents_invariants(spark):
+    """Sliding-window invariants on planted docs: full coverage (every
+    token in ≥1 chunk), stride spacing, overlap between consecutive
+    chunks, short-final-chunk length, and exact text reconstruction."""
+    from sigmod_2024_contest_spark.operators import curation
+
+    text = " ".join(f"t{i}" for i in range(1, 81))  # 80 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = curation.chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # stride 24: starts 1, 25, 49, 73; last chunk 80-73+1 = 8 tokens
+    assert [r.start_tok for r in c1] == [1, 25, 49, 73]
+    assert [r.n_tok for r in c1] == [32, 32, 32, 8]
+    toks = text.split(" ")
+    for r in c1:
+        assert r.chunk_text == " ".join(toks[r.start_tok - 1 : r.start_tok - 1 + r.n_tok])
+    covered = set()
+    for r in c1:
+        covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+    assert covered == set(range(1, 81))
+    # short docs: one chunk, whole doc
+    assert [(r.start_tok, r.n_tok, r.chunk_text) for r in by_doc[2]] == [(1, 3, "a b c")]
+    assert [(r.start_tok, r.n_tok, r.chunk_text) for r in by_doc[3]] == [(1, 1, "solo")]
+
+
 def test_pack_sequences_invariants(spark):
     """Concat-and-chunk invariants: offsets stay inside the budget,
     consecutive docs in a bucket abut exactly, every doc packed once."""
