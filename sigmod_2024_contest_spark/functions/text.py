@@ -339,3 +339,50 @@ SELECT b.doc_id,
              ELSE floor(tc::DOUBLE * tl::DOUBLE / n_chars::DOUBLE * 1e6) END)::BIGINT AS top_2gram_char_ppm
 FROM b LEFT JOIN agg USING (doc_id) LEFT JOIN top USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the C4/Dolma-style scrub pass
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround, no unicode
+# classes. Keep them simple on purpose — a production scrub plugs its
+# own pattern table into the same op.
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PAT = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, redacted): count and mask email
+    addresses and NNN-NNN-NNNN phone numbers — the standard PII scrub
+    of public curation pipelines (C4/Dolma), as a pure projection
+    (per-doc regex work, zero shuffles; JVM regexp expressions, no
+    Python in the path). Emails are masked before phones so a phone
+    inside a masked email is not double-counted."""
+    # Column-API regexps only: embedding these patterns in an F.expr
+    # SQL literal would eat the backslashes (Spark SQL treats '\b' as
+    # an escape), silently turning \b into backspace
+    emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_PAT), F.lit(0)))
+    no_email = F.regexp_replace(F.col("text"), EMAIL_PAT, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_PAT), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_PAT, "<PHONE>").alias("redacted"),
+    )
+
+
+def redact_pii_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`redact_pii` (RE2; 'g' flag = replace all,
+    matching Spark's regexp_replace default)."""
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_PAT}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{PHONE_PAT}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(text, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{PHONE_PAT}', '<PHONE>', 'g') AS redacted
+FROM {table}
+"""

@@ -304,6 +304,40 @@ def test_chunk_documents(spark):
     _check(spark, "chunk_documents")
 
 
+def test_redact_pii(spark):
+    _check(spark, "redact_pii")
+
+
+def test_redact_pii_planted(spark):
+    """Planted PII: both engines must count and mask identically on
+    docs that actually contain emails/phones (the parquet corpus has
+    none, so the registry row only pins the no-op path)."""
+    import duckdb
+
+    from sigmod_2024_contest_spark.functions import text as T
+
+    rows = [
+        (1, "reach me at bob.smith+x@example.org or 555-123-4567 now"),
+        (2, "two mails a@b.io c.d@e.f.gov and 111 222 3333 phone"),
+        (3, "no pii here at all"),
+        (4, "bad phone 12-345-6789 and half mail a@b only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.redact_pii(docs).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[1].redacted == "reach me at <EMAIL> or <PHONE> now"
+    assert got[2].n_emails == 2 and got[2].n_phones == 1
+    assert got[3].n_emails == 0 and got[3].n_phones == 0
+    assert got[3].redacted == rows[2][1]
+    assert got[4].n_emails == 0 and got[4].n_phones == 0
+    # engine parity on the planted set, not just the clean corpus
+    con = duckdb.connect()
+    con.register("planted", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: r for r in con.sql(T.redact_pii_sql(table="planted")).fetchall()}
+    for did, r in got.items():
+        assert (r.doc_id, r.n_emails, r.n_phones, r.redacted) == want[did]
+
+
 def test_chunk_documents_invariants(spark):
     """Sliding-window invariants on planted docs: full coverage (every
     token in ≥1 chunk), stride spacing, overlap between consecutive
