@@ -896,3 +896,78 @@ reach AS (
 SELECT node AS doc_id, least(node, min(r)) AS cluster_id
 FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints — positional rolling-hash document signatures
+# ---------------------------------------------------------------------------
+
+WINNOW_WINDOW = 4  # windows of consecutive shingle hashes per fingerprint
+
+
+def winnow_fingerprints(docs: DataFrame, window: int = WINNOW_WINDOW) -> DataFrame:
+    """(doc_id, win_id, fp): winnowing fingerprints (Schleimer et al.,
+    SIGMOD'03) — the local fingerprinting scheme behind plagiarism /
+    near-copy detection. The document's POSITIONAL 3-word shingle
+    hashes (same hash48 as the dedup family, so signatures are
+    comparable across operators) slide under a ``window``-wide min:
+    window j's fingerprint is min(h[j..j+window-1]). Guarantees every
+    match of ≥ window+2 consecutive tokens shares a fingerprint.
+
+    A pure projection + posexplode — per-doc arrays, zero shuffles;
+    output is one integer row per window, bounded by token count.
+    Docs shorter than window+2 tokens emit their single whole-sequence
+    min; docs under 3 tokens (no shingle) emit nothing."""
+    ws = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", ws.alias("ws"))
+    hs = F.expr("CASE WHEN size(ws) < 3 THEN array() ELSE sequence(1, size(ws) - 2) END")
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            hs,
+            lambda i: _hash48_expr(
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ws"), i),
+                    F.element_at(F.col("ws"), i + 1),
+                    F.element_at(F.col("ws"), i + 2),
+                )
+            ),
+        ).alias("hs"),
+    )
+    wins = F.transform(
+        F.expr(f"sequence(1, greatest(size(hs) - {int(window)} + 1, 1))"),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, int(window))),
+    )
+    return (
+        hashed.filter(F.size("hs") > 0)
+        .select("doc_id", F.posexplode(wins).alias("p", "fp"))
+        .select(
+            "doc_id",
+            (F.col("p") + 1).cast("long").alias("win_id"),
+            F.col("fp").cast("long").alias("fp"),
+        )
+    )
+
+
+def winnow_fingerprints_sql(window: int = WINNOW_WINDOW) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (same positional
+    shingle hash48, same window-min rule)."""
+    skey = _hash48_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN []::BIGINT[]
+              ELSE list_transform(range(1, len(ws) - 1), i -> {skey}) END AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id, hs,
+         unnest(range(1, greatest(len(hs) - {int(window)} + 1, 1) + 1)) AS j
+  FROM h WHERE len(hs) > 0
+)
+SELECT doc_id, j::BIGINT AS win_id,
+       list_min(list_slice(hs, j, j + {int(window)} - 1))::BIGINT AS fp
+FROM w
+"""

@@ -308,6 +308,42 @@ def test_redact_pii(spark):
     _check(spark, "redact_pii")
 
 
+def test_winnow_fingerprints(spark):
+    _check(spark, "winnow_fingerprints")
+
+
+def test_winnow_guarantee_planted(spark):
+    """Winnowing's cover guarantee on planted near-copies: two docs
+    sharing a run of ≥ window+2 consecutive tokens must share ≥1
+    fingerprint value; a doc with no 3-token overlap shares none; and
+    per-doc window counts follow max(n_shingles - window + 1, 1)."""
+    from sigmod_2024_contest_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens ≥ w+2
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"other leading stuff {shared} different end"),
+            (3, "completely unrelated token stream here now"),
+            (4, "tiny doc"),          # <3 tokens → no shingle, no rows
+            (5, "just three tokens"), # 1 shingle → 1 window
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.winnow_fingerprints(docs).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "near-copies share no fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps
+    assert len([r for r in rows if r.doc_id == 5]) == 1
+    for did, n_tok in ((1, 10), (2, 11), (3, 6)):
+        n_sh = n_tok - 2
+        want = max(n_sh - dedup.WINNOW_WINDOW + 1, 1)
+        assert len([r for r in rows if r.doc_id == did]) == want, did
+
+
 def test_redact_pii_planted(spark):
     """Planted PII: both engines must count and mask identically on
     docs that actually contain emails/phones (the parquet corpus has
