@@ -509,6 +509,13 @@ register(
 # quality-gated via recall_ivf_vs_exact below — both physical shapes
 # stay exercised every round.
 register(
+    "embed_project",
+    lambda s, d: similarity.embed_project(
+        load_table(s, d, "embeddings"), method="fold"
+    ),
+    similarity.embed_project_sql(),
+)
+register(
     "ann_ivf_topk",
     lambda s, d: similarity.ann_ivf_topk(
         load_table(s, d, "embeddings"), nprobe=similarity.N_LIST

@@ -550,3 +550,76 @@ SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk FROM (
   FROM scored
 ) WHERE rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Random projection — JL dimension reduction for embedding columns
+# ---------------------------------------------------------------------------
+
+EMBED_PROJECT_DIM = 8  # output dims; real deployments size ~O(log n / eps^2)
+
+
+def embed_project(
+    emb: DataFrame, out_dim: int = EMBED_PROJECT_DIM, method: str = "arrow"
+) -> DataFrame:
+    """(vec_id, proj…): Johnson-Lindenstrauss random projection of the
+    embedding column onto ``out_dim`` deterministic hyperplanes (the
+    same portable-LCG planes the LSH family uses, so projected space
+    and bucket space are consistent) — the standard dimension-reduction
+    step before ANN indexing / clustering on a training corpus.
+
+    Two kernels, one semantics:
+
+    - ``method='arrow'`` (default, the 100 TB path): one mapInArrow
+      GEMM per batch — vectorized, zero shuffles, returns
+      ``proj array<double>``.
+    - ``method='fold'`` (the oracle twin): per-plane Catalyst
+      zip_with/aggregate folds emitting ``proj_ppm array<bigint>``
+      (floor(dot·1e6) — integer ppm per repo convention, so the DuckDB
+      hash never compares raw floats). The GEMM path is pinned ≈ the
+      fold path in tests (they differ only in float summation order).
+    """
+    planes = [_plane(j) for j in range(int(out_dim))]
+    if method == "fold":
+        dots = []
+        for p in planes:
+            lit = F.array([F.lit(x) for x in p])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), lit, lambda x, v: x.cast("double") * v),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            dots.append(F.floor(dot * 1e6).cast("long"))
+        return emb.select("vec_id", F.array(*dots).alias("proj_ppm"))
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .knn import list_column_matrix
+
+    P = np.array(planes, dtype=np.float64)  # (out_dim, dim)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            V = list_column_matrix(batch, "embedding")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(list(V @ P.T))],
+                names=["vec_id", "proj"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, proj array<double>"
+    )
+
+
+def embed_project_sql(out_dim: int = EMBED_PROJECT_DIM) -> str:
+    """DuckDB twin of the ``method='fold'`` kernel."""
+    dots = []
+    for j in range(int(out_dim)):
+        lits = ", ".join(repr(x) for x in _plane(j))
+        dots.append(
+            "floor(list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"k -> embedding[k]::DOUBLE * ([{lits}])[k]::DOUBLE)) * 1e6)::BIGINT"
+        )
+    return f"SELECT vec_id, [{', '.join(dots)}] AS proj_ppm FROM embeddings"

@@ -257,6 +257,28 @@ def test_ivf_recall_beats_lsh(spark):
     assert mean_ivf > 300_000, mean_ivf
 
 
+def test_embed_project(spark):
+    _check(spark, "embed_project")
+
+
+def test_embed_project_arrow_matches_fold(spark):
+    """The Arrow GEMM scale path and the Catalyst fold oracle path are
+    the same projection up to float summation order: every component
+    must agree within ppm rounding slack."""
+    from sigmod_2024_contest_spark.operators import similarity
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    arrow = {r.vec_id: r.proj for r in similarity.embed_project(emb).collect()}
+    fold = {r.vec_id: r.proj_ppm for r in
+            similarity.embed_project(emb, method="fold").collect()}
+    assert set(arrow) == set(fold) and arrow
+    for vid, proj in arrow.items():
+        assert len(proj) == similarity.EMBED_PROJECT_DIM
+        for a, f in zip(proj, fold[vid]):
+            assert abs(a * 1e6 - f) <= 2, (vid, a, f)
+
+
 def test_ivf_train_local_twin_matches_distributed(spark):
     """The driver-side Lloyd twin (default route under IVF_LOCAL_ROWS)
     and the forced-distributed loop share init and update formulas —
