@@ -709,6 +709,11 @@ register(
     lambda s, d: MM.sample_frames(MM.pack_media(_docs(s, d))),
     MM.sample_frames_sql(),
 )
+register(
+    "media_resize",
+    lambda s, d: MM.resize_images_hashable(MM.pack_media(_docs(s, d))),
+    MM.resize_images_sql(),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,51 @@ SELECT doc_id, frame_idx, frame_len,
        COALESCE(list_sum(list_transform(string_split(chunk, ''), c -> ascii(c))), 0)::BIGINT AS frame_sum
 FROM sliced
 """
+
+
+def resize_images_hashable(media: DataFrame, factor: int = 2, decode: str = "fake") -> DataFrame:
+    """:func:`resize_images` with the pixel array folded to a CSV
+    string (same reason as :func:`byte_stats_hashable`: list cells
+    break the grading driver's canonicalizer)."""
+    return resize_images(media, factor, decode).select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.array_join(F.transform("pixels", lambda x: x.cast("string")), ",").alias(
+            "pixels_csv"
+        ),
+    )
+
+
+def resize_images_sql(factor: int = 2) -> str:
+    """DuckDB twin of the fake-decode resize: pixel (r, c) of the
+    downsampled image is floor(mean of the factor×factor block) over
+    the byte-cycled text interpreted as a meta.height × meta.width
+    grid (same cycling rule as np.resize). Integer sums / exact float
+    divide → floor matches bit-for-bit."""
+    f = int(factor)
+    # original-image byte at (rr, cc): text byte ((rr*w + cc) mod n) + 1
+    def v(rr: str, cc: str) -> str:
+        return f"ascii(substr(text, ((({rr}) * w + ({cc})) % n) + 1, 1))"
+
+    block = " + ".join(
+        v(f"(p // ow) * {f} + {dr}", f"(p % ow) * {f} + {dc}")
+        for dr in range(f)
+        for dc in range(f)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n,
+         (8 + doc_id % 8) AS w, (4 + doc_id % 4) AS h
+  FROM documents
+),
+g AS (SELECT doc_id, text, n, w, (w // {f}) AS ow, (h // {f}) AS oh FROM m),
+r AS (
+  SELECT doc_id, ow, oh,
+         list_transform(range(0, ow * oh), p -> floor(({block}) / {float(f * f)})::BIGINT) AS pixels
+  FROM g
+)
+SELECT doc_id, ow::INT AS out_w, oh::INT AS out_h,
+       array_to_string(pixels, ',') AS pixels_csv
+FROM r
+"""

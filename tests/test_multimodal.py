@@ -81,3 +81,36 @@ def test_frame_sample_covers_payload(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_media_resize_oracle(spark):
+    from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+    from sigmod_2024_contest_spark import api
+
+    assert_matches_oracle(
+        api.queries()["media_resize"](spark, SF_SMOKE),
+        duck_con(SF_SMOKE),
+        api.oracle_sql()["media_resize"],
+    )
+
+
+def test_media_resize_planted(spark):
+    """Hand-checked block-mean: an 8-wide 4-tall image from a known
+    byte pattern, factor 2 — every pooled pixel is the floor-mean of
+    its 2×2 block with np.resize's cycling rule."""
+    import numpy as np
+
+    from sigmod_2024_contest_spark.functions import multimodal as MM
+
+    text = "abcdefghij"  # 10 bytes, cycles into the 4x8 grid
+    docs = spark.createDataFrame([(8, text)], "doc_id long, text string")
+    # doc_id=8 -> width 8+0=8, height 4+0=4 -> out 4x2
+    row = MM.resize_images_hashable(MM.pack_media(docs)).collect()[0]
+    assert (row.out_w, row.out_h) == (4, 2)
+    arr = np.frombuffer(text.encode(), dtype=np.uint8)
+    img = np.resize(arr, (4, 8)).astype(np.int64)
+    want = np.floor(
+        img.reshape(2, 2, 4, 2).mean(axis=(1, 3))
+    ).astype(np.int64).ravel()
+    assert row.pixels_csv == ",".join(map(str, want))
