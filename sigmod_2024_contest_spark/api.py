@@ -412,6 +412,7 @@ register(
 register("lang_id", lambda s, d: T.lang_id(_docs(s, d)), T.lang_id_sql())
 register("doc_fingerprint", lambda s, d: T.fingerprint(_docs(s, d)), T.FINGERPRINT_SQL)
 register("redact_pii", lambda s, d: T.redact_pii(_docs(s, d)), T.redact_pii_sql())
+register("ngram_counts", lambda s, d: T.ngram_counts(_docs(s, d)), T.ngram_counts_sql())
 register("token_counts", lambda s, d: T.token_counts(_docs(s, d)), T.TOKEN_COUNTS_SQL)
 
 

@@ -213,6 +213,58 @@ LIMIT {top_k}
 """
 
 
+NGRAM_MIN_DF = 2
+NGRAM_TOP_K = 1000
+
+
+def ngram_counts(
+    docs: DataFrame, min_df: int = NGRAM_MIN_DF, top_k: int = NGRAM_TOP_K
+) -> DataFrame:
+    """(gram, tf, df): corpus-level 2-gram frequency table — the
+    contamination / boilerplate / tokenizer-merge analysis companion
+    to :func:`vocab_counts` (same wordcount shape, same deterministic
+    (tf desc, gram asc) cut; shuffle carries map-side-combined
+    partials per distinct gram, never per occurrence)."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1))) END"
+            )
+        ).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        agg.filter(F.col("df") >= min_df)
+        .orderBy(F.col("tf").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+
+
+def ngram_counts_sql(min_df: int = NGRAM_MIN_DF, top_k: int = NGRAM_TOP_K) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM t
+)
+SELECT gram, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM g
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= {min_df}
+ORDER BY tf DESC, gram ASC
+LIMIT {top_k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition filters (Gopher-style): the pretraining quality signal that
 # catches boilerplate/SEO spam — fraction of duplicate n-grams and the

@@ -334,6 +334,10 @@ def test_winnow_fingerprints(spark):
     _check(spark, "winnow_fingerprints")
 
 
+def test_ngram_counts(spark):
+    _check(spark, "ngram_counts")
+
+
 def test_winnow_guarantee_planted(spark):
     """Winnowing's cover guarantee on planted near-copies: two docs
     sharing a run of ≥ window+2 consecutive tokens must share ≥1
