@@ -280,8 +280,18 @@ def _stress_bench(spark) -> dict[str, float]:
         # branches genuinely served queries (the beam path is live)
         for r in plan.groupBy("route").count().collect():
             out[f"stress_routed_{r['route']}"] = float(r["count"])
-        exact = None
-        walls = []
+        # Forced exact scan AND knn_auto at the same inputs, reps
+        # INTERLEAVED so the pair is compared in-run (the section's
+        # wall drifts upward with JVM lifetime — back-to-back loops
+        # made the later clock look ~2× slower on identical plans).
+        # The auto claim: 2048×500k×64 = 6.6e10 FLOPs sits below
+        # SCAN_FLOPS_BOUND, so the batch router must take the exact
+        # branch; inside it, nq=2048 < CORPUS_BC_EXT_MIN_NQ keeps the
+        # 256 MB float-corpus broadcast OFF (measured r6: 47.4 s vs
+        # the 5.6 s query-broadcast scan) — expect the auto wall in
+        # the forced scan's family, NOT stress_hybrid_search's.
+        exact = auto = None
+        scan_walls, auto_walls = [], []
         for _rep in range(2):
             if exact is not None:
                 exact.unpersist()
@@ -291,26 +301,7 @@ def _stress_bench(spark) -> dict[str, float]:
                 spark, base, queries, corpus_rows=nb, force_query_broadcast=True
             ).persist(StorageLevel.MEMORY_AND_DISK)
             exact.count()
-            walls.append(round(_t.time() - t0, 3))
-        out["stress_exact_scan"] = min(walls)
-        out["stress_exact_scan_runs"] = walls
-        mean_ppm = (
-            evaluate.recall_at_k(res, exact).agg({"recall_ppm": "avg"}).collect()[0][0]
-        )
-        out["stress_recall"] = round(float(mean_ppm) / 1e6, 4)
-        # knn_auto at the same inputs: 2048×500k×64 = 6.6e10 FLOPs sits
-        # below SCAN_FLOPS_BOUND, so the batch router must take the
-        # exact branch; inside it, nq=2048 < CORPUS_BC_EXT_MIN_NQ keeps
-        # the 256 MB float-corpus broadcast OFF (measured 47.4 s vs the
-        # 5.6 s query-broadcast scan — the r6 datapoint behind that
-        # gate) — this clock proves both cost rules fire: expect
-        # stress_exact_scan-family walls, NOT stress_hybrid_search's.
-        # Min-of-2 like its siblings: this plan's single-run wall
-        # swings 5-46 s on this host (measured r6), so only the
-        # in-run min is comparable across sections.
-        auto = None
-        walls = []
-        for _rep in range(2):
+            scan_walls.append(round(_t.time() - t0, 3))
             if auto is not None:
                 auto.unpersist()
             _sweep(spark)
@@ -320,9 +311,15 @@ def _stress_bench(spark) -> dict[str, float]:
                 dim=64, index=index, alpha=alpha, catalog=catalog,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             auto.count()
-            walls.append(round(_t.time() - t0, 3))
-        out["stress_auto_route"] = min(walls)
-        out["stress_auto_route_runs"] = walls
+            auto_walls.append(round(_t.time() - t0, 3))
+        out["stress_exact_scan"] = min(scan_walls)
+        out["stress_exact_scan_runs"] = scan_walls
+        out["stress_auto_route"] = min(auto_walls)
+        out["stress_auto_route_runs"] = auto_walls
+        mean_ppm = (
+            evaluate.recall_at_k(res, exact).agg({"recall_ppm": "avg"}).collect()[0][0]
+        )
+        out["stress_recall"] = round(float(mean_ppm) / 1e6, 4)
         auto.unpersist()
         for h in (res, exact, plan, index):
             h.unpersist()
