@@ -917,36 +917,48 @@ def winnow_fingerprints(docs: DataFrame, window: int = WINNOW_WINDOW) -> DataFra
     A pure projection + posexplode — per-doc arrays, zero shuffles;
     output is one integer row per window, bounded by token count.
     Docs shorter than window+2 tokens emit their single whole-sequence
-    min; docs under 3 tokens (no shingle) emit nothing."""
+    min; docs under 3 tokens (no shingle) emit nothing.
+
+    The window-min runs as ONE aggregate fold over the hash array (a
+    ≤window ring buffer + emitted mins), not a transform of
+    array_min(slice(hs, j, w)) per window: Catalyst has no common-
+    subexpression elimination inside lambda bodies, so after projection
+    collapse that shape re-evaluated the md5 transform once PER WINDOW
+    (~window× redundant hashing — measured 2× the whole operator's
+    wall at sf0.1)."""
+    w = int(window)
     ws = F.split(F.col("text"), " ")
     base = docs.select("doc_id", ws.alias("ws"))
-    hs = F.expr("CASE WHEN size(ws) < 3 THEN array() ELSE sequence(1, size(ws) - 2) END")
-    hashed = base.select(
+    hs = F.transform(
+        F.expr("CASE WHEN size(ws) < 3 THEN array() ELSE sequence(1, size(ws) - 2) END"),
+        lambda i: _hash48_expr(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+            )
+        ),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    init = F.struct(empty.alias("buf"), empty.alias("outs"))
+
+    def step(a, x):
+        cat = F.concat(a.buf, F.array(x))
+        buf2 = F.slice(cat, F.greatest(F.size(cat) - F.lit(w) + 1, F.lit(1)), F.lit(w))
+        outs2 = F.when(
+            F.size(buf2) == w, F.concat(a.outs, F.array(F.array_min(buf2)))
+        ).otherwise(a.outs)
+        return F.struct(buf2.alias("buf"), outs2.alias("outs"))
+
+    fin = lambda a: F.when(F.size(a.outs) > 0, a.outs).otherwise(  # noqa: E731
+        F.when(F.size(a.buf) > 0, F.array(F.array_min(a.buf))).otherwise(empty)
+    )
+    wins = F.aggregate(hs, init, step, fin)
+    return base.select("doc_id", F.posexplode(wins).alias("p", "fp")).select(
         "doc_id",
-        F.transform(
-            hs,
-            lambda i: _hash48_expr(
-                F.concat_ws(
-                    " ",
-                    F.element_at(F.col("ws"), i),
-                    F.element_at(F.col("ws"), i + 1),
-                    F.element_at(F.col("ws"), i + 2),
-                )
-            ),
-        ).alias("hs"),
-    )
-    wins = F.transform(
-        F.expr(f"sequence(1, greatest(size(hs) - {int(window)} + 1, 1))"),
-        lambda j: F.array_min(F.slice(F.col("hs"), j, int(window))),
-    )
-    return (
-        hashed.filter(F.size("hs") > 0)
-        .select("doc_id", F.posexplode(wins).alias("p", "fp"))
-        .select(
-            "doc_id",
-            (F.col("p") + 1).cast("long").alias("win_id"),
-            F.col("fp").cast("long").alias("fp"),
-        )
+        (F.col("p") + 1).cast("long").alias("win_id"),
+        F.col("fp").cast("long").alias("fp"),
     )
 
 
