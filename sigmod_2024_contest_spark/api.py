@@ -423,6 +423,11 @@ register("token_counts", lambda s, d: T.token_counts(_docs(s, d)), T.TOKEN_COUNT
 
 register("dedup_exact", lambda s, d: dedup.dedup_exact(_docs(s, d)), dedup.DEDUP_EXACT_SQL)
 register(
+    "dedup_containment",
+    lambda s, d: dedup.containment_pairs(_docs(s, d)),
+    dedup.containment_pairs_sql(),
+)
+register(
     "winnow_fingerprints",
     lambda s, d: dedup.winnow_fingerprints(_docs(s, d)),
     dedup.winnow_fingerprints_sql(),

@@ -291,22 +291,14 @@ def _jaccard_candidates(sh: DataFrame, df_cap: int | None) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame,
-    tau_ppm: int = JACCARD_TAU_PPM,
-    df_cap: int | None = HOT_SHINGLE_DF_CAP,
-) -> DataFrame:
-    """(d1, d2, jaccard_ppm) for pairs with 3-shingle Jaccard ≥ τ.
-
-    Inverted-index join over COLD shingles (document frequency ≤
-    df_cap, see HOT_SHINGLE_DF_CAP): candidate pairs are generated and
-    their cold intersection counted in one join + map-side-combined
-    groupBy, never enumerated. Hot shingles still count toward the
-    exact Jaccard through a correction join restricted to the
-    candidate pairs (the hot shingle table is tiny — only >cap-df
-    keys), so every surfaced pair gets its true intersection. The τ
-    filter compares integers (inter·1e6 ≥ τppm·union) — no float in
-    the cut."""
+def _pair_intersections(
+    docs: DataFrame, df_cap: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery of the shingle near-dup family:
+    returns (inter, sizes) where inter = (d1 < d2, exact shingle
+    intersection count) for every pair sharing ≥1 cold shingle, and
+    sizes = per-doc shingle counts. See :func:`jaccard_pairs` for the
+    cold/hot split rationale."""
     sh = _doc_shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cold, hot_sh = sh, None
@@ -346,10 +338,34 @@ def jaccard_pairs(
         inter = inter.join(hot_cnt, ["d1", "d2"], "left").withColumn(
             "inter", F.col("inter") + F.coalesce(F.col("hot_inter"), F.lit(0))
         )
-    j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .withColumn("un", F.col("n1") + F.col("n2") - F.col("inter"))
+    return inter, sizes
+
+
+def _with_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    return inter.join(
+        sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1"
+    ).join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    tau_ppm: int = JACCARD_TAU_PPM,
+    df_cap: int | None = HOT_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """(d1, d2, jaccard_ppm) for pairs with 3-shingle Jaccard ≥ τ.
+
+    Inverted-index join over COLD shingles (document frequency ≤
+    df_cap, see HOT_SHINGLE_DF_CAP): candidate pairs are generated and
+    their cold intersection counted in one join + map-side-combined
+    groupBy, never enumerated. Hot shingles still count toward the
+    exact Jaccard through a correction join restricted to the
+    candidate pairs (the hot shingle table is tiny — only >cap-df
+    keys), so every surfaced pair gets its true intersection. The τ
+    filter compares integers (inter·1e6 ≥ τppm·union) — no float in
+    the cut."""
+    inter, sizes = _pair_intersections(docs, df_cap)
+    j = _with_sizes(inter, sizes).withColumn(
+        "un", F.col("n1") + F.col("n2") - F.col("inter")
     )
     return j.filter(F.col("inter") * 1_000_000 >= F.lit(tau_ppm) * F.col("un")).select(
         "d1",
@@ -358,6 +374,74 @@ def jaccard_pairs(
         .cast("long")
         .alias("jaccard_ppm"),
     )
+
+
+CONTAINMENT_TAU_PPM = 700_000
+
+
+def containment_pairs(
+    docs: DataFrame,
+    tau_ppm: int = CONTAINMENT_TAU_PPM,
+    df_cap: int | None = HOT_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """(d1, d2, c12_ppm, c21_ppm): ASYMMETRIC near-dup — Broder
+    containment c(A→B) = |A∩B| / |A| over 3-shingles, keeping pairs
+    where either direction clears τ. Catches what Jaccard misses:
+    a short document embedded verbatim in a much longer one (quote,
+    concatenation, page-of-pages) has high containment but low
+    Jaccard. Same candidate machinery as :func:`jaccard_pairs` (cold
+    inverted-index join + hot correction — one shared plan, no extra
+    scan), integer cut: inter·1e6 ≥ τ·min(n1, n2)."""
+    inter, sizes = _pair_intersections(docs, df_cap)
+    j = _with_sizes(inter, sizes)
+    return j.filter(
+        F.col("inter") * 1_000_000 >= F.lit(tau_ppm) * F.least("n1", "n2")
+    ).select(
+        "d1",
+        "d2",
+        F.floor(F.col("inter").cast("double") / F.col("n1").cast("double") * 1e6)
+        .cast("long")
+        .alias("c12_ppm"),
+        F.floor(F.col("inter").cast("double") / F.col("n2").cast("double") * 1e6)
+        .cast("long")
+        .alias("c21_ppm"),
+    )
+
+
+def containment_pairs_sql(
+    tau_ppm: int = CONTAINMENT_TAU_PPM, df_cap: int | None = HOT_SHINGLE_DF_CAP
+) -> str:
+    cold = (
+        f"""cold AS (
+  SELECT * FROM shingles
+  WHERE skey NOT IN (SELECT skey FROM shingles GROUP BY skey HAVING count(*) > {df_cap})
+),"""
+        if df_cap is not None
+        else "cold AS (SELECT * FROM shingles),"
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+{cold}
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM cold a JOIN cold b ON a.skey = b.skey AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.d1
+  JOIN shingles sb ON sb.doc_id = c.d2 AND sb.skey = sa.skey
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(floor(inter::DOUBLE / n1.n::DOUBLE * 1e6) AS BIGINT) AS c12_ppm,
+       CAST(floor(inter::DOUBLE / n2.n::DOUBLE * 1e6) AS BIGINT) AS c21_ppm
+FROM inter
+JOIN sizes n1 ON n1.doc_id = d1
+JOIN sizes n2 ON n2.doc_id = d2
+WHERE inter * 1000000 >= {tau_ppm} * least(n1.n, n2.n)
+"""
 
 
 def jaccard_pairs_sql(

@@ -338,6 +338,29 @@ def test_ngram_counts(spark):
     _check(spark, "ngram_counts")
 
 
+def test_dedup_containment(spark):
+    _check(spark, "dedup_containment")
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The asymmetry claim: a short doc fully embedded in a long one
+    clears the containment cut but not the Jaccard cut."""
+    from sigmod_2024_contest_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short}"), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    cont = dedup.containment_pairs(docs).collect()
+    assert len(cont) == 1 and (cont[0].d1, cont[0].d2) == (1, 2)
+    assert cont[0].c12_ppm == 1_000_000  # every shingle of doc 1 is in doc 2
+    assert cont[0].c21_ppm < 200_000
+    jac = dedup.jaccard_pairs(docs).collect()
+    assert jac == []  # low union overlap → Jaccard misses the pair
+
+
 def test_winnow_guarantee_planted(spark):
     """Winnowing's cover guarantee on planted near-copies: two docs
     sharing a run of ≥ window+2 consecutive tokens must share ≥1
