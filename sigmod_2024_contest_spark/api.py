@@ -749,3 +749,8 @@ register(
     lambda s, d: relational.asof_last_error(_events(s, d)),
     relational.ASOF_SQL,
 )
+register(
+    "event_funnel",
+    lambda s, d: relational.event_funnel(_events(s, d)),
+    relational.event_funnel_sql(),
+)

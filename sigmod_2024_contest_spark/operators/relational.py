@@ -188,3 +188,96 @@ SELECT c.event_id, c.user_id, COALESCE(e.err_c, -1)::BIGINT AS last_error_value_
 FROM clicks c ASOF LEFT JOIN errors e
   ON c.user_id = e.user_id AND e.ts <= c.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered event-sequence completion per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WITHIN_S = 3600
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    within_s: int = FUNNEL_WITHIN_S,
+) -> DataFrame:
+    """(user_id, steps_completed, completed): strict-order funnel —
+    for each user, step k's timestamp is the FIRST step-k event
+    strictly after step k-1's timestamp (t1 = the user's first step-1
+    event); ``completed`` additionally requires the whole sequence to
+    fit in ``within_s`` seconds from t1. The min-based formulation is
+    order-free (no tie-break needed — simultaneous events at a step
+    boundary are excluded by the strict >), so both engines agree
+    bit-for-bit; the window compare runs on integer epoch millis.
+
+    Scale shape: one predicate-pushed scan per funnel step (each
+    ~1/|types| of the table), per-user shuffle joins keyed on
+    user_id — depth × linear, no per-user state, no window function
+    over the whole event stream."""
+    prev = None
+    t_cols = []
+    for k, step in enumerate(steps, start=1):
+        ev = events.filter(F.col("event_type") == step).select("user_id", "ts")
+        if prev is None:
+            agg = ev.groupBy("user_id").agg(F.min("ts").alias(f"t{k}"))
+        else:
+            agg = (
+                ev.join(prev, "user_id")
+                .filter(F.col("ts") > F.col(f"t{k-1}"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"t{k}"))
+            )
+        prev = agg if prev is None else prev.join(agg, "user_id", "left")
+        # keep only the timestamp columns needed by the next step
+        prev = prev.select("user_id", *[f"t{i}" for i in range(1, k + 1)])
+        t_cols.append(f"t{k}")
+    users = events.select("user_id").distinct()
+    j = users.join(prev, "user_id", "left")
+    n = len(steps)
+    reached = F.lit(0)
+    for k in range(1, n + 1):
+        reached = F.when(F.col(f"t{k}").isNotNull(), F.lit(k)).otherwise(reached)
+    done = F.col(f"t{n}").isNotNull() & (
+        (F.unix_millis(F.col(f"t{n}")) - F.unix_millis(F.col("t1")))
+        <= F.lit(int(within_s) * 1000)
+    )
+    return j.select(
+        "user_id",
+        reached.cast("long").alias("steps_completed"),
+        F.coalesce(done, F.lit(False)).alias("completed"),
+    )
+
+
+def event_funnel_sql(
+    steps: tuple[str, ...] = FUNNEL_STEPS, within_s: int = FUNNEL_WITHIN_S
+) -> str:
+    """DuckDB twin of :func:`event_funnel`."""
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    for k, step in enumerate(steps, start=1):
+        if k == 1:
+            ctes.append(
+                f"s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+                f"WHERE event_type = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{k} AS (SELECT e.user_id, min(e.ts) AS t{k} FROM events e "
+                f"JOIN s{k-1} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{step}' AND e.ts > p.t{k-1} GROUP BY 1)"
+            )
+    n = len(steps)
+    joins = " ".join(f"LEFT JOIN s{k} ON s{k}.user_id = u.user_id" for k in range(1, n + 1))
+    reached = "CASE " + " ".join(
+        f"WHEN t{k} IS NOT NULL THEN {k}" for k in range(n, 0, -1)
+    ) + " ELSE 0 END"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT u.user_id,
+       ({reached})::BIGINT AS steps_completed,
+       coalesce(t{n} IS NOT NULL AND
+                epoch_ms(t{n}) - epoch_ms(t1) <= {int(within_s) * 1000},
+                FALSE) AS completed
+FROM u {joins}
+"""

@@ -65,3 +65,39 @@ def test_asof_semantics_manual(spark):
         if cand:
             want = int(max(cand)[1] * 100 + 0.5)
         assert res[c["event_id"]] == want, (c["event_id"], res[c["event_id"]], want)
+
+
+def test_event_funnel_oracle(spark):
+    _check(spark, "event_funnel")
+
+
+def test_event_funnel_planted(spark):
+    """Hand-built sequences: strict order, the in-window requirement,
+    and partial progress all behave as specified."""
+    import datetime as dt
+
+    from sigmod_2024_contest_spark.operators import relational
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, secs, typ, eid):
+        return (eid, t0 + dt.timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: clean view->click->purchase inside the hour
+        ev(1, 0, "view", 1), ev(1, 10, "click", 2), ev(1, 20, "purchase", 3),
+        # user 2: purchase BEFORE click -> only 2 steps (strict order)
+        ev(2, 0, "view", 4), ev(2, 30, "purchase", 5), ev(2, 40, "click", 6),
+        # user 3: completes but outside the window -> not completed
+        ev(3, 0, "view", 7), ev(3, 10, "click", 8), ev(3, 4000, "purchase", 9),
+        # user 4: only a click (no view first) -> 0 steps
+        ev(4, 0, "click", 10),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.user_id: r for r in relational.event_funnel(events).collect()}
+    assert (got[1].steps_completed, got[1].completed) == (3, True)
+    assert (got[2].steps_completed, got[2].completed) == (2, False)
+    assert (got[3].steps_completed, got[3].completed) == (3, False)
+    assert (got[4].steps_completed, got[4].completed) == (0, False)
