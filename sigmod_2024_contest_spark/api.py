@@ -754,3 +754,8 @@ register(
     lambda s, d: relational.event_funnel(_events(s, d)),
     relational.event_funnel_sql(),
 )
+register(
+    "retention_cohorts",
+    lambda s, d: relational.retention_cohorts(_events(s, d)),
+    relational.RETENTION_COHORTS_SQL,
+)

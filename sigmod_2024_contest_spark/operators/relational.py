@@ -281,3 +281,49 @@ SELECT u.user_id,
                 FALSE) AS completed
 FROM u {joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — weekly cohort × activity-week matrix
+# ---------------------------------------------------------------------------
+
+WEEK_MS = 7 * 86400 * 1000
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users): classic retention matrix —
+    users cohorted by the epoch-week of their first event, counted
+    distinct in every later week they were active. Weeks are integer
+    ``epoch_ms DIV week`` buckets (no calendar/timezone semantics to
+    disagree on — both engines do the same BIGINT division).
+
+    Scale shape: one scan → per-user min (map-side combined), one
+    distinct over (user, week) — cardinality bounded by users ×
+    active weeks, not events — and a count-distinct rollup over the
+    cohort matrix."""
+    w = events.select(
+        "user_id",
+        F.expr(f"unix_millis(ts) DIV {WEEK_MS}").cast("long").alias("wk"),
+    )
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = w.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH w AS (SELECT user_id, (epoch_ms(ts) // {WEEK_MS}) AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+a AS (SELECT DISTINCT user_id, wk FROM w)
+SELECT cohort::BIGINT AS cohort_week,
+       (a.wk - cohort)::BIGINT AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

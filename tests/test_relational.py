@@ -101,3 +101,38 @@ def test_event_funnel_planted(spark):
     assert (got[2].steps_completed, got[2].completed) == (2, False)
     assert (got[3].steps_completed, got[3].completed) == (3, False)
     assert (got[4].steps_completed, got[4].completed) == (0, False)
+
+
+def test_retention_cohorts_oracle(spark):
+    _check(spark, "retention_cohorts")
+
+
+def test_retention_cohorts_planted(spark):
+    """Two cohorts, known activity weeks: offsets and distinct counts."""
+    import datetime as dt
+
+    from sigmod_2024_contest_spark.operators import relational
+
+    wk0 = dt.datetime(2024, 1, 4)  # some anchor; offsets are relative
+
+    def ev(uid, weeks, eid):
+        return (eid, wk0 + dt.timedelta(weeks=weeks), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1), ev(1, 1, 2), ev(1, 3, 3),   # cohort W, active +0 +1 +3
+        ev(2, 0, 4), ev(2, 1, 5),                # same cohort, +0 +1
+        ev(3, 1, 6),                             # cohort W+1, +0 only
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {}
+    cohorts = set()
+    for r in relational.retention_cohorts(events).collect():
+        got[(r.cohort_week, r.week_offset)] = r.n_users
+        cohorts.add(r.cohort_week)
+    c0, c1 = sorted(cohorts)
+    assert c1 == c0 + 1
+    assert got[(c0, 0)] == 2 and got[(c0, 1)] == 2 and got[(c0, 3)] == 1
+    assert got[(c1, 0)] == 1
+    assert (c0, 2) not in got
