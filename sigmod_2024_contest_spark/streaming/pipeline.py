@@ -233,3 +233,72 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '{ATTRIBUTION_WINDOW}'
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel — keyed state over ordered step timestamps
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_CAP = 128
+_FUNNEL_RESULT_SCHEMA = "user_id long, steps_completed long, completed boolean"
+_FUNNEL_STATE_SCHEMA = "t1s array<long>, t2s array<long>, t3s array<long>"
+
+
+def funnel_stateful(events: DataFrame, within_s: int | None = None) -> DataFrame:
+    """Streaming twin of :func:`..operators.relational.event_funnel`:
+    per-user strict-order funnel maintained in keyed state, emitted
+    every micro-batch (update mode).
+
+    State is the EARLIEST ``FUNNEL_STATE_CAP`` timestamps per step
+    (ns, full Spark precision), not a monotone cursor — so the funnel
+    resolve (first step-k strictly after step k-1) is recomputed
+    exactly per emission and the result is ARRIVAL-ORDER INDEPENDENT:
+    a late-arriving earlier view correctly revises t1 and everything
+    downstream. Exact equality with the batch operator holds whenever
+    no user exceeds the cap in any step (the cap bounds state at 3·cap
+    longs per user; beyond it the earliest-kept prefix still resolves
+    correctly unless the true tk is evicted). The window compare
+    truncates to epoch ms exactly like the batch side's
+    ``unix_millis``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.relational import FUNNEL_STEPS, FUNNEL_WITHIN_S
+
+    win_ms = (FUNNEL_WITHIN_S if within_s is None else int(within_s)) * 1000
+    steps = FUNNEL_STEPS
+
+    def fn(key, pdfs, state):
+        lists = [list(x) for x in state.get] if state.exists else [[], [], []]
+        for pdf in pdfs:
+            ns = pd.to_datetime(pdf["ts"]).astype("int64")
+            for t, typ in zip(ns, pdf["event_type"]):
+                for i, s in enumerate(steps):
+                    if typ == s:
+                        lists[i].append(int(t))
+        lists = [sorted(set(l))[:FUNNEL_STATE_CAP] for l in lists]
+        state.update(tuple(lists))
+        t1 = lists[0][0] if lists[0] else None
+        t2 = next((t for t in lists[1] if t > t1), None) if t1 is not None else None
+        t3 = next((t for t in lists[2] if t > t2), None) if t2 is not None else None
+        n_steps = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        completed = t3 is not None and (t3 // 1_000_000 - t1 // 1_000_000) <= win_ms
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "steps_completed": [n_steps],
+                "completed": [bool(completed)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            _FUNNEL_RESULT_SCHEMA,
+            _FUNNEL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

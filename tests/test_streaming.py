@@ -206,3 +206,25 @@ def test_click_attribution_streaming_matches_batch(spark, events_dir):
     )
     got = _run_stream(spark, stream, "append", "click_attr")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_funnel_converges_to_batch(spark, events_dir):
+    """The streaming funnel's LAST emission per user must equal the
+    batch event_funnel exactly: state keeps the earliest step
+    timestamps, so the resolve is arrival-order independent (and at
+    smoke scale no user exceeds FUNNEL_STATE_CAP in any step)."""
+    from sigmod_2024_contest_spark.operators import relational
+
+    batch = {
+        r["user_id"]: (r["steps_completed"], r["completed"])
+        for r in relational.event_funnel(spark.read.parquet(events_dir)).collect()
+    }
+    stream = P.funnel_stateful(P.stream_events(spark, events_dir))
+    got_df = _run_stream(spark, stream, "update", "funnel_state")
+    # update sink appends every emission; keep the last per user
+    final = {}
+    for r in got_df.collect():
+        final[r["user_id"]] = (r["steps_completed"], r["completed"])
+    # every micro-batch only re-emits touched users; the LAST emission
+    # per user reflects all their events since state is cumulative
+    assert final == batch
