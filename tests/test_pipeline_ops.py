@@ -604,3 +604,78 @@ def test_text_repetition_planted_values(spark):
     assert r2.n_2grams == 3 and r2.dup_2gram_ppm == 0
     r3 = got[3]
     assert r3.n_2grams == 0 and r3.top_2gram_count == 0 and r3.top_2gram_char_ppm == 0
+
+
+def _py_chunks(n_tok, chunk, overlap):
+    """Pure-python reference for chunk_documents' window arithmetic."""
+    stride = max(chunk - overlap, 1)
+    out = []
+    s = 1
+    while s <= n_tok:
+        out.append((s, min(chunk, n_tok - s + 1)))
+        s += stride
+    return out
+
+
+def test_chunk_documents_property(spark):
+    """Randomized doc lengths vs the pure-python window reference:
+    starts, lengths, and full coverage for every length in one pass."""
+    import random
+
+    rng = random.Random(7)
+    lens = [rng.randint(1, 120) for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    from sigmod_2024_contest_spark.operators import curation
+
+    rows = curation.chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.start_tok, r.n_tok))
+    for i, n in enumerate(lens):
+        want = _py_chunks(n, 16, 4)
+        assert sorted(got[i]) == sorted(want), (i, n)
+        covered = set()
+        for s, ln in got[i]:
+            covered.update(range(s, s + ln))
+        assert covered == set(range(1, n + 1)), i
+
+
+def test_winnow_property(spark):
+    """Randomized docs vs a pure-python winnow reference (same hash48
+    via hashlib.md5): identical (win_id, fp) sets per doc."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real repeats
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        for _ in range(30)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    from sigmod_2024_contest_spark.operators import dedup
+
+    W = dedup.WINNOW_WINDOW
+    rows = dedup.winnow_fingerprints(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.win_id, r.fp))
+    for i, text in enumerate(texts):
+        ws = text.split(" ")
+        hs = [
+            int(hashlib.md5(" ".join(ws[j : j + 3]).encode()).hexdigest()[:12], 16)
+            for j in range(len(ws) - 2)
+        ]
+        if not hs:
+            assert i not in got
+            continue
+        if len(hs) < W:
+            want = [(1, min(hs))]
+        else:
+            want = [(j + 1, min(hs[j : j + W])) for j in range(len(hs) - W + 1)]
+        assert sorted(got[i]) == sorted(want), i
