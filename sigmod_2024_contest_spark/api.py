@@ -759,3 +759,8 @@ register(
     lambda s, d: relational.retention_cohorts(_events(s, d)),
     relational.RETENTION_COHORTS_SQL,
 )
+register(
+    "events_value_quantiles",
+    lambda s, d: relational.events_value_quantiles(_events(s, d)),
+    relational.EVENTS_VALUE_QUANTILES_SQL,
+)

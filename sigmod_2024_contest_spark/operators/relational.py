@@ -327,3 +327,63 @@ SELECT cohort::BIGINT AS cohort_week,
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distribution profiling — discrete quantiles per event type
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+QUANTILES = ((25, 1, 4), (50, 1, 2), (75, 3, 4), (95, 19, 20))
+
+
+def events_value_quantiles(events: DataFrame) -> DataFrame:
+    """(event_type, pct, value_cents): EXACT discrete quantiles (type-1
+    / lower interpolation: the value at sorted position
+    ``(n-1)·p`` floor) of the integer-cents value per event type — the
+    data-profiling pass a pipeline runs before choosing filters or
+    normalizations. All arithmetic is integer (rank = (n-1)·num DIV
+    den), so both engines pick the identical element; duplicate values
+    make row_number's tie order irrelevant to the SELECTED VALUE.
+
+    Scale shape: the one unavoidable cost of exact quantiles is a
+    per-type sort (window row_number) — a single shuffle keyed by
+    event_type; ranks then join a per-type count and a literal
+    quantile table. The approximate scale twin is
+    ``percentile_approx`` (sketch-based, no oracle) when the exact
+    sort is not worth it."""
+    from pyspark.sql import Window
+
+    spark = events.sparkSession
+    cents = F.expr(_CENTS)
+    ranked = events.select("event_type", cents.alias("cents")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("cents"))
+    )
+    counts = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    qdf = F.broadcast(
+        spark.createDataFrame(list(QUANTILES), "pct int, num int, den int")
+    )
+    return (
+        ranked.join(counts, "event_type")
+        .crossJoin(qdf)
+        .filter(F.col("rn") - 1 == F.expr("((n - 1) * num) DIV den"))
+        .select(
+            "event_type",
+            F.col("pct").cast("long").alias("pct"),
+            F.col("cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+EVENTS_VALUE_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT event_type, {_CENTS} AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+  FROM events
+),
+n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+q(pct, num, den) AS (VALUES {', '.join(f'({p}, {a}, {b})' for p, a, b in QUANTILES)})
+SELECT c.event_type, q.pct::BIGINT AS pct, c.cents::BIGINT AS value_cents
+FROM c JOIN n USING (event_type) CROSS JOIN q
+WHERE c.rn - 1 = ((n.n - 1) * q.num) // q.den
+"""

@@ -136,3 +136,26 @@ def test_retention_cohorts_planted(spark):
     assert got[(c0, 0)] == 2 and got[(c0, 1)] == 2 and got[(c0, 3)] == 1
     assert got[(c1, 0)] == 1
     assert (c0, 2) not in got
+
+
+def test_events_value_quantiles_oracle(spark):
+    _check(spark, "events_value_quantiles")
+
+
+def test_events_value_quantiles_planted(spark):
+    """Known distribution: values 1..100 cents for one type — discrete
+    lower quantiles are exactly the (n-1)*p-indexed elements."""
+    import datetime as dt
+
+    from sigmod_2024_contest_spark.operators import relational
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "view", i / 100.0, "{}") for i in range(1, 101)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.pct: r.value_cents for r in relational.events_value_quantiles(events).collect()}
+    # n=100: rank index (n-1)*p -> values are cents 1..100
+    assert got == {25: 25, 50: 50, 75: 75, 95: 95}, got
