@@ -73,6 +73,17 @@ PICKS = {
         "query-broadcast codes-only scan (ReadSchema without the float "
         "column) + pool window + K12 candidates-only join."
     ),
+    "winnow_fingerprints": (
+        "Winnowing fingerprints as a projection + generate: positional "
+        "shingle hash48 and the sliding window-min both live in ONE "
+        "aggregate fold per row (no per-window re-hash — Catalyst lacks CSE "
+        "inside lambdas), then posexplode. Zero Exchanges."
+    ),
+    "event_funnel": (
+        "Strict-order funnel: one predicate-pushed events scan per step "
+        "(PushedFilters shows the event_type equality), user-keyed "
+        "aggregations and joins — funnel depth x linear, no global window."
+    ),
     "text_repetition": (
         "Gopher-style 2-gram repetition features as a pure projection: gram "
         "build, distinct count, and the mode gram (run scan over the sorted "
