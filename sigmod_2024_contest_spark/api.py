@@ -764,3 +764,12 @@ register(
     lambda s, d: relational.events_value_quantiles(_events(s, d)),
     relational.EVENTS_VALUE_QUANTILES_SQL,
 )
+register(
+    "shipping_priority",
+    lambda s, d: relational.shipping_priority(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+    ),
+    relational.shipping_priority_sql(),
+)

@@ -387,3 +387,85 @@ SELECT c.event_type, q.pct::BIGINT AS pct, c.cents::BIGINT AS value_cents
 FROM c JOIN n USING (event_type) CROSS JOIN q
 WHERE c.rn - 1 = ((n.n - 1) * q.num) // q.den
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPN = 10
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = Q3_SEGMENT,
+    cutoff: str = Q3_CUTOFF,
+    n: int = Q3_TOPN,
+) -> DataFrame:
+    """(l_orderkey, o_orderdate, o_orderpriority, revenue_c): TPC-H Q3
+    — unshipped-order revenue for one market segment: orders placed
+    before the cutoff with lineitems shipping after it, top-n by
+    revenue. (The synthetic orders table has o_orderpriority, not Q3's
+    o_shippriority — same query shape.)
+
+    Physical plan: the customer dimension filters to one segment and
+    BROADCASTS into the orders join; both date filters push to the
+    parquet scans; the only wide operations are the fact-fact
+    orders⋈lineitem hash join and the per-order partial+final agg. The
+    top-n is orderBy+limit (TakeOrderedAndProject: per-partition heaps
+    + a driver merge, never a single-partition window); (revenue desc,
+    orderdate asc, orderkey asc) is a TOTAL order, so the cut is
+    deterministic. Money as integer cents, dates emitted as formatted
+    strings — nothing float- or unit-sensitive reaches the hash."""
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    j = (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+    )
+    return (
+        j.orderBy(
+            F.col("revenue_c").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(n)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_c",
+        )
+    )
+
+
+def shipping_priority_sql(
+    segment: str = Q3_SEGMENT, cutoff: str = Q3_CUTOFF, n: int = Q3_TOPN
+) -> str:
+    return f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       revenue_c
+FROM (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+    AND o.o_orderdate < TIMESTAMP '{cutoff}'
+    AND l.l_shipdate > TIMESTAMP '{cutoff}'
+  GROUP BY 1, 2, 3
+)
+ORDER BY revenue_c DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT {n}
+"""

@@ -159,3 +159,7 @@ def test_events_value_quantiles_planted(spark):
     got = {r.pct: r.value_cents for r in relational.events_value_quantiles(events).collect()}
     # n=100: rank index (n-1)*p -> values are cents 1..100
     assert got == {25: 25, 50: 50, 75: 75, 95: 95}, got
+
+
+def test_shipping_priority_oracle(spark):
+    _check(spark, "shipping_priority")
