@@ -773,3 +773,22 @@ register(
     ),
     relational.shipping_priority_sql(),
 )
+register(
+    "local_supplier_volume",
+    lambda s, d: relational.local_supplier_volume(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+    ),
+    relational.local_supplier_volume_sql(),
+)
+register(
+    "brand_revenue",
+    lambda s, d: relational.brand_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    relational.BRAND_REVENUE_SQL,
+)

@@ -469,3 +469,114 @@ FROM (
 ORDER BY revenue_c DESC, o_orderdate ASC, l_orderkey ASC
 LIMIT {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — local supplier volume per nation
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1997-01-01", "1998-01-01"
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = Q5_REGION,
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+) -> DataFrame:
+    """(n_name, revenue_c): TPC-H Q5 — revenue by nation where the
+    customer and the lineitem's supplier share that nation, restricted
+    to one region and one order-date year.
+
+    Physical plan: region→nation→supplier collapse into ONE broadcast
+    dimension (catalog-sized); customer broadcasts too. The fact-fact
+    orders⋈lineitem hash join and the final per-nation agg are the
+    only wide operations — the same dims-broadcast star shape as
+    top_customers, one more level deep."""
+    dim = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+    )
+
+
+def local_supplier_volume_sql(
+    region_name: str = Q5_REGION, date_from: str = Q5_FROM, date_to: str = Q5_TO
+) -> str:
+    return f"""
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Parts rollup — revenue and volume per brand
+# ---------------------------------------------------------------------------
+
+
+def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """(p_brand, n_items, sum_qty_c, revenue_c): per-brand lineitem
+    rollup through the part dimension (broadcast — it is a catalog);
+    map-side partial aggregation carries the shuffle. Covers the part
+    table's join path (l_partkey → p_partkey)."""
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_quantity"))).cast("long").alias("sum_qty_c"),
+            F.sum(rev).cast("long").alias("revenue_c"),
+        )
+    )
+
+
+BRAND_REVENUE_SQL = """
+SELECT p_brand,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_c,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""

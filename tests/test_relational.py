@@ -163,3 +163,11 @@ def test_events_value_quantiles_planted(spark):
 
 def test_shipping_priority_oracle(spark):
     _check(spark, "shipping_priority")
+
+
+def test_local_supplier_volume_oracle(spark):
+    _check(spark, "local_supplier_volume")
+
+
+def test_brand_revenue_oracle(spark):
+    _check(spark, "brand_revenue")
