@@ -792,3 +792,13 @@ register(
     ),
     relational.BRAND_REVENUE_SQL,
 )
+register(
+    "returned_items",
+    lambda s, d: relational.returned_items(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+    ),
+    relational.returned_items_sql(),
+)

@@ -580,3 +580,68 @@ SELECT p_brand,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item customer report
+# ---------------------------------------------------------------------------
+
+Q10_FROM, Q10_TO = "1997-01-01", "1997-07-01"
+Q10_TOPN = 20
+
+
+def returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = Q10_FROM,
+    date_to: str = Q10_TO,
+    n: int = Q10_TOPN,
+) -> DataFrame:
+    """(custkey, name, nation, revenue_c): TPC-H Q10 — customers
+    ranked by revenue lost to returned items (l_returnflag = 'R') for
+    orders in one window; top-n on the total order (revenue desc,
+    custkey asc). Same star shape as Q3/Q5: dims broadcast, both
+    filters pushed, fact-fact hash join + per-customer agg +
+    TakeOrdered."""
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("custkey").asc())
+        .limit(n)
+    )
+
+
+def returned_items_sql(
+    date_from: str = Q10_FROM, date_to: str = Q10_TO, n: int = Q10_TOPN
+) -> str:
+    return f"""
+SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c DESC, custkey ASC
+LIMIT {n}
+"""

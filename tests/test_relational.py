@@ -171,3 +171,7 @@ def test_local_supplier_volume_oracle(spark):
 
 def test_brand_revenue_oracle(spark):
     _check(spark, "brand_revenue")
+
+
+def test_returned_items_oracle(spark):
+    _check(spark, "returned_items")
