@@ -793,6 +793,13 @@ register(
     relational.BRAND_REVENUE_SQL,
 )
 register(
+    "order_priority_check",
+    lambda s, d: relational.order_priority_check(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    relational.order_priority_check_sql(),
+)
+register(
     "returned_items",
     lambda s, d: relational.returned_items(
         load_table(s, d, "lineitem"),

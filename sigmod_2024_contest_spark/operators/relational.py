@@ -645,3 +645,54 @@ GROUP BY 1, 2, 3
 ORDER BY revenue_c DESC, custkey ASC
 LIMIT {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — order priority checking (the semi-join)
+# ---------------------------------------------------------------------------
+
+Q4_FROM, Q4_TO = "1997-01-01", "1997-07-01"
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = Q4_FROM,
+    date_to: str = Q4_TO,
+) -> DataFrame:
+    """(o_orderpriority, order_count): TPC-H Q4 — orders in the window
+    having AT LEAST ONE lineitem shipped after the order date, counted
+    per priority. This is the engine's LEFT SEMI join showcase (the
+    reference has no join operators at all; a complete analytics
+    engine needs the existential kind): the equi key (orderkey) drives
+    a hash semi-join, the correlated l_shipdate > o_orderdate
+    condition rides it as a post-probe filter, and no lineitem column
+    ever reaches the output — semi-join output is bounded by the
+    orders side regardless of lineitem fan-out."""
+    win = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    hit = win.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+def order_priority_check_sql(date_from: str = Q4_FROM, date_to: str = Q4_TO) -> str:
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""

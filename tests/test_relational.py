@@ -175,3 +175,21 @@ def test_brand_revenue_oracle(spark):
 
 def test_returned_items_oracle(spark):
     _check(spark, "returned_items")
+
+
+def test_order_priority_check_oracle(spark):
+    _check(spark, "order_priority_check")
+
+
+def test_order_priority_check_is_semi_join(spark):
+    """The plan must be a LEFT SEMI hash join (existential — output
+    bounded by the orders side), not an inner join + distinct."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    from sigmod_2024_contest_spark.operators import relational
+
+    df = relational.order_priority_check(
+        load_table(spark, SF_SMOKE, "orders"), load_table(spark, SF_SMOKE, "lineitem")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
