@@ -411,20 +411,42 @@ def main() -> None:
     contest_timings = _contest_bench(spark)
     stress_timings = _stress_bench(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two lines (r6 verdict #3): the driver stores only a bounded TAIL
+    # of stdout and parses the LAST JSON line; one line carrying 66
+    # per-entry clocks outgrew that buffer two rounds running
+    # (BENCH_r05/r06 parsed: null). So the full detail map goes on an
+    # earlier line and the FINAL line is a compact summary guaranteed
+    # to fit any tail buffer.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
+                "metric": "headline_queries_detail",
                 "queries": timings,
                 "prep": prep,
                 "contest": contest_timings,
                 "stress": stress_timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "contest_run_exact": contest_timings.get("contest_run_exact"),
+        "contest_run_exact_scan": contest_timings.get("contest_run_exact_scan"),
+        "contest_run_hybrid": contest_timings.get("contest_run_hybrid"),
+        "contest_recall": contest_timings.get("contest_run_hybrid_recall"),
+        "stress_hybrid_search": stress_timings.get("stress_hybrid_search"),
+        "stress_exact_scan": stress_timings.get("stress_exact_scan"),
+        "stress_auto_route": stress_timings.get("stress_auto_route"),
+        "stress_recall": stress_timings.get("stress_recall"),
+    }
+    print(json.dumps({k: v for k, v in compact.items() if v is not None}))
     spark.stop()
 
 

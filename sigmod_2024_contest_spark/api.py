@@ -514,12 +514,16 @@ register(
 # exact cosine SQL. The approximate (nprobe<nlist) config stays
 # quality-gated via recall_ivf_vs_exact below — both physical shapes
 # stay exercised every round.
+# Scalar-row twin (r6 verdict #1): the harness canonicalizer pandas-
+# sorts result columns before hashing and cannot sort an array<bigint>
+# column, so the registered shape is the posexploded (vec_id,
+# component, ppm) — the array-valued kernels stay the production API.
 register(
     "embed_project",
-    lambda s, d: similarity.embed_project(
+    lambda s, d: similarity.embed_project_rows(
         load_table(s, d, "embeddings"), method="fold"
     ),
-    similarity.embed_project_sql(),
+    similarity.embed_project_rows_sql(),
 )
 register(
     "ann_ivf_topk",
@@ -809,3 +813,48 @@ register(
     ),
     relational.returned_items_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (r6 verdict #2). The correctness harness runs
+# the FIRST 50 registered entries and stops, so with 66+ entries the
+# tail can never earn a driver-green row. Re-order the registry after
+# all registrations: entries that still lack a driver hash row (the 16
+# driver-skipped in r6 plus the repaired embed_project, plus anything
+# new this round) come first; the remainder keep their original order,
+# pushing the multiply-proven kNN/encode rows past the window. Across
+# rounds every entry earns at least one driver-green artifact row.
+# ---------------------------------------------------------------------------
+
+_CHECK_FIRST: list[str] = [
+    # repaired this round — needs its first green row
+    "embed_project",
+    # never driver-checked through r6 (registered past the 50-window)
+    "user_totals",
+    "media_byte_stats",
+    "media_frame_sample",
+    "media_resize",
+    "pricing_summary",
+    "top_customers",
+    "events_json_stats",
+    "asof_last_error",
+    "event_funnel",
+    "retention_cohorts",
+    "events_value_quantiles",
+    "shipping_priority",
+    "local_supplier_volume",
+    "brand_revenue",
+    "order_priority_check",
+    "returned_items",
+]
+
+
+def _rotate_registry() -> None:
+    front = {k: _REGISTRY[k] for k in _CHECK_FIRST if k in _REGISTRY}
+    rest = {k: v for k, v in _REGISTRY.items() if k not in front}
+    _REGISTRY.clear()
+    _REGISTRY.update(front)
+    _REGISTRY.update(rest)
+
+
+_rotate_registry()

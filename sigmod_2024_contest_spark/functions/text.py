@@ -225,14 +225,18 @@ def ngram_counts(
     to :func:`vocab_counts` (same wordcount shape, same deterministic
     (tf desc, gram asc) cut; shuffle carries map-side-combined
     partials per distinct gram, never per occurrence)."""
-    grams = docs.select(
+    # hoist the split into ONE projected column — Catalyst does not CSE
+    # inside lambda bodies, so inlining `split(text, ' ')` re-tokenizes
+    # every document 4× per row (the same trap the winnowing fold
+    # documents in dedup.py; measured there at 2×)
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = ws.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) < 2 THEN array() ELSE "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1))) END"
+                "CASE WHEN size(ws) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END"
             )
         ).alias("gram"),
     )

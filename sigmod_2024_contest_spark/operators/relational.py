@@ -58,14 +58,20 @@ def top_customers(
     orders: DataFrame, customer: DataFrame, nation: DataFrame, n: int = TOPN_CUSTOMERS
 ) -> DataFrame:
     """Top-n customers by order revenue with their nation — a
-    fact-to-dims star join. Both dimension tables broadcast (they are
-    catalogs, not data); the only shuffle is the per-customer agg."""
+    fact-to-dims star join. ``nation`` broadcasts unconditionally (25
+    rows, a fixed catalog); ``customer`` gets NO hint — it is a scaling
+    fact-dimension in TPC-H (SF×150k rows), so at 100 TB a forced
+    broadcast is the bottleneck. Left unhinted, static planning / AQE
+    broadcast it while its stats fit `autoBroadcastJoinThreshold` and
+    fall back to a shuffle hash join beyond that — the scale rule a
+    hint would override. The only unconditional shuffle is the
+    per-customer agg."""
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"),
         F.count("*").cast("long").alias("n_orders"),
     )
     joined = (
-        rev.join(F.broadcast(customer), rev["o_custkey"] == customer["c_custkey"])
+        rev.join(customer, rev["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .select(
             F.col("o_custkey").alias("custkey"),
@@ -412,9 +418,13 @@ def shipping_priority(
     revenue. (The synthetic orders table has o_orderpriority, not Q3's
     o_shippriority — same query shape.)
 
-    Physical plan: the customer dimension filters to one segment and
-    BROADCASTS into the orders join; both date filters push to the
-    parquet scans; the only wide operations are the fact-fact
+    Physical plan: the customer side filters to one segment and
+    projects to the single key column before the orders join — but
+    carries NO broadcast hint: even one segment of customer scales
+    with SF (~SF×30k rows), so the optimizer must stay free to trade
+    the broadcast for a shuffle hash join past
+    `autoBroadcastJoinThreshold`. Both date filters push to the
+    parquet scans; the only unconditional wide operations are the fact-fact
     orders⋈lineitem hash join and the per-order partial+final agg. The
     top-n is orderBy+limit (TakeOrderedAndProject: per-partition heaps
     + a driver merge, never a single-partition window); (revenue desc,
@@ -429,7 +439,7 @@ def shipping_priority(
             orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("long").alias("revenue_c"))
     )
@@ -494,11 +504,14 @@ def local_supplier_volume(
     customer and the lineitem's supplier share that nation, restricted
     to one region and one order-date year.
 
-    Physical plan: region→nation→supplier collapse into ONE broadcast
-    dimension (catalog-sized); customer broadcasts too. The fact-fact
+    Physical plan: region→nation collapse into ONE broadcast dimension
+    (fixed 5/25-row catalogs) under supplier; the supplier-side ``dim``
+    and ``customer`` carry NO hint — both scale with SF (SF×10k /
+    SF×150k rows), so the optimizer keeps the broadcast only while
+    their stats fit `autoBroadcastJoinThreshold` and switches to a
+    shuffle hash join at real TPC-H scale. The fact-fact
     orders⋈lineitem hash join and the final per-nation agg are the
-    only wide operations — the same dims-broadcast star shape as
-    top_customers, one more level deep."""
+    only unconditional wide operations."""
     dim = (
         supplier.join(
             F.broadcast(
@@ -519,8 +532,8 @@ def local_supplier_volume(
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).cast("long").alias("revenue_c"))
@@ -615,7 +628,10 @@ def returned_items(
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer: no hint — a scaling fact-dimension (SF×150k); the
+        # optimizer broadcasts while small, shuffle-joins at scale.
+        # nation: fixed 25-row catalog, hint stays.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("c_custkey").alias("custkey"),

@@ -623,3 +623,39 @@ def embed_project_sql(out_dim: int = EMBED_PROJECT_DIM) -> str:
             f"k -> embedding[k]::DOUBLE * ([{lits}])[k]::DOUBLE)) * 1e6)::BIGINT"
         )
     return f"SELECT vec_id, [{', '.join(dots)}] AS proj_ppm FROM embeddings"
+
+
+def embed_project_rows(
+    emb: DataFrame, out_dim: int = EMBED_PROJECT_DIM, method: str = "fold"
+) -> DataFrame:
+    """Driver-hashable twin of :func:`embed_project`: one scalar row per
+    ``(vec_id, component)`` instead of an array column, because the
+    correctness harness canonicalizes by pandas-sorting every result
+    column and an ``array<bigint>`` column is unsortable/unhashable
+    there. Same values, exploded shape: ``(vec_id, component, ppm)``.
+    """
+    proj = embed_project(emb, out_dim, method=method)
+    return proj.select(
+        "vec_id", F.posexplode("proj_ppm").alias("component", "ppm")
+    ).select("vec_id", F.col("component").cast("long").alias("component"), "ppm")
+
+
+def embed_project_rows_sql(out_dim: int = EMBED_PROJECT_DIM) -> str:
+    """DuckDB twin of :func:`embed_project_rows` — same per-plane fold,
+    one row per component via a constant component table (DuckDB's
+    ``unnest`` has no WITH ORDINALITY in the dialect the harness pins,
+    so index explicitly; component is 0-based to match posexplode)."""
+    dots = []
+    for j in range(int(out_dim)):
+        lits = ", ".join(repr(x) for x in _plane(j))
+        dots.append(
+            "floor(list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"k -> embedding[k]::DOUBLE * ([{lits}])[k]::DOUBLE)) * 1e6)::BIGINT"
+        )
+    return f"""
+WITH proj AS (SELECT vec_id, [{', '.join(dots)}] AS proj_ppm FROM embeddings),
+comp AS (SELECT unnest(range(0, {int(out_dim)})) AS component)
+SELECT p.vec_id, CAST(c.component AS BIGINT) AS component,
+       p.proj_ppm[c.component + 1] AS ppm
+FROM proj p CROSS JOIN comp c
+"""

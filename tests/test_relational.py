@@ -40,6 +40,11 @@ def test_pricing_summary_filter_pushed_to_scan(spark):
 
 
 def test_top_customers_broadcasts_dims(spark):
+    """customer carries NO broadcast hint (it scales with SF — at real
+    TPC-H scale the optimizer must be free to shuffle-join it); the
+    join strategy at test scale must nevertheless be unchanged —
+    customer's parquet stats sit far under autoBroadcastJoinThreshold,
+    so the optimizer still plans BroadcastHashJoin for both dims."""
     df = relational.top_customers(
         load_table(spark, SF_SMOKE, "orders"),
         load_table(spark, SF_SMOKE, "customer"),
@@ -47,6 +52,31 @@ def test_top_customers_broadcasts_dims(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_unhinted_customer_joins_still_broadcast_at_test_scale(spark):
+    """Same scale rule for every query that dropped the customer hint
+    (r6 verdict #6): at sf0.001 the optimizer must still choose a
+    broadcast join for the customer side on its own stats."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    od = load_table(spark, SF_SMOKE, "orders")
+    cu = load_table(spark, SF_SMOKE, "customer")
+    na = load_table(spark, SF_SMOKE, "nation")
+    for df, min_bhj in (
+        (relational.shipping_priority(li, od, cu), 1),
+        (relational.returned_items(li, od, cu, na), 2),
+        (
+            relational.local_supplier_volume(
+                li, od, cu,
+                load_table(spark, SF_SMOKE, "supplier"),
+                na,
+                load_table(spark, SF_SMOKE, "region"),
+            ),
+            3,
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= min_bhj, plan[:1200]
 
 
 def test_asof_semantics_manual(spark):
