@@ -816,6 +816,62 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shapes, r7 batch: Q14 / Q18 / Q19 / Q22 / Q7 / Q16
+# ---------------------------------------------------------------------------
+
+register(
+    "promo_revenue",
+    lambda s, d: relational.promo_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    relational.promo_revenue_sql(),
+)
+register(
+    "large_orders",
+    lambda s, d: relational.large_orders(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+    ),
+    relational.large_orders_sql(),
+)
+register(
+    "discounted_revenue",
+    lambda s, d: relational.discounted_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    relational.DISCOUNTED_REVENUE_SQL,
+)
+register(
+    "sales_opportunity",
+    lambda s, d: relational.sales_opportunity(
+        load_table(s, d, "orders"), load_table(s, d, "customer")
+    ),
+    relational.sales_opportunity_sql(),
+)
+register(
+    "volume_shipping",
+    lambda s, d: relational.volume_shipping(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+    ),
+    relational.volume_shipping_sql(),
+)
+register(
+    "parts_supplier_counts",
+    lambda s, d: relational.parts_supplier_counts(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+    ),
+    relational.parts_supplier_counts_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (r6 verdict #2). The correctness harness runs
 # the FIRST 50 registered entries and stops, so with 66+ entries the
 # tail can never earn a driver-green row. Re-order the registry after
@@ -827,6 +883,13 @@ register(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
+    # new this round — need their first green row
+    "promo_revenue",
+    "large_orders",
+    "discounted_revenue",
+    "sales_opportunity",
+    "volume_shipping",
+    "parts_supplier_counts",
     # repaired this round — needs its first green row
     "embed_project",
     # never driver-checked through r6 (registered past the 50-window)

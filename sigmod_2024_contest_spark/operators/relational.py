@@ -712,3 +712,370 @@ WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
   )
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share
+# ---------------------------------------------------------------------------
+
+Q14_FROM, Q14_TO = "1997-01-01", "1997-04-01"
+
+
+def promo_revenue(
+    lineitem: DataFrame, part: DataFrame, date_from: str = Q14_FROM, date_to: str = Q14_TO
+) -> DataFrame:
+    """(promo_revenue_c, total_revenue_c, promo_ppm): TPC-H Q14 — the
+    share of revenue from PROMO-type parts in a ship-date window.
+
+    Physical plan: the date filter pushes to the lineitem scan; part
+    joins UNHINTED (it scales with SF — the optimizer broadcasts while
+    its stats fit, shuffle-joins beyond); one global agg with a
+    conditional sum — no second pass over the fact table. The ratio is
+    emitted as integer ppm via int64 floor-division on the two cents
+    sums, so the hash never sees a float."""
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_revenue_c"),
+            F.sum(rev).cast("long").alias("total_revenue_c"),
+        )
+        .select(
+            "promo_revenue_c",
+            "total_revenue_c",
+            F.expr("CAST(promo_revenue_c * 1000000 DIV total_revenue_c AS BIGINT)").alias(
+                "promo_ppm"
+            ),
+        )
+    )
+
+
+def promo_revenue_sql(date_from: str = Q14_FROM, date_to: str = Q14_TO) -> str:
+    return f"""
+WITH s AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+        ELSE 0 END)::BIGINT AS promo_revenue_c,
+    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS total_revenue_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+)
+SELECT promo_revenue_c, total_revenue_c,
+       (promo_revenue_c * 1000000 // total_revenue_c)::BIGINT AS promo_ppm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 250
+Q18_TOPN = 100
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    qty_threshold: int = Q18_QTY_THRESHOLD,
+    n: int = Q18_TOPN,
+) -> DataFrame:
+    """(custkey, name, orderkey, orderdate, totalprice_c, sum_qty_c):
+    TPC-H Q18 — orders whose total quantity exceeds the threshold, with
+    their customer, top-n by (totalprice desc, orderkey asc).
+
+    Physical plan: the per-orderkey quantity rollup is the ONE big
+    shuffle (map-side partials — the combiner ships one row per
+    distinct orderkey per task, never per lineitem); the HAVING cut
+    happens before any join, so orders/customer join against the tiny
+    surviving set (unhinted — AQE sees the post-filter size at runtime
+    and broadcasts the small side; a static hint could not know it).
+    Top-n is TakeOrderedAndProject, never a single-partition window."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).cast("long").alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > qty_threshold * 100)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "sum_qty_c",
+        )
+        .orderBy(F.col("totalprice_c").desc(), F.col("orderkey").asc())
+        .limit(n)
+    )
+
+
+def large_orders_sql(
+    qty_threshold: int = Q18_QTY_THRESHOLD, n: int = Q18_TOPN
+) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > {qty_threshold} * 100
+)
+SELECT c_custkey AS custkey, c_name AS name, l_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c,
+       sum_qty_c
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_c DESC, orderkey ASC
+LIMIT {n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — discounted revenue under a disjunctive predicate
+# ---------------------------------------------------------------------------
+
+
+def discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """(revenue_c): TPC-H Q19 — revenue from three (brand, size-range,
+    quantity-range) OR-branches. The point of the shape: a disjunction
+    across BOTH join sides cannot be pushed into either scan whole, but
+    its single-side conjuncts can — Catalyst derives
+    `l_quantity BETWEEN 1 AND 40` for the lineitem scan and the
+    brand/size union for the part scan from the OR, so each side still
+    prunes before the join; the residual OR evaluates post-join,
+    JVM-side. One global sum, integer cents."""
+    j = lineitem.join(
+        part.select("p_partkey", "p_brand", "p_size"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return j.filter(branch).agg(F.sum(rev).cast("long").alias("revenue_c"))
+
+
+DISCOUNTED_REVENUE_SQL = """
+SELECT sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — lapsed high-balance customers (anti join)
+# ---------------------------------------------------------------------------
+
+Q22_ACTIVE_CUTOFF = "2000-01-01"
+
+
+def sales_opportunity(
+    orders: DataFrame, customer: DataFrame, active_cutoff: str = Q22_ACTIVE_CUTOFF
+) -> DataFrame:
+    """(segment, n_cust, acctbal_c): TPC-H Q22 shape — customers whose
+    balance exceeds the positive-balance average and who placed NO
+    order on/after the cutoff, counted per market segment. (The
+    synthetic schema has no phone country code; segment plays its
+    grouping role, and "never ordered" is adapted to "lapsed since
+    cutoff" because every synthetic customer has at least one order.)
+
+    Physical plan: the scalar average is one tiny agg broadcast into
+    the filter; the NOT-EXISTS is a LEFT ANTI hash join against the
+    date-pruned orders projection (o_custkey only reaches the shuffle);
+    final per-segment agg is catalog-sized. Nothing driver-side."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(active_cutoff).cast("timestamp")
+    ).select("o_custkey")
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("acctbal_c"),
+        )
+    )
+
+
+def sales_opportunity_sql(active_cutoff: str = Q22_ACTIVE_CUTOFF) -> str:
+    return f"""
+SELECT c_mktsegment AS segment,
+       count(*)::BIGINT AS n_cust,
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS acctbal_c
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{active_cutoff}'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A, Q7_NATION_B = 1, 2
+Q7_FROM, Q7_TO = "1996-01-01", "1998-01-01"
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: int = Q7_NATION_A,
+    nation_b: int = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue_c): TPC-H Q7 —
+    revenue shipped between two nations (both directions), by year.
+
+    Physical plan: supplier and customer filter to the two nations
+    BEFORE their joins (the pair predicate `(a,b) or (b,a)` evaluates
+    post-join on the two surviving nationkeys, but each side's
+    membership filter `nationkey IN (a,b)` is pushed to its scan);
+    nation broadcasts twice (fixed 25-row catalog, one alias per
+    role); the ship-date filter prunes the lineitem scan. The fact-fact
+    join and the per-(pair, year) agg are the wide operations."""
+    keys = [nation_a, nation_b]
+    sup = (
+        supplier.filter(F.col("s_nationkey").isin(keys))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        customer.filter(F.col("c_nationkey").isin(keys))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("sk") == nation_a) & (F.col("ck") == nation_b))
+            | ((F.col("sk") == nation_b) & (F.col("ck") == nation_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+    )
+
+
+def volume_shipping_sql(
+    nation_a: int = Q7_NATION_A,
+    nation_b: int = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       strftime(l_shipdate, '%Y') AS l_year,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((s_nationkey = {nation_a} AND c_nationkey = {nation_b})
+    OR (s_nationkey = {nation_b} AND c_nationkey = {nation_a}))
+  AND l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier diversity per part group
+# ---------------------------------------------------------------------------
+
+Q16_EXCLUDE_BRAND = "Brand#1"
+
+
+def parts_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_brand: str = Q16_EXCLUDE_BRAND,
+) -> DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt): TPC-H Q16 shape — how
+    many distinct suppliers ship each (brand, type, size) part group,
+    excluding one brand and excluding distrusted suppliers (adapted:
+    negative account balance stands in for the complaints NOT-IN; the
+    synthetic schema has no partsupp, so shipped lineitems are the
+    part↔supplier evidence).
+
+    Physical plan: the (partkey, suppkey) projection de-dups BEFORE
+    the part join (two columns through the first shuffle, never the
+    fact row); the excluded-supplier set is an anti join against a
+    key-only projection; part joins unhinted (scales with SF). The
+    countDistinct is a two-phase agg over catalog-bounded groups."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(bad, pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(
+            part.filter(F.col("p_brand") != exclude_brand).select(
+                "p_partkey", "p_brand", "p_type", "p_size"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def parts_supplier_counts_sql(exclude_brand: str = Q16_EXCLUDE_BRAND) -> str:
+    return f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{exclude_brand}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""

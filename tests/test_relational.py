@@ -223,3 +223,86 @@ def test_order_priority_check_is_semi_join(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan[:800]
+
+
+# --- r7 TPC-H batch: Q14 / Q18 / Q19 / Q22 / Q7 / Q16 shapes ---
+
+
+def test_promo_revenue_oracle(spark):
+    _check(spark, "promo_revenue")
+
+
+def test_large_orders_oracle(spark):
+    _check(spark, "large_orders")
+
+
+def test_discounted_revenue_oracle(spark):
+    _check(spark, "discounted_revenue")
+
+
+def test_sales_opportunity_oracle(spark):
+    _check(spark, "sales_opportunity")
+
+
+def test_volume_shipping_oracle(spark):
+    _check(spark, "volume_shipping")
+
+
+def test_parts_supplier_counts_oracle(spark):
+    _check(spark, "parts_supplier_counts")
+
+
+def test_discounted_revenue_derives_single_side_conjuncts(spark):
+    """The OR spans both join sides, but Catalyst must still derive the
+    per-side membership disjunctions and push them below the join: the
+    part scan's data filter mentions p_brand and the lineitem side
+    filters l_quantity before joining (the whole residual OR evaluates
+    post-join)."""
+    df = relational.discounted_revenue(
+        load_table(spark, SF_SMOKE, "lineitem"), load_table(spark, SF_SMOKE, "part")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    below_join = plan[join_pos:]
+    assert "p_brand" in below_join and "l_quantity" in below_join
+    # each scan-side Filter sits below the join node in the tree dump
+    assert below_join.count("Filter") >= 2, plan
+
+
+def test_large_orders_having_cut_before_joins(spark):
+    """Q18's qty rollup + HAVING must run below both joins (the
+    surviving set is what joins orders/customer, not all of lineitem)."""
+    df = relational.large_orders(
+        load_table(spark, SF_SMOKE, "lineitem"),
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "customer"),
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    first_join = plan.find("Join")
+    assert "Aggregate" in plan[first_join:], plan[:800]
+    assert "TakeOrdered" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sales_opportunity_anti_join(spark):
+    """Q22's NOT EXISTS must plan as a LEFT ANTI join, and the orders
+    side must be pruned to the key column + pushed date filter."""
+    df = relational.sales_opportunity(
+        load_table(spark, SF_SMOKE, "orders"), load_table(spark, SF_SMOKE, "customer")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:800]
+    assert "o_custkey" in plan
+
+
+def test_volume_shipping_nation_filter_pushed(spark):
+    """Each side's two-nation membership filter must reach its scan
+    (the pair predicate itself is post-join)."""
+    df = relational.volume_shipping(
+        load_table(spark, SF_SMOKE, "lineitem"),
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "supplier"),
+        load_table(spark, SF_SMOKE, "nation"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "s_nationkey" in plan.split("PushedFilters", 1)[1] or "In(s_nationkey" in plan

@@ -37,8 +37,11 @@ def norm(v):
     return v
 
 
+only = set(sys.argv[1:])  # optional: verify just these entries
 failures = []
 for name, fn in qs.items():
+    if only and name not in only:
+        continue
     try:
         sdf = fn(spark, sf)
         cols = sorted(sdf.columns)
