@@ -30,6 +30,7 @@ from .operators import (
     routing,
     sampling,
     similarity,
+    skew,
     stats,
 )
 from .plans import workload
@@ -872,6 +873,22 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# r7: TF-IDF keyword extraction + explicit skew-salted join
+# ---------------------------------------------------------------------------
+
+register(
+    "tfidf_topk",
+    lambda s, d: T.tfidf_topk(_docs(s, d)),
+    T.tfidf_topk_sql(),
+)
+register(
+    "salted_user_join",
+    lambda s, d: skew.salted_user_join(load_table(s, d, "events")),
+    skew.SALTED_USER_JOIN_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (r6 verdict #2). The correctness harness runs
 # the FIRST 50 registered entries and stops, so with 66+ entries the
 # tail can never earn a driver-green row. Re-order the registry after
@@ -884,6 +901,8 @@ register(
 
 _CHECK_FIRST: list[str] = [
     # new this round — need their first green row
+    "tfidf_topk",
+    "salted_user_join",
     "promo_revenue",
     "large_orders",
     "discounted_revenue",

@@ -13,7 +13,7 @@ same fold orders — so every op here is hash-match verifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword/marker lists are deliberately small and inlined: at scale
@@ -441,4 +441,77 @@ SELECT doc_id,
        regexp_replace(regexp_replace(text, '{EMAIL_PAT}', '<EMAIL>', 'g'),
                       '{PHONE_PAT}', '<PHONE>', 'g') AS redacted
 FROM {table}
+"""
+
+
+TFIDF_TOP_TERMS = 5
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """(doc_id, term, tf, df, score_ppm, rnk): the top-k most
+    characteristic terms per document by a tf·idf-family score — the
+    keyword-extraction / routing-feature step of a corpus pipeline.
+
+    Scoring convention: ``score_ppm = tf * 1_000_000 // (1 + df)`` —
+    monotone up in term frequency, down in document frequency, exactly
+    like tf·idf rankings, but computed entirely in int64 floor-division
+    so Spark and the DuckDB oracle hash bit-identically (a float
+    ``ln((N+1)/(df+1))`` would round differently across libm builds —
+    the repo-wide integer-ppm convention).
+
+    Distributed shape, two aggregations and one join:
+    1. tokenize ONCE into a projected column (no-CSE-in-lambdas rule),
+       explode, count tf per (doc_id, term) — map-side combine carries
+       one row per distinct pair into the shuffle;
+    2. df per term off the SAME pair table (already distinct by
+       construction — no second pass over raw text);
+    3. join tf×df on term (vocab-sized, Zipf-skewed: hot terms have
+       high df and are EXCLUDED from top-k anyway, but the join must
+       still survive them — AQE skew split handles the hot-term
+       partitions), then per-doc top-k via row_number partitioned by
+       doc_id (millions of small partitions — the scalable window
+       axis; ties break (score desc, term asc) so the cut is total).
+    """
+    pairs = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = pairs.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr("CAST(tf * 1000000 DIV (1 + df) AS BIGINT)").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score_ppm", "rnk")
+    )
+
+
+def tfidf_topk_sql(k: int = TFIDF_TOP_TERMS) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM pairs GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         (p.tf * 1000000 // (1 + d.df))::BIGINT AS score_ppm
+  FROM pairs p JOIN dfs d USING (term)
+)
+SELECT doc_id, term, tf, df, score_ppm, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
 """

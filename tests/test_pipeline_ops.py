@@ -679,3 +679,84 @@ def test_winnow_property(spark):
         else:
             want = [(j + 1, min(hs[j : j + W])) for j in range(len(hs) - W + 1)]
         assert sorted(got[i]) == sorted(want), i
+
+
+# --- r7: TF-IDF keyword extraction ---
+
+
+def test_tfidf_topk_oracle(spark):
+    _check(spark, "tfidf_topk")
+
+
+def test_tfidf_topk_planted(spark):
+    """Hand-checkable corpus: a term unique to one doc must outrank a
+    corpus-wide term there, and scores follow tf*1e6//(1+df) exactly."""
+    from sigmod_2024_contest_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common", "en", "s", 0),
+            (2, "banana common", "en", "s", 0),
+            (3, "common cherry cherry cherry", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.score_ppm, r.rnk)
+           for r in T.tfidf_topk(docs, k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 1_000_000; banana tf=1 df=2 -> 333_333
+    assert got[(1, "apple")] == (2, 1, 1_000_000, 1)
+    assert got[(1, "banana")] == (1, 2, 333_333, 2)
+    # doc 3: cherry tf=3 df=1 -> 1_500_000 ranks above common (df=3)
+    assert got[(3, "cherry")] == (3, 1, 1_500_000, 1)
+    assert got[(3, "common")][3] == 2
+    # k=2 cut: doc 1's third term (common) must be absent
+    assert (1, "common") not in got
+
+
+# --- r7: explicit skew-salted join ---
+
+
+def test_salted_user_join_oracle(spark):
+    _check(spark, "salted_user_join")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a partitioning rewrite only: the joined row multiset
+    must be identical to the plain equi-join, for every salt count."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.operators import skew
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    plain = sorted(
+        (r.event_id, r.user_id, r.cnt)
+        for r in ev.join(dim, "user_id").collect()
+    )
+    for n_salts in (1, 3, 8):
+        salted = sorted(
+            (r.event_id, r.user_id, r.cnt)
+            for r in skew.salted_join(ev, dim, "user_id", "event_id", n_salts).collect()
+        )
+        assert salted == plain, n_salts
+
+
+def test_salted_join_replicates_small_side(spark):
+    """The plan must show the salt explode on the small side (the
+    replication that de-skews the hot key) and join on (key, _salt)."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.operators import skew
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    df = skew.salted_join(ev, dim, "user_id", "event_id", 4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan or "explode" in plan, plan[:600]
+    assert "_salt" in plan
