@@ -702,6 +702,11 @@ register(
     lambda s, d: streaming.user_totals_batch(_events(s, d)),
     streaming.USER_TOTALS_SQL,
 )
+register(
+    "events_daily_dedup",
+    lambda s, d: streaming.events_daily_dedup(_events(s, d)),
+    streaming.EVENTS_DAILY_DEDUP_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -903,6 +908,7 @@ _CHECK_FIRST: list[str] = [
     # new this round — need their first green row
     "tfidf_topk",
     "salted_user_join",
+    "events_daily_dedup",
     "promo_revenue",
     "large_orders",
     "discounted_revenue",

@@ -302,3 +302,50 @@ def funnel_stateful(events: DataFrame, within_s: int | None = None) -> DataFrame
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication (watermarked dropDuplicates)
+# ---------------------------------------------------------------------------
+
+# The dedup horizon must COVER the key's time span plus arrival slack:
+# a daily key recurs for up to 24h of event time, so a 10-minute
+# watermark would evict its state mid-day and re-emit the key. 48h =
+# key span + a full day of late-arrival slack; streaming state holds
+# only the distinct keys of the last 48 event-time hours.
+DEDUP_WATERMARK = "48 hours"
+
+
+def events_daily_dedup(events: DataFrame, watermark: str = DEDUP_WATERMARK) -> DataFrame:
+    """(user_id, event_type, day): the first occurrence of each
+    (user, type, day) key — idempotent-ingestion dedup, the canonical
+    watermark + dropDuplicates pattern.
+
+    One body, both worlds: on a batch input dropDuplicates is an exact
+    DISTINCT (the key columns ARE the output, so which physical row
+    survives is unobservable — that is what makes the op deterministic
+    and oracle-hashable); on a streaming input the same key set goes
+    through ``dropDuplicatesWithinWatermark`` — plain streaming
+    dropDuplicates only evicts state when the event-time column is one
+    of the dedup keys, which a day-granularity key is not, so the
+    WithinWatermark variant is the bounded-state form: per-key state
+    lives one watermark interval past the key's last event."""
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+    )
+    if keyed.isStreaming:
+        dd = keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "day"]
+        )
+    else:
+        dd = keyed.dropDuplicates(["user_id", "event_type", "day"])
+    return dd.select("user_id", "event_type", "day")
+
+
+EVENTS_DAILY_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day
+FROM events
+"""

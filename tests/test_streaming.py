@@ -228,3 +228,45 @@ def test_stateful_funnel_converges_to_batch(spark, events_dir):
     # every micro-batch only re-emits touched users; the LAST emission
     # per user reflects all their events since state is cumulative
     assert final == batch
+
+
+def test_events_daily_dedup_batch_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["events_daily_dedup"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["events_daily_dedup"])
+
+
+def test_events_daily_dedup_streaming_matches_batch(spark, events_dir):
+    """Watermarked dropDuplicatesWithinWatermark over the chunked
+    stream must emit exactly the batch DISTINCT key set: every daily
+    key's duplicates span < 48h, so none re-emits, and files arrive in
+    event-time order, so none is dropped as late."""
+    batch = P.events_daily_dedup(spark.read.parquet(events_dir))
+    stream = P.events_daily_dedup(P.stream_events(spark, events_dir))
+    got = _run_stream(spark, stream, "append", "daily_dedup")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_events_daily_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """Planted cross-micro-batch duplicates: the same (user, type, day)
+    key arriving again in a LATER file must not re-emit."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows1 = [(1, t0, 7, "view", 1.0, "{}"), (2, t0 + dt.timedelta(hours=1), 7, "click", 1.0, "{}")]
+    rows2 = [(3, t0 + dt.timedelta(hours=2), 7, "view", 1.0, "{}"),  # dup key
+             (4, t0 + dt.timedelta(hours=3), 8, "view", 1.0, "{}")]  # new key
+    out = str(tmp_path / "dup_events")
+    _os.makedirs(out)
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(rows, P.EVENTS_SCHEMA)
+        chunk = str(tmp_path / f"dchunk{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        src = next(f for f in _os.listdir(chunk) if f.endswith(".parquet"))
+        shutil.copy(_os.path.join(chunk, src), _os.path.join(out, f"part-{i}.parquet"))
+        _time.sleep(1.1)
+    stream = P.events_daily_dedup(P.stream_events(spark, out))
+    got = sorted(map(tuple, _run_stream(spark, stream, "append", "dup_dedup").collect()))
+    assert got == [(7, "click", "2024-03-01"), (7, "view", "2024-03-01"), (8, "view", "2024-03-01")]
