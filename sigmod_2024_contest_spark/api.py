@@ -891,6 +891,23 @@ register(
     lambda s, d: skew.salted_user_join(load_table(s, d, "events")),
     skew.SALTED_USER_JOIN_SQL,
 )
+register(
+    "events_daily_pivot",
+    lambda s, d: relational.events_daily_pivot(load_table(s, d, "events")),
+    relational.EVENTS_DAILY_PIVOT_SQL,
+)
+register(
+    "sales_rollup",
+    lambda s, d: relational.sales_rollup(
+        load_table(s, d, "orders"), load_table(s, d, "customer")
+    ),
+    relational.SALES_ROLLUP_SQL,
+)
+register(
+    "events_user_reach",
+    lambda s, d: relational.events_user_reach(load_table(s, d, "events")),
+    relational.EVENTS_USER_REACH_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -909,6 +926,9 @@ _CHECK_FIRST: list[str] = [
     "tfidf_topk",
     "salted_user_join",
     "events_daily_dedup",
+    "events_daily_pivot",
+    "sales_rollup",
+    "events_user_reach",
     "promo_revenue",
     "large_orders",
     "discounted_revenue",

@@ -1079,3 +1079,103 @@ WHERE p_brand <> '{exclude_brand}'
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Pivot / rollup / distinct-reach — the wide-report analytics surface
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "search", "view")
+
+
+def events_daily_pivot(events: DataFrame) -> DataFrame:
+    """(day, <type>_n ...): events per day pivoted to one column per
+    event type — the wide daily-report shape.
+
+    Pivot with an EXPLICIT value list: Spark's two-phase pivot without
+    one runs an extra distinct-values job (a full scan!) just to learn
+    the columns, and the output schema becomes data-dependent — both
+    wrong at 100 TB. With the list pinned, this is one partial+final
+    agg on day; each pivot cell is a map-side conditional count."""
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "day",
+            *[F.col(t).cast("long").alias(f"{t}_n") for t in EVENT_TYPES],
+        )
+    )
+
+
+EVENTS_DAILY_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')::BIGINT AS click_n,
+       count(*) FILTER (event_type = 'error')::BIGINT AS error_n,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase_n,
+       count(*) FILTER (event_type = 'search')::BIGINT AS search_n,
+       count(*) FILTER (event_type = 'view')::BIGINT AS view_n
+FROM events
+GROUP BY 1
+"""
+
+
+def sales_rollup(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, status, n_orders, revenue_c): order revenue by
+    (market segment, order status) with ROLLUP subtotals — segment
+    totals and the grand total in the same pass (grouping-sets
+    surface). NULL group slots are emitted as 'ALL' so the hash never
+    compares engine-specific NULL orderings.
+
+    One shuffle: Spark expands the rollup into grouping sets BEFORE
+    the exchange (Expand operator), so partial aggregation still
+    applies per set — not one job per subtotal level. customer joins
+    unhinted (scaling dim rule)."""
+    j = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue_c",
+        )
+    )
+
+
+SALES_ROLLUP_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+def events_user_reach(events: DataFrame) -> DataFrame:
+    """(event_type, reach): EXACT distinct users per event type — the
+    registry face of the reach metric, hash-verifiable against the
+    oracle. The exact countDistinct is a two-phase agg (distinct
+    (type, user) pairs first, then count — the pair shuffle spreads a
+    hot type across partitions exactly like a salted agg would).
+
+    The production companion at 100 TB is `approx_count_distinct`
+    (HyperLogLog++: constant state per group instead of the pair
+    set); its sketch estimate is engine-specific, so it is pinned by a
+    relative-error test against THIS exact result, not by the oracle
+    hash."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("reach")
+    )
+
+
+EVENTS_USER_REACH_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS reach
+FROM events GROUP BY event_type
+"""

@@ -306,3 +306,47 @@ def test_volume_shipping_nation_filter_pushed(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "s_nationkey" in plan.split("PushedFilters", 1)[1] or "In(s_nationkey" in plan
+
+
+# --- r7: pivot / rollup / distinct-reach ---
+
+
+def test_events_daily_pivot_oracle(spark):
+    _check(spark, "events_daily_pivot")
+
+
+def test_sales_rollup_oracle(spark):
+    _check(spark, "sales_rollup")
+
+
+def test_events_user_reach_oracle(spark):
+    _check(spark, "events_user_reach")
+
+
+def test_sales_rollup_single_expand_shuffle(spark):
+    """The rollup must plan ONE Expand feeding ONE partial+final agg —
+    not one aggregation job per subtotal level."""
+    df = relational.sales_rollup(
+        load_table(spark, SF_SMOKE, "orders"), load_table(spark, SF_SMOKE, "customer")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan[:900]
+    assert "partial" in plan.lower()
+
+
+def test_events_user_reach_approx_companion(spark):
+    """approx_count_distinct (HLL++, the constant-state 100 TB path)
+    must land within 5% of the exact reach on every event type."""
+    from sigmod_2024_contest_spark.operators import relational as R
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {r.event_type: r.reach for r in R.events_user_reach(ev).collect()}
+    approx = {
+        r.event_type: r.approx_reach
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_reach"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
