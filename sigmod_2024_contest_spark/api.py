@@ -908,6 +908,98 @@ register(
     lambda s, d: relational.events_user_reach(load_table(s, d, "events")),
     relational.EVENTS_USER_REACH_SQL,
 )
+register(
+    "forecast_revenue",
+    lambda s, d: relational.forecast_revenue(load_table(s, d, "lineitem")),
+    relational.forecast_revenue_sql(),
+)
+register(
+    "late_line_priority",
+    lambda s, d: relational.late_line_priority(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
+    relational.late_line_priority_sql(),
+)
+register(
+    "customer_order_distribution",
+    lambda s, d: relational.customer_order_distribution(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
+    relational.customer_order_distribution_sql(),
+)
+register(
+    "top_supplier",
+    lambda s, d: relational.top_supplier(
+        load_table(s, d, "lineitem"), load_table(s, d, "supplier")
+    ),
+    relational.top_supplier_sql(),
+)
+register(
+    "min_cost_supplier",
+    lambda s, d: relational.min_cost_supplier(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+    ),
+    relational.min_cost_supplier_sql(),
+)
+register(
+    "important_parts",
+    lambda s, d: relational.important_parts(
+        load_table(s, d, "lineitem"), load_table(s, d, "supplier")
+    ),
+    relational.important_parts_sql(),
+)
+register(
+    "small_qty_revenue",
+    lambda s, d: relational.small_qty_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    relational.small_qty_revenue_sql(),
+)
+register(
+    "market_share",
+    lambda s, d: relational.market_share(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+        load_table(s, d, "part"),
+    ),
+    relational.market_share_sql(),
+)
+register(
+    "product_type_profit",
+    lambda s, d: relational.product_type_profit(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "part"),
+    ),
+    relational.product_type_profit_sql(),
+)
+register(
+    "promo_suppliers",
+    lambda s, d: relational.promo_suppliers(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+    ),
+    relational.promo_suppliers_sql(),
+)
+register(
+    "waiting_suppliers",
+    lambda s, d: relational.waiting_suppliers(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "supplier"),
+    ),
+    relational.waiting_suppliers_sql(),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -954,6 +1046,18 @@ _CHECK_FIRST: list[str] = [
     "brand_revenue",
     "order_priority_check",
     "returned_items",
+    # TPC-H completion sweep (r7): the 11 remaining query shapes
+    "forecast_revenue",
+    "late_line_priority",
+    "customer_order_distribution",
+    "top_supplier",
+    "min_cost_supplier",
+    "important_parts",
+    "small_qty_revenue",
+    "market_share",
+    "product_type_profit",
+    "promo_suppliers",
+    "waiting_suppliers",
 ]
 
 

@@ -1179,3 +1179,817 @@ EVENTS_USER_REACH_SQL = """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS reach
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change
+# ---------------------------------------------------------------------------
+
+Q6_FROM, Q6_TO = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_BOUND = 24
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = Q6_FROM,
+    date_to: str = Q6_TO,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    qty_bound: int = Q6_QTY_BOUND,
+) -> DataFrame:
+    """(forecast_revenue_c,): TPC-H Q6 — revenue that would be gained
+    by eliminating small discounts on low-quantity lines in a year.
+
+    The simplest plan in the suite and the purest pushdown check:
+    every predicate (ship-date range, discount band, quantity bound)
+    is a scan-level parquet filter, the projection is two columns, and
+    the single global sum is partial+final. At 100 TB this is one pass
+    over the pruned row groups and a 1-row exchange — there is nothing
+    to tune beyond verifying PushedFilters in the plan (tested)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_bound)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("forecast_revenue_c")
+        )
+    )
+
+
+def forecast_revenue_sql(
+    date_from: str = Q6_FROM,
+    date_to: str = Q6_TO,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    qty_bound: int = Q6_QTY_BOUND,
+) -> str:
+    return f"""
+SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)), 0)::BIGINT
+         AS forecast_revenue_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+  AND l_discount >= {disc_lo} AND l_discount <= {disc_hi}
+  AND l_quantity < {qty_bound}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape — late lines by priority class
+# ---------------------------------------------------------------------------
+# The synthetic lineitem has no l_shipmode / l_commitdate / l_receiptdate,
+# so the Q12 semantics (lines whose logistics slipped, split by order
+# priority, grouped by a line attribute) are re-expressed with the
+# columns that exist: "late" = shipped more than `late_days` after the
+# order date, grouped by l_linestatus in place of l_shipmode.
+
+Q12_FROM, Q12_TO = "1997-01-01", "1998-01-01"
+Q12_LATE_DAYS = 120
+
+
+def late_line_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = Q12_FROM,
+    date_to: str = Q12_TO,
+    late_days: int = Q12_LATE_DAYS,
+) -> DataFrame:
+    """(l_linestatus, high_line_count, low_line_count): TPC-H Q12 —
+    among lines shipped late in the window, how many belong to
+    high-priority orders vs the rest, per line status.
+
+    Physical plan: the ship-date window pushes to the lineitem scan;
+    the lateness predicate needs o_orderdate so it evaluates after the
+    orderkey equi-join (fact-fact, both sides hash-partitioned on the
+    key — at scale this is the one shuffle pair, and AQE converts it
+    to broadcast only if the pruned lineitem side collapses). The
+    priority split is a conditional partial agg, not two passes
+    (reference: a single-pass grouped count; the reference engine has
+    no grouped-join surface at all, SURVEY §2.3)."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def late_line_priority_sql(
+    date_from: str = Q12_FROM, date_to: str = Q12_TO, late_days: int = Q12_LATE_DAYS
+) -> str:
+    return f"""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+  AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution
+# ---------------------------------------------------------------------------
+# Real Q13 excludes orders by a comment pattern; the synthetic orders
+# table has no comment column, so the exclusion predicate is an
+# o_orderpriority class — same plan shape (filtered LEFT OUTER join +
+# double aggregation), different literal.
+
+Q13_EXCLUDE_PRIORITY = "5-LOW"
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = Q13_EXCLUDE_PRIORITY
+) -> DataFrame:
+    """(c_count, custdist): TPC-H Q13 — how many customers placed
+    exactly N qualifying orders, including N=0.
+
+    Physical plan: the LEFT OUTER join is load-bearing — an inner join
+    would silently drop zero-order customers, which are the point of
+    the query. The exclusion filter sits on the orders side BEFORE the
+    join (filter-then-outer-join, which Catalyst cannot derive from a
+    post-join filter on a null-producing side). Two aggregations:
+    per-customer count partitions by custkey (same key as the join —
+    AQE reuses the exchange), then the tiny distribution agg."""
+    kept = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_customer = (
+        customer.select("c_custkey")
+        .join(kept, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def customer_order_distribution_sql(exclude_priority: str = Q13_EXCLUDE_PRIORITY) -> str:
+    return f"""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT OUTER JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority <> '{exclude_priority}'
+  ) o ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s) by window revenue
+# ---------------------------------------------------------------------------
+
+Q15_FROM, Q15_TO = "1997-01-01", "1997-04-01"
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = Q15_FROM,
+    date_to: str = Q15_TO,
+) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue_c): TPC-H Q15 — the
+    supplier(s) whose revenue in the window equals the global maximum
+    (the view + scalar-subquery query, re-expressed as a self-agg).
+
+    Physical plan: one shuffle builds the per-supplier revenue table
+    (map-side partial sums first — the fact scan's date filter is
+    pushed); the global max of that ~|suppliers|-row table is a 1-row
+    aggregate that joins back as a BROADCAST equi-join on the revenue
+    value, not a window over a single partition (the orderBy().limit(1)
+    alternative cannot return ties, which Q15 requires). supplier joins
+    unhinted — it scales with SF."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
+            .cast("long")
+            .alias("total_revenue_c")
+        )
+    )
+    best = rev.agg(F.max("total_revenue_c").alias("best_rev"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue_c") == F.col("best_rev"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c")
+    )
+
+
+def top_supplier_sql(date_from: str = Q15_FROM, date_to: str = Q15_TO) -> str:
+    return f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT
+           AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q17 shapes — the partsupp family
+# ---------------------------------------------------------------------------
+# The synthetic schema has no partsupp table, so the supply facts are
+# DERIVED from lineitem: a (partkey, suppkey) pair exists iff that
+# supplier ever shipped that part, and its unit cost is the minimum
+# observed unit price in cents. This keeps the three queries' plan
+# shapes intact (correlated per-group min, scalar-subquery threshold,
+# correlated per-group avg) against the tables that exist.
+
+Q2_SIZE = 25
+Q2_TYPE = "LARGE"
+
+
+def _supply_costs(lineitem: DataFrame) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_cost_c): lineitem-derived partsupp.
+    One hash agg partitioned by (partkey, suppkey); unit price floors
+    to cents BEFORE the min so the oracle never compares raw doubles."""
+    unit_c = _cents(F.col("l_extendedprice") / F.col("l_quantity"))
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(unit_c).cast("long").alias("ps_cost_c"))
+
+
+_SUPPLY_COSTS_CTE = """
+supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+           AS ps_cost_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+"""
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    size: int = Q2_SIZE,
+    ptype: str = Q2_TYPE,
+) -> DataFrame:
+    """(p_partkey, p_name, s_name, n_name, cost_c): TPC-H Q2 — for
+    every qualifying part, the supplier(s) offering it at the minimum
+    cost (the correlated-min subquery).
+
+    Physical plan: the part predicate (size + type) prunes BEFORE the
+    supply join, so the correlated min runs over qualifying parts only;
+    the per-part min and the join back to supply hash-partition on the
+    SAME key (ps_partkey) — AQE reuses one exchange instead of two;
+    supplier/nation resolve at the end over the few surviving rows
+    (nation broadcast — fixed catalog; supplier unhinted — scales).
+    Ties (two suppliers at the same min cost) survive, as in Q2."""
+    supply = _supply_costs(lineitem)
+    qual = part.filter((F.col("p_size") == size) & (F.col("p_type") == ptype)).select(
+        "p_partkey", "p_name"
+    )
+    qual_supply = supply.join(qual, F.col("ps_partkey") == F.col("p_partkey"))
+    best = qual_supply.groupBy(F.col("ps_partkey").alias("bk")).agg(
+        F.min("ps_cost_c").alias("best_c")
+    )
+    return (
+        qual_supply.join(
+            best,
+            (F.col("ps_partkey") == F.col("bk")) & (F.col("ps_cost_c") == F.col("best_c")),
+        )
+        .join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("ps_cost_c").alias("cost_c"),
+        )
+    )
+
+
+def min_cost_supplier_sql(size: int = Q2_SIZE, ptype: str = Q2_TYPE) -> str:
+    return f"""
+WITH {_SUPPLY_COSTS_CTE.strip()}
+SELECT p_partkey, p_name, s_name, n_name, ps_cost_c AS cost_c
+FROM supply
+JOIN part ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size = {size} AND p_type = '{ptype}'
+  AND ps_cost_c = (
+    SELECT min(s2.ps_cost_c) FROM supply s2
+    WHERE s2.ps_partkey = p_partkey
+  )
+"""
+
+
+Q11_NATION = 7
+Q11_FRACTION_PPM = 2000  # keep parts worth > fraction of the national total
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation_key: int = Q11_NATION,
+    fraction_ppm: int = Q11_FRACTION_PPM,
+) -> DataFrame:
+    """(ps_partkey, value_c): TPC-H Q11 — parts representing a
+    significant share of one nation's total supply value (the
+    scalar-subquery HAVING).
+
+    Physical plan: the supplier→nation filter reduces the fact scan
+    via an equi-join on suppkey (semi-shaped: only s_suppkey is
+    projected); per-part value is one hash agg; the national total is
+    a 1-row aggregate of THAT agg's output (not a second fact pass)
+    broadcast into the threshold filter. The threshold compares
+    integer cents against cents·ppm to keep the hash float-free —
+    value_c * 1e6 > total_c * fraction_ppm."""
+    nat_sup = supplier.filter(F.col("s_nationkey") == nation_key).select("s_suppkey")
+    per_part = (
+        lineitem.join(nat_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("value_c"))
+    )
+    total = per_part.agg(F.sum("value_c").cast("long").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_c") * F.lit(1000000) > F.col("total_c") * F.lit(fraction_ppm))
+        .select("ps_partkey", "value_c")
+    )
+
+
+def important_parts_sql(
+    nation_key: int = Q11_NATION, fraction_ppm: int = Q11_FRACTION_PPM
+) -> str:
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey AS ps_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS value_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = {nation_key}
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, value_c
+FROM per_part
+WHERE value_c * 1000000 > (SELECT sum(value_c) FROM per_part) * {fraction_ppm}
+"""
+
+
+Q17_BRAND = "Brand#3"
+Q17_QTY_FRACTION_PCT = 50  # lines with quantity below this % of the part's avg
+
+
+def small_qty_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = Q17_BRAND,
+    fraction_pct: int = Q17_QTY_FRACTION_PCT,
+) -> DataFrame:
+    """(avg_yearly_c,): TPC-H Q17 — yearly revenue lost if small-
+    quantity orders of one brand's parts were not taken (the
+    correlated per-part AVG subquery).
+
+    Physical plan: brand filter prunes part BEFORE anything else; the
+    per-part avg quantity aggregates ONLY lines of qualifying parts
+    (the semi-join through the filtered part dim), then joins back on
+    the same partkey partitioning (exchange reuse, as in Q2); the
+    avg comparison multiplies through to integers — qty·100·100 <
+    pct·sum — so no float crosses the hash. Final scalar divides by
+    the 7-year span as integer cents."""
+    qual = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    lines = lineitem.join(qual, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qty_c = _cents(F.col("l_quantity"))
+    stats = lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).cast("long").alias("sum_qty_c"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    # l_quantity < (pct/100) * avg  ⟺  qty_c * n * 100 < pct * sum_qty_c
+    return (
+        lines.join(stats, F.col("l_partkey") == F.col("pk"))
+        .filter(qty_c * F.col("n_lines") * F.lit(100) < F.lit(fraction_pct) * F.col("sum_qty_c"))
+        .agg(
+            F.coalesce(F.sum(_cents(F.col("l_extendedprice"))), F.lit(0))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # integer floor-division on both engines (Spark DIV / DuckDB //)
+        # — a double divide then cast would round in DuckDB but truncate
+        # in Spark and hash-mismatch on the boundary
+        .select(F.expr("rev_c DIV 7").cast("long").alias("avg_yearly_c"))
+    )
+
+
+def small_qty_revenue_sql(
+    brand: str = Q17_BRAND, fraction_pct: int = Q17_QTY_FRACTION_PCT
+) -> str:
+    return f"""
+WITH lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}'
+), stats AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_c,
+         count(*)::BIGINT AS n_lines
+  FROM lines GROUP BY l_partkey
+)
+SELECT (coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)), 0) // 7)::BIGINT
+         AS avg_yearly_c
+FROM lines JOIN stats ON l_partkey = pk
+WHERE CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * n_lines * 100
+      < {fraction_pct} * sum_qty_c
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "ECONOMY"
+Q8_FROM, Q8_TO = "1996-01-01", "1998-01-01"
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = Q8_REGION,
+    nation_name: str = Q8_NATION,
+    ptype: str = Q8_TYPE,
+    date_from: str = Q8_FROM,
+    date_to: str = Q8_TO,
+) -> DataFrame:
+    """(o_year, nation_revenue_c, total_revenue_c, mkt_share_ppm):
+    TPC-H Q8 — one supplier nation's share of a region's revenue for
+    one part type, by order year.
+
+    Physical plan: nation plays two roles (customer-region membership,
+    supplier identity) — two broadcast aliases of the fixed catalog,
+    never a self-join shuffle; part filters to one type before its
+    join; the region membership collapses region→nation into one
+    broadcast dim exactly like Q5. The share is a conditional sum in
+    the SAME aggregation as the total (one pass), emitted as int ppm
+    via bigint floor-division."""
+    cust_nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cnk"))
+    sup_nat = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.join(
+            part.filter(F.col("p_type") == ptype).select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cnk"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sup_nat), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == nation_name, rev).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("nation_revenue_c"),
+            F.sum(rev).cast("long").alias("total_revenue_c"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue_c",
+            "total_revenue_c",
+            F.expr("CAST(nation_revenue_c * 1000000 DIV total_revenue_c AS BIGINT)").alias(
+                "mkt_share_ppm"
+            ),
+        )
+    )
+
+
+def market_share_sql(
+    region_name: str = Q8_REGION,
+    nation_name: str = Q8_NATION,
+    ptype: str = Q8_TYPE,
+    date_from: str = Q8_FROM,
+    date_to: str = Q8_TO,
+) -> str:
+    return f"""
+WITH s AS (
+  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         sum(CASE WHEN n2.n_name = '{nation_name}'
+             THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+             ELSE 0 END)::BIGINT AS nation_revenue_c,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT
+           AS total_revenue_c
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{region_name}' AND p_type = '{ptype}'
+    AND o_orderdate >= TIMESTAMP '{date_from}' AND o_orderdate < TIMESTAMP '{date_to}'
+  GROUP BY o_year
+)
+SELECT o_year, nation_revenue_c, total_revenue_c,
+       (nation_revenue_c * 1000000 // total_revenue_c)::BIGINT AS mkt_share_ppm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+# Real Q9 prices cost from partsupp.ps_supplycost; the synthetic schema
+# carries cost on the part itself (p_retailprice discounted by a fixed
+# wholesale factor), so profit = revenue - retail·factor·quantity. The
+# plan shape is unchanged: name-pattern part filter, fact joins, and a
+# (nation, year) rollup of a derived measure.
+
+Q9_NAME_TOKEN = "gear"
+Q9_COST_FACTOR = 0.4
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_token: str = Q9_NAME_TOKEN,
+    cost_factor: float = Q9_COST_FACTOR,
+) -> DataFrame:
+    """(nation, o_year, profit_c): TPC-H Q9 — profit on parts whose
+    name contains a token, by supplier nation and order year.
+
+    Physical plan: the LIKE filter prunes part before its join (a
+    non-sargable predicate, but it runs on the small dim, not the
+    fact); orders joins only for the year column (projected to two
+    columns before the join); profit is computed per line and floored
+    to cents BEFORE the sum so both engines fold identical integers.
+    nation broadcasts; part/supplier stay unhinted (scale with SF)."""
+    amount_c = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(cost_factor) * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(
+            part.filter(F.col("p_name").contains(name_token)).select(
+                "p_partkey", "p_retailprice"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(F.sum(amount_c).cast("long").alias("profit_c"))
+    )
+
+
+def product_type_profit_sql(
+    name_token: str = Q9_NAME_TOKEN, cost_factor: float = Q9_COST_FACTOR
+) -> str:
+    return f"""
+SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+                       - p_retailprice * {cost_factor} * l_quantity) * 100 + 0.5) AS BIGINT))::BIGINT
+         AS profit_c
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{name_token}%'
+GROUP BY n_name, strftime(o_orderdate, '%Y')
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — promotion-eligible suppliers
+# ---------------------------------------------------------------------------
+# Real Q20 compares partsupp.ps_availqty against half the quantity the
+# supplier shipped; without an availqty column the threshold is a fixed
+# shipped-quantity floor. The plan shape — nested semi-join chain
+# (name-pattern parts → qualifying (part, supplier) shipments →
+# suppliers of one nation) — is preserved exactly.
+
+Q20_NAME_PREFIX = "red"
+Q20_FROM, Q20_TO = "1997-01-01", "1998-01-01"
+Q20_QTY_FLOOR = 60
+Q20_NATION = 6
+
+
+def promo_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_prefix: str = Q20_NAME_PREFIX,
+    date_from: str = Q20_FROM,
+    date_to: str = Q20_TO,
+    qty_floor: int = Q20_QTY_FLOOR,
+    nation_key: int = Q20_NATION,
+) -> DataFrame:
+    """(s_suppkey, s_name): TPC-H Q20 — suppliers of one nation who
+    shipped a meaningful volume of promotion-candidate parts in a year
+    (the nested IN-subquery chain, planned as LEFT SEMI joins).
+
+    Physical plan: both subqueries become LEFT SEMI joins — no
+    multiplicity, no dedup pass. The inner shipment agg groups by
+    (suppkey, partkey) with the date filter pushed to the fact scan
+    and the part-name filter semi-applied BEFORE the agg (prefix
+    LIKE 'x%' on the dim side); the HAVING floor cuts the agg output;
+    the outer semi-join keeps each qualifying supplier once. The only
+    wide ops are the fact agg and one semi shuffle."""
+    qual_parts = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(qual_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+        .filter(F.col("qty_c") > qty_floor * 100)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.filter(F.col("s_nationkey") == nation_key)
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def promo_suppliers_sql(
+    name_prefix: str = Q20_NAME_PREFIX,
+    date_from: str = Q20_FROM,
+    date_to: str = Q20_TO,
+    qty_floor: int = Q20_QTY_FLOOR,
+    nation_key: int = Q20_NATION,
+) -> str:
+    return f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey = {nation_key}
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{name_prefix}%')
+      AND l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > {qty_floor} * 100
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+# Without l_commitdate/l_receiptdate, "late" = shipped more than
+# `late_days` after the order date. Q21's EXISTS (another supplier in
+# the order) / NOT EXISTS (another LATE supplier in the order) pair is
+# planned as one per-order conditional-distinct aggregation joined back
+# to the late lines — one pass over the order's lines instead of two
+# correlated self-joins.
+
+Q21_LATE_DAYS = 400
+Q21_NATION = 3
+Q21_STATUS = "F"
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = Q21_LATE_DAYS,
+    nation_key: int = Q21_NATION,
+    status: str = Q21_STATUS,
+) -> DataFrame:
+    """(s_suppkey, s_name, numwait): TPC-H Q21 — suppliers of one
+    nation who were the SOLE late supplier on multi-supplier finished
+    orders, with how often it happened.
+
+    Physical plan: the EXISTS/NOT-EXISTS pair collapses into one
+    grouped aggregation per order — countDistinct(suppkey) and
+    countDistinct(late suppkey) — computed once over the status-
+    filtered fact join; late lines then equi-join that ~|orders|-row
+    summary on orderkey (same partitioning as the agg — exchange
+    reuse) and keep orders with ≥2 suppliers but exactly 1 late one.
+    This is the classic decorrelation Catalyst cannot derive from
+    correlated EXISTS SQL on its own; writing it as the aggregation
+    IS the optimization. supplier joins at the end over the small
+    surviving set, nation filter pushed to its scan."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    lines = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == status).select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    blamed = (
+        lines.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    return (
+        blamed.join(
+            supplier.filter(F.col("s_nationkey") == nation_key),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def waiting_suppliers_sql(
+    late_days: int = Q21_LATE_DAYS,
+    nation_key: int = Q21_NATION,
+    status: str = Q21_STATUS,
+) -> str:
+    return f"""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {late_days} DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = '{status}'
+), per_order AS (
+  SELECT l_orderkey AS ok,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM lines GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, numwait
+FROM (
+  SELECT l_suppkey, count(*)::BIGINT AS numwait
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late) late_pairs
+  JOIN per_order ON l_orderkey = ok
+  WHERE n_supp >= 2 AND n_late = 1
+  GROUP BY l_suppkey
+) b
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey = {nation_key}
+"""
