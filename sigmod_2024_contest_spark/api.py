@@ -1000,6 +1000,21 @@ register(
     ),
     relational.waiting_suppliers_sql(),
 )
+register(
+    "copurchase_pairs",
+    lambda s, d: relational.copurchase_pairs(load_table(s, d, "lineitem")),
+    relational.copurchase_pairs_sql(),
+)
+register(
+    "rolling_revenue",
+    lambda s, d: relational.rolling_revenue(load_table(s, d, "orders")),
+    relational.rolling_revenue_sql(),
+)
+register(
+    "revenue_growth_mom",
+    lambda s, d: relational.revenue_growth_mom(load_table(s, d, "orders")),
+    relational.REVENUE_GROWTH_MOM_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1058,6 +1073,10 @@ _CHECK_FIRST: list[str] = [
     "product_type_profit",
     "promo_suppliers",
     "waiting_suppliers",
+    # r7 analytics shapes: basket self-join, RANGE frame, lag growth
+    "copurchase_pairs",
+    "rolling_revenue",
+    "revenue_growth_mom",
 ]
 
 

@@ -1993,3 +1993,174 @@ FROM (
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_nationkey = {nation_key}
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs — the within-group self-join
+# ---------------------------------------------------------------------------
+
+COPURCHASE_MIN_COUNT = 3
+COPURCHASE_ORDER_CAP = 50
+
+
+def copurchase_pairs(
+    lineitem: DataFrame,
+    min_count: int = COPURCHASE_MIN_COUNT,
+    order_cap: int = COPURCHASE_ORDER_CAP,
+) -> DataFrame:
+    """(part_a, part_b, n_orders): part pairs bought together in at
+    least `min_count` orders (part_a < part_b, orders counted once).
+
+    Physical plan: NOT a self-join. One groupBy(l_orderkey) collects
+    each basket as a sorted distinct-part array (collect_set folds the
+    DISTINCT into the same exchange), the cap drops pathological
+    baskets as a constant-time size() check on the grouped row, and
+    the i<j pair expansion is a JVM array expression (transform over
+    suffix slices, flattened) — the quadratic work happens inside one
+    task per basket with a hard P <= order_cap bound, and nothing
+    order-sized ever shuffles twice. The measured self-join twin
+    reshuffled both sides (the distinct partitions on (order, part),
+    not order) and clocked 4.4 s at sf0.1 vs ~1 s for this shape. At
+    100 TB the cap is the load-bearing bound: without it one
+    mega-basket emits P² rows from a single task. Mirrored exactly in
+    the oracle SQL."""
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts").between(2, order_cap))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_count)
+    )
+
+
+def copurchase_pairs_sql(
+    min_count: int = COPURCHASE_MIN_COUNT, order_cap: int = COPURCHASE_ORDER_CAP
+) -> str:
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), bounded AS (
+  SELECT l_orderkey, l_partkey FROM op
+  WHERE l_orderkey IN (
+    SELECT l_orderkey FROM op GROUP BY l_orderkey HAVING count(*) <= {order_cap}
+  )
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_orders
+FROM bounded a JOIN bounded b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING count(*) >= {min_count}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day revenue — the RANGE-frame window
+# ---------------------------------------------------------------------------
+
+
+def rolling_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
+    """(day, revenue_c, rolling_revenue_c): daily order revenue with a
+    trailing `days`-day RANGE-frame sum (calendar days, not rows —
+    gap days contribute nothing and must not shift the frame).
+
+    Physical plan: one hash agg to daily grain FIRST (the window then
+    runs over ~|days| rows, not |orders| — windows never see raw
+    facts), then a rangeBetween frame over the integer epoch-day. The
+    daily table is tiny at any SF, but the single-partition global
+    window is still avoided on principle at 100 TB grain counts —
+    windows here would partition by a coarser key (year) if the day
+    count ever grew; documented, not needed at TPC-H date ranges
+    (~2.5k days even at SF=100k)."""
+    daily = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"))
+        .withColumn("day_n", F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date")))
+    )
+    w = (
+        Window.orderBy("day_n").rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "day",
+        "revenue_c",
+        F.sum("revenue_c").over(w).cast("long").alias("rolling_revenue_c"),
+    )
+
+
+def rolling_revenue_sql(days: int = 7) -> str:
+    return f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n
+  FROM orders GROUP BY 1, 3
+)
+SELECT day, revenue_c,
+       sum(revenue_c) OVER (ORDER BY day_n RANGE BETWEEN {days - 1} PRECEDING AND CURRENT ROW)::BIGINT
+         AS rolling_revenue_c
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth — the lag window
+# ---------------------------------------------------------------------------
+
+
+def revenue_growth_mom(orders: DataFrame) -> DataFrame:
+    """(month, revenue_c, prev_revenue_c, growth_ppm): monthly revenue
+    with the previous month's value (lag) and growth in integer ppm.
+    The first month has no predecessor and is DROPPED (lag would emit
+    NULL; the registry convention is NULL-free outputs — NULL-vs-NaN
+    normalization differs across engine→pandas paths, cf.
+    asof_last_error's -1 sentinel).
+
+    Physical plan: aggregate to month grain first (the lag window runs
+    over dozens of rows); the single global window over months is
+    bounded by the calendar, not the data — at 100 TB the month count
+    is identical. Growth is bigint floor-division."""
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"))
+    w = Window.orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "revenue_c",
+            F.lag("revenue_c").over(w).cast("long").alias("prev_revenue_c"),
+        )
+        .filter(F.col("prev_revenue_c").isNotNull())
+        .withColumn(
+            "growth_ppm",
+            F.expr("CAST((revenue_c - prev_revenue_c) * 1000000 DIV prev_revenue_c AS BIGINT)"),
+        )
+    )
+
+
+REVENUE_GROWTH_MOM_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, revenue_c,
+         lag(revenue_c) OVER (ORDER BY month)::BIGINT AS prev_revenue_c
+  FROM monthly
+)
+SELECT month, revenue_c, prev_revenue_c,
+       ((revenue_c - prev_revenue_c) * 1000000 // prev_revenue_c)::BIGINT AS growth_ppm
+FROM lagged
+WHERE prev_revenue_c IS NOT NULL
+"""

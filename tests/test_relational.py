@@ -512,3 +512,63 @@ def test_waiting_suppliers_sole_late_semantics(spark):
             if s in nat3:
                 blame[s] = blame.get(s, 0) + 1
     assert got == set(blame.items())
+
+
+# --- r7: basket self-join, RANGE frame, lag growth
+
+
+def test_copurchase_pairs_oracle(spark):
+    _check(spark, "copurchase_pairs")
+
+
+def test_rolling_revenue_oracle(spark):
+    _check(spark, "rolling_revenue")
+
+
+def test_revenue_growth_mom_oracle(spark):
+    _check(spark, "revenue_growth_mom")
+
+
+def test_copurchase_pairs_order_cap_bounds_blowup(spark):
+    """The per-order distinct-part cap must drop pathological baskets
+    BEFORE the self-join: with the cap forced below the max basket
+    size, pairs from larger orders disappear; with the default cap the
+    canonical ordering (part_a < part_b) holds for every row."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    full = relational.copurchase_pairs(li, min_count=1)
+    capped = relational.copurchase_pairs(li, min_count=1, order_cap=2)
+    assert capped.count() < full.count()
+    assert full.filter(F.col("part_a") >= F.col("part_b")).count() == 0
+
+
+def test_rolling_revenue_range_frame_skips_gap_days(spark):
+    """RANGE (calendar) vs ROWS (tuple) frames differ exactly when the
+    daily series has gaps; recompute one day's trailing sum naively."""
+    df = relational.rolling_revenue(load_table(spark, SF_SMOKE, "orders"), days=7)
+    rows = {r["day"]: (r["revenue_c"], r["rolling_revenue_c"]) for r in df.collect()}
+    import datetime
+
+    for day in list(rows)[:40]:
+        d0 = datetime.date.fromisoformat(day)
+        want = sum(
+            rows[(d0 - datetime.timedelta(k)).isoformat()][0]
+            for k in range(7)
+            if (d0 - datetime.timedelta(k)).isoformat() in rows
+        )
+        assert rows[day][1] == want, day
+
+
+def test_revenue_growth_mom_lag_chain(spark):
+    """First month is dropped (no predecessor — NULL-free convention);
+    every surviving row's prev equals the prior month's revenue."""
+    od = load_table(spark, SF_SMOKE, "orders")
+    df = relational.revenue_growth_mom(od)
+    rows = sorted(df.collect(), key=lambda r: r["month"])
+    months = {r["month"] for r in rows}
+    first = od.select(F.date_format("o_orderdate", "yyyy-MM").alias("m")).agg(
+        F.min("m")
+    ).collect()[0][0]
+    assert first not in months
+    assert all(r["prev_revenue_c"] is not None for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_revenue_c"] == prev["revenue_c"]

@@ -98,6 +98,35 @@ PICKS = {
         "groupBy bounded by the flagged-pair count. broadcast_bench=False "
         "flips the bench join to its shuffle twin for a corpus-sized bench."
     ),
+    "waiting_suppliers": (
+        "TPC-H Q21: the correlated EXISTS/NOT-EXISTS pair decorrelated into "
+        "ONE per-order conditional-distinct aggregate; late lines join that "
+        "summary back on the same orderkey partitioning (exchange reuse), "
+        "supplier resolves last over the small surviving set."
+    ),
+    "min_cost_supplier": (
+        "TPC-H Q2: lineitem-derived supply facts, then the correlated "
+        "per-part min as an agg + join-back sharing one ps_partkey "
+        "partitioning; the size/type part filter prunes before the supply "
+        "join; nation broadcast, supplier unhinted."
+    ),
+    "promo_suppliers": (
+        "TPC-H Q20: both IN-subqueries plan as LEFT SEMI joins (no "
+        "multiplicity, no dedup pass); the prefix part filter semi-applies "
+        "before the (suppkey, partkey) agg and the HAVING floor cuts its "
+        "output before the outer semi."
+    ),
+    "copurchase_pairs": (
+        "Market-basket pairs: self-equi-join on orderkey over the distinct "
+        "(order, part) projection — one shuffle feeds both sides; the "
+        "per-order distinct-part cap drops pathological baskets BEFORE the "
+        "join so no single key can emit quadratic output."
+    ),
+    "rolling_revenue": (
+        "Trailing 7-day revenue: aggregate to daily grain FIRST, then a "
+        "RANGE-frame window over the integer epoch-day — the window sees "
+        "~|days| rows at any SF, never raw orders."
+    ),
 }
 
 
