@@ -1926,33 +1926,40 @@ def waiting_suppliers(
     nation who were the SOLE late supplier on multi-supplier finished
     orders, with how often it happened.
 
-    Physical plan: the EXISTS/NOT-EXISTS pair collapses into one
-    grouped aggregation per order — countDistinct(suppkey) and
-    countDistinct(late suppkey) — computed once over the status-
-    filtered fact join; late lines then equi-join that ~|orders|-row
-    summary on orderkey (same partitioning as the agg — exchange
-    reuse) and keep orders with ≥2 suppliers but exactly 1 late one.
-    This is the classic decorrelation Catalyst cannot derive from
-    correlated EXISTS SQL on its own; writing it as the aggregation
-    IS the optimization. supplier joins at the end over the small
-    surviving set, nation filter pushed to its scan."""
+    Physical plan: ONE fact pass. The status-filtered fact join
+    reduces to (order, supplier, any_late) grain with one hash agg;
+    the EXISTS/NOT-EXISTS pair then becomes two window sums over that
+    grain partitioned by orderkey — count(*) = distinct suppliers,
+    sum(late) = distinct late suppliers, because the grain is already
+    distinct — so no second scan, no join-back, no recompute (the
+    first draft joined a per-order summary back to the late lines and
+    Catalyst re-executed the whole fact join for each consumer: two
+    parquet scans of lineitem in the captured plan). The window key
+    is the high-cardinality orderkey — no single-partition hazard.
+    This decorrelation is the optimization Catalyst cannot derive
+    from correlated EXISTS SQL; supplier joins at the end over the
+    small surviving set, nation filter pushed to its scan."""
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
-    lines = lineitem.join(
-        orders.filter(F.col("o_orderstatus") == status).select("o_orderkey", "o_orderdate"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).select("l_orderkey", "l_suppkey", late.alias("is_late"))
-    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
-    )
-    blamed = (
-        lines.filter(F.col("is_late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            F.col("l_orderkey") == F.col("ok"),
+    pair_grain = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == status).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        pair_grain.select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.count("*").over(w).alias("n_supp"),
+            F.sum("late").over(w).alias("n_late"),
+        )
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("numwait"))
     )

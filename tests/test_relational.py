@@ -572,3 +572,16 @@ def test_revenue_growth_mom_lag_chain(spark):
     assert all(r["prev_revenue_c"] is not None for r in rows)
     for prev, cur in zip(rows, rows[1:]):
         assert cur["prev_revenue_c"] == prev["revenue_c"]
+
+
+def test_waiting_suppliers_single_fact_scan(spark):
+    """Q21 must read lineitem ONCE: the (order, supplier) grain feeds
+    both existence counts via window sums — a join-back shape made
+    Catalyst re-execute the fact join per consumer (two scans)."""
+    df = relational.waiting_suppliers(
+        load_table(spark, SF_SMOKE, "lineitem"),
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "supplier"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan[:1200]
