@@ -1399,6 +1399,16 @@ def top_supplier(
             .cast("long")
             .alias("total_revenue_c")
         )
+        # Diamond dataflow: rev feeds BOTH the scalar max and the
+        # join-back. Unpersisted, Catalyst re-executes the fact scan +
+        # agg per consumer (per-consumer pruning defeats exchange
+        # reuse). rev is |suppliers|-sized (SF·10k rows × 16 B —
+        # distributed cache, never driver-sized), so persist is the
+        # Spark-idiomatic cut; a global-window max would funnel the
+        # whole table through one partition at scale. Spark evicts
+        # LRU under pressure; no unpersist needed for a one-action
+        # query.
+        .persist()
     )
     best = rev.agg(F.max("total_revenue_c").alias("best_rev"))
     return (
@@ -1472,8 +1482,12 @@ def min_cost_supplier(
 
     Physical plan: the part predicate (size + type) prunes BEFORE the
     supply join, so the correlated min runs over qualifying parts only;
-    the per-part min and the join back to supply hash-partition on the
-    SAME key (ps_partkey) — AQE reuses one exchange instead of two;
+    the min itself is a WINDOW min over the high-cardinality
+    ps_partkey, not an agg + join-back — the join-back shape made
+    Catalyst re-execute the supply derivation per consumer (two
+    lineitem scans, no ReusedExchange because per-consumer column
+    pruning differentiates the subtrees); this is ONE scan and one
+    extra sort within the existing partkey partitioning.
     supplier/nation resolve at the end over the few surviving rows
     (nation broadcast — fixed catalog; supplier unhinted — scales).
     Ties (two suppliers at the same min cost) survive, as in Q2."""
@@ -1481,15 +1495,11 @@ def min_cost_supplier(
     qual = part.filter((F.col("p_size") == size) & (F.col("p_type") == ptype)).select(
         "p_partkey", "p_name"
     )
-    qual_supply = supply.join(qual, F.col("ps_partkey") == F.col("p_partkey"))
-    best = qual_supply.groupBy(F.col("ps_partkey").alias("bk")).agg(
-        F.min("ps_cost_c").alias("best_c")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        qual_supply.join(
-            best,
-            (F.col("ps_partkey") == F.col("bk")) & (F.col("ps_cost_c") == F.col("best_c")),
-        )
+        supply.join(qual, F.col("ps_partkey") == F.col("p_partkey"))
+        .withColumn("best_c", F.min("ps_cost_c").over(w))
+        .filter(F.col("ps_cost_c") == F.col("best_c"))
         .join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -1518,7 +1528,7 @@ WHERE p_size = {size} AND p_type = '{ptype}'
 """
 
 
-Q11_NATION = 7
+Q11_NATION = 3  # has suppliers at every test sf (nation 7 is empty at sf0.001)
 Q11_FRACTION_PPM = 2000  # keep parts worth > fraction of the national total
 
 
@@ -1544,6 +1554,11 @@ def important_parts(
         lineitem.join(nat_sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("value_c"))
+        # Same diamond as top_supplier: the scalar total and the
+        # threshold filter both consume per_part — persist so the
+        # fact scan + agg run once (|parts-with-sales|-sized, a
+        # distributed cache).
+        .persist()
     )
     total = per_part.agg(F.sum("value_c").cast("long").alias("total_c"))
     return (
@@ -1585,9 +1600,10 @@ def small_qty_revenue(
     correlated per-part AVG subquery).
 
     Physical plan: brand filter prunes part BEFORE anything else; the
-    per-part avg quantity aggregates ONLY lines of qualifying parts
-    (the semi-join through the filtered part dim), then joins back on
-    the same partkey partitioning (exchange reuse, as in Q2); the
+    correlated per-part avg is a WINDOW sum/count over the
+    high-cardinality l_partkey — not an agg + join-back, which made
+    Catalyst re-execute the filtered fact join per consumer (two
+    lineitem scans): one scan, one partkey shuffle, one sort; the
     avg comparison multiplies through to integers — qty·100·100 <
     pct·sum — so no float crosses the hash. Final scalar divides by
     the 7-year span as integer cents."""
@@ -1596,13 +1612,11 @@ def small_qty_revenue(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     qty_c = _cents(F.col("l_quantity"))
-    stats = lines.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(qty_c).cast("long").alias("sum_qty_c"),
-        F.count("*").cast("long").alias("n_lines"),
-    )
+    w = Window.partitionBy("l_partkey")
     # l_quantity < (pct/100) * avg  ⟺  qty_c * n * 100 < pct * sum_qty_c
     return (
-        lines.join(stats, F.col("l_partkey") == F.col("pk"))
+        lines.withColumn("sum_qty_c", F.sum(qty_c).over(w))
+        .withColumn("n_lines", F.count("*").over(w))
         .filter(qty_c * F.col("n_lines") * F.lit(100) < F.lit(fraction_pct) * F.col("sum_qty_c"))
         .agg(
             F.coalesce(F.sum(_cents(F.col("l_extendedprice"))), F.lit(0))

@@ -585,3 +585,30 @@ def test_waiting_suppliers_single_fact_scan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1, plan[:1200]
+
+
+def test_correlated_shapes_single_fact_scan(spark):
+    """Q2 and Q17 derive their correlated per-group min/avg as WINDOW
+    aggregates over the high-cardinality partkey — exactly one
+    lineitem scan each (the agg + join-back twin re-executed the fact
+    join per consumer). Q15 and Q11 are scalar-diamond shapes: the
+    derived table persists, so the plan reads the cache for the second
+    consumer (InMemoryTableScan present)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for df in (
+        relational.min_cost_supplier(
+            li,
+            load_table(spark, SF_SMOKE, "part"),
+            load_table(spark, SF_SMOKE, "supplier"),
+            load_table(spark, SF_SMOKE, "nation"),
+        ),
+        relational.small_qty_revenue(li, load_table(spark, SF_SMOKE, "part")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1, plan[:1200]
+    for df in (
+        relational.top_supplier(li, load_table(spark, SF_SMOKE, "supplier")),
+        relational.important_parts(li, load_table(spark, SF_SMOKE, "supplier")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:1200]
