@@ -477,6 +477,12 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        # pairs feeds BOTH the df aggregation and the score join;
+        # unpersisted, Catalyst re-runs the tokenize+explode+agg per
+        # consumer (two documents scans — the exact "second pass over
+        # raw text" step 2 rules out). Distinct-pair sized, distributed
+        # cache.
+        .persist()
     )
     df_tbl = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = pairs.join(df_tbl, "term").select(

@@ -89,7 +89,13 @@ def top_customers(
     # (count of strictly-better rows + 1): n² ≤ 100 pairs, no window at
     # all — a constant-partition window would be folded by Catalyst
     # back into the empty-partition single-task plan.
-    top = joined.orderBy(F.col("revenue_c").desc(), F.col("custkey").asc()).limit(n)
+    # top (<= n rows) feeds both sides of the rank join below; persist
+    # so the star join + agg above it runs once, not once per consumer.
+    top = (
+        joined.orderBy(F.col("revenue_c").desc(), F.col("custkey").asc())
+        .limit(n)
+        .persist()
+    )
     better = top.select(
         F.col("revenue_c").alias("b_rev"), F.col("custkey").alias("b_key")
     )
