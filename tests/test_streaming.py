@@ -270,3 +270,32 @@ def test_events_daily_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     stream = P.events_daily_dedup(P.stream_events(spark, out))
     got = sorted(map(tuple, _run_stream(spark, stream, "append", "dup_dedup").collect()))
     assert got == [(7, "click", "2024-03-01"), (7, "view", "2024-03-01"), (8, "view", "2024-03-01")]
+
+
+def test_pricing_summary_streaming_matches_batch(spark, tmp_path):
+    """TPC-H on a stream: the SAME pricing_summary (Q1) body runs over
+    a lineitem file stream in complete mode and converges to the batch
+    answer — one body, both worlds, no streaming-specific variant.
+    (Unwindowed global agg: complete mode carries the full group state,
+    which is |groups|-sized — 6 rows here — not input-sized.)"""
+    import time as _t
+
+    from sigmod_2024_contest_spark.operators import relational
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in li.schema.fields)
+    src = str(tmp_path / "lineitem_in")
+    os.makedirs(src)
+    for i in range(3):
+        chunk = li.filter(F.pmod(F.col("l_orderkey"), 3) == i).coalesce(1)
+        cdir = str(tmp_path / f"lchunk{i}")
+        chunk.write.mode("overwrite").parquet(cdir)
+        f = next(x for x in os.listdir(cdir) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(cdir, f), os.path.join(src, f"part-{i}.parquet"))
+        _t.sleep(1.1)
+    batch = relational.pricing_summary(spark.read.parquet(src))
+    stream = relational.pricing_summary(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = _run_stream(spark, stream, "complete", "q1_stream")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
