@@ -1015,6 +1015,18 @@ register(
     lambda s, d: relational.revenue_growth_mom(load_table(s, d, "orders")),
     relational.REVENUE_GROWTH_MOM_SQL,
 )
+register(
+    "sales_cube",
+    lambda s, d: relational.sales_cube(load_table(s, d, "orders")),
+    relational.SALES_CUBE_SQL,
+)
+register(
+    "user_order_reconciliation",
+    lambda s, d: relational.user_order_reconciliation(
+        load_table(s, d, "customer"), load_table(s, d, "events")
+    ),
+    relational.USER_ORDER_RECONCILIATION_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1077,6 +1089,9 @@ _CHECK_FIRST: list[str] = [
     "copurchase_pairs",
     "rolling_revenue",
     "revenue_growth_mom",
+    # r7: last two cells of the grouping/join matrix
+    "sales_cube",
+    "user_order_reconciliation",
 ]
 
 

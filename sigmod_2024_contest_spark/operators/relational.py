@@ -2191,3 +2191,90 @@ SELECT month, revenue_c, prev_revenue_c,
 FROM lagged
 WHERE prev_revenue_c IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping and FULL OUTER reconciliation — the last two cells of
+# the grouping-sets / join-type matrix
+# ---------------------------------------------------------------------------
+
+
+def sales_cube(orders: DataFrame) -> DataFrame:
+    """(status, priority, grp, n_orders, revenue_c): order revenue by
+    (status, priority) with CUBE — all four grouping sets (detail, per
+    status, per priority, grand total) in one pass, disambiguated by
+    the grouping_id bitmask ``grp`` (ROLLUP's sibling; sales_rollup
+    covers the hierarchical case). NULL slots emit 'ALL' — but unlike
+    ROLLUP a real NULL in the data would be ambiguous with a subtotal
+    row, hence grp is part of the output contract.
+
+    One shuffle: the Expand operator multiplies rows by the four sets
+    BEFORE the exchange, partial agg still applies per set. Both group
+    columns are low-cardinality catalogs, so Expand's 4× is on the
+    map side only."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("grp"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "grp",
+            "n_orders",
+            "revenue_c",
+        )
+    )
+
+
+SALES_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS grp,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def user_order_reconciliation(customer: DataFrame, events: DataFrame) -> DataFrame:
+    """(presence, n_keys): snapshot reconciliation — which user keys
+    exist in the customer dimension, in the events stream, or both
+    (the data-quality audit every pipeline runs after an ingest).
+    FULL OUTER join, the one join type the rest of the surface doesn't
+    exercise: inner/left/semi/anti/asof/range/salted/bucketed are all
+    covered elsewhere. (The planted test covers all three presence
+    classes; the synthetic tables yield both/customer_only.)
+
+    Physical plan: both sides pre-aggregate to distinct keys BEFORE
+    the full outer join (the join then sees |keys| rows, not |events|
+    — full outer cannot broadcast, it must shuffle both sides, so
+    shrinking them first is the scale move), then one catalog-sized
+    presence rollup."""
+    c = customer.select(F.col("c_custkey").alias("k")).distinct()
+    e = events.select(F.col("user_id").alias("k2")).distinct()
+    return (
+        c.join(e, F.col("k") == F.col("k2"), "full_outer")
+        .select(
+            F.when(F.col("k").isNotNull() & F.col("k2").isNotNull(), "both")
+            .when(F.col("k").isNotNull(), "customer_only")
+            .otherwise("events_only")
+            .alias("presence")
+        )
+        .groupBy("presence")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
+USER_ORDER_RECONCILIATION_SQL = """
+SELECT CASE WHEN c.k IS NOT NULL AND e.k2 IS NOT NULL THEN 'both'
+            WHEN c.k IS NOT NULL THEN 'customer_only'
+            ELSE 'events_only' END AS presence,
+       count(*)::BIGINT AS n_keys
+FROM (SELECT DISTINCT c_custkey AS k FROM customer) c
+FULL OUTER JOIN (SELECT DISTINCT user_id AS k2 FROM events) e ON c.k = e.k2
+GROUP BY 1
+"""

@@ -612,3 +612,40 @@ def test_correlated_shapes_single_fact_scan(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, plan[:1200]
+
+
+def test_sales_cube_oracle(spark):
+    _check(spark, "sales_cube")
+
+
+def test_user_order_reconciliation_oracle(spark):
+    _check(spark, "user_order_reconciliation")
+
+
+def test_sales_cube_one_expand_one_shuffle(spark):
+    """CUBE must plan as ONE Expand below ONE aggregation exchange —
+    four grouping sets in a single pass, with partial agg per set —
+    and grp must disambiguate subtotal rows from real values."""
+    df = relational.sales_cube(load_table(spark, SF_SMOKE, "orders"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan[:900]
+    assert plan.count("Exchange") == 1, plan[:900]
+    rows = df.collect()
+    grand = [r for r in rows if r["grp"] == 3]
+    assert len(grand) == 1 and grand[0]["status"] == "ALL" and grand[0]["priority"] == "ALL"
+    n_total = load_table(spark, SF_SMOKE, "orders").count()
+    assert grand[0]["n_orders"] == n_total
+    assert sum(r["n_orders"] for r in rows if r["grp"] == 0) == n_total
+
+
+def test_full_outer_reconciliation_all_three_classes(spark):
+    """Planted keys exercising every presence class: {1,2} dim-only,
+    {2,3} both... dim={1,2,3}, stream={3,4} → both={3},
+    customer_only={1,2}, events_only={4}."""
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    ev = spark.createDataFrame([(3,), (4,), (4,)], "user_id long")
+    got = {
+        r["presence"]: r["n_keys"]
+        for r in relational.user_order_reconciliation(cust, ev).collect()
+    }
+    assert got == {"both": 1, "customer_only": 2, "events_only": 1}
