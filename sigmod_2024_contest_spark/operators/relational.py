@@ -309,18 +309,20 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     ``epoch_ms DIV week`` buckets (no calendar/timezone semantics to
     disagree on — both engines do the same BIGINT division).
 
-    Scale shape: one scan → per-user min (map-side combined), one
-    distinct over (user, week) — cardinality bounded by users ×
-    active weeks, not events — and a count-distinct rollup over the
-    cohort matrix."""
+    Scale shape: ONE scan. The per-user first week is a window min
+    over the distinct (user, week) table — the firsts-agg + join-back
+    twin re-read events for each consumer (two identical scans; the
+    r7 diamond audit) — so the pipeline is distinct → window over the
+    high-cardinality user_id → count-distinct rollup, all bounded by
+    users × active weeks, not events."""
     w = events.select(
         "user_id",
         F.expr(f"unix_millis(ts) DIV {WEEK_MS}").cast("long").alias("wk"),
     )
-    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     active = w.distinct()
+    uw = Window.partitionBy("user_id")
     return (
-        active.join(firsts, "user_id")
+        active.withColumn("cohort", F.min("wk").over(uw))
         .groupBy(
             F.col("cohort").alias("cohort_week"),
             (F.col("wk") - F.col("cohort")).alias("week_offset"),
