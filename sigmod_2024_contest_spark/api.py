@@ -1027,6 +1027,13 @@ register(
     ),
     relational.USER_ORDER_RECONCILIATION_SQL,
 )
+register(
+    "order_gap_days",
+    lambda s, d: relational.order_gap_days(
+        load_table(s, d, "orders"), load_table(s, d, "customer")
+    ),
+    relational.ORDER_GAP_DAYS_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1092,6 +1099,7 @@ _CHECK_FIRST: list[str] = [
     # r7: last two cells of the grouping/join matrix
     "sales_cube",
     "user_order_reconciliation",
+    "order_gap_days",
 ]
 
 

@@ -2280,3 +2280,64 @@ FROM (SELECT DISTINCT c_custkey AS k FROM customer) c
 FULL OUTER JOIN (SELECT DISTINCT user_id AS k2 FROM events) e ON c.k = e.k2
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gaps — lead() over a high-cardinality partition
+# ---------------------------------------------------------------------------
+
+
+def order_gap_days(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, n_gaps, sum_gap_days, avg_gap_days): per-customer
+    inter-order gaps (lead over the customer's date-ordered orders),
+    rolled up per market segment — the re-purchase-cadence metric.
+
+    Physical plan: the lead window partitions by o_custkey — the
+    high-cardinality axis, so the window scales with partitions (this
+    is the lead/lag shape that IS safe at 100 TB, unlike a global
+    ORDER BY window); ties within a customer-day break on o_orderkey
+    so the sequence is total and both engines agree. The segment
+    rollup joins customer AFTER the per-customer work (unhinted —
+    scaling dim). avg is integer floor-division."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.lead("o_orderdate").over(w).alias("next_date"),
+        )
+        .filter(F.col("next_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("next_date"), F.col("o_orderdate")).cast("long").alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("sum_gap_days"),
+        )
+        .withColumn("avg_gap_days", F.expr("sum_gap_days DIV n_gaps").cast("long"))
+    )
+
+
+ORDER_GAP_DAYS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey) AS DATE))
+           AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment AS segment,
+       count(*)::BIGINT AS n_gaps,
+       sum(gap_days)::BIGINT AS sum_gap_days,
+       (sum(gap_days) // count(*))::BIGINT AS avg_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""

@@ -649,3 +649,39 @@ def test_full_outer_reconciliation_all_three_classes(spark):
         for r in relational.user_order_reconciliation(cust, ev).collect()
     }
     assert got == {"both": 1, "customer_only": 2, "events_only": 1}
+
+
+def test_order_gap_days_oracle(spark):
+    _check(spark, "order_gap_days")
+
+
+def test_order_gap_days_partitioned_window(spark):
+    """The lead window must partition by o_custkey (scale axis) — no
+    single-partition global window; and gaps recompute correctly on a
+    planted customer."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 10, "O", 1.0, dt.datetime(2024, 1, 11), "1-URGENT"),
+        (3, 10, "O", 1.0, dt.datetime(2024, 2, 1), "1-URGENT"),
+        (4, 20, "O", 1.0, dt.datetime(2024, 3, 1), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(10, "a", 1, 0.0, "S1"), (20, "b", 1, 0.0, "S2")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    got = {r["segment"]: r for r in relational.order_gap_days(orders, cust).collect()}
+    # customer 10: gaps 10 and 21 days; customer 20: one order, no gap
+    assert got["S1"]["n_gaps"] == 2 and got["S1"]["sum_gap_days"] == 31
+    assert got["S1"]["avg_gap_days"] == 15
+    assert "S2" not in got
+    plan = relational.order_gap_days(
+        load_table(spark, SF_SMOKE, "orders"), load_table(spark, SF_SMOKE, "customer")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "o_custkey" in plan.split("Window", 1)[1][:400]
