@@ -19,6 +19,7 @@ from .functions import quantization as Q
 from .functions import text as T
 from .operators import (
     bruteforce_quant,
+    pq,
     bruteforce_sq8,
     curation,
     dedup,
@@ -614,6 +615,37 @@ register(
     evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), IVF_RECALL_BAR_PPM),
 )
 
+
+# Product quantization (beyond-reference codec; Jégou et al. TPAMI'11).
+# knn_pq_rerank with pool=None re-ranks every vector, so the codes →
+# ADC → pool → exact-rerank pipeline must reproduce the exact-cosine
+# oracle bit-for-bit (the IVF forced-exhaustive trick); the production
+# pool=PQ_POOL config is recall-gated below. Deterministic stride-init
+# Lloyd ⇒ the gate value is a constant of the data, measured 0.954 at
+# sf0.01 (ksub=32, pool=128).
+PQ_RECALL_BAR_PPM = 900_000
+
+
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.knn_pq_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+def _recall_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return evaluate.recall_gate(
+        pq.knn_pq_rerank(emb, pool=pq.PQ_POOL),
+        similarity.ann_cosine_topk(emb),
+        PQ_RECALL_BAR_PPM,
+    )
+
+
+register("knn_pq_rerank", _knn_pq, similarity.ann_cosine_topk_sql())
+register(
+    "recall_pq_vs_exact",
+    _recall_pq_gate,
+    evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), PQ_RECALL_BAR_PPM),
+)
+
 def _knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-level cost choice (engine.knn_auto): at correctness scale
     the scan branch is taken (tiny flops product) and is exact, so the
@@ -1100,6 +1132,9 @@ _CHECK_FIRST: list[str] = [
     "sales_cube",
     "user_order_reconciliation",
     "order_gap_days",
+    # r7: product quantization (exact hash gate + recall gate)
+    "knn_pq_rerank",
+    "recall_pq_vs_exact",
 ]
 
 

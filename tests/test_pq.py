@@ -1,0 +1,86 @@
+"""Product quantization: twin-parity, exact hash gate, recall gate,
+and the compressed-pipeline invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sigmod_2024_contest_spark import api
+from sigmod_2024_contest_spark.operators import pq, similarity
+from sigmod_2024_contest_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE, assert_matches_oracle, duck_con
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_pq_exact_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["knn_pq_rerank"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["knn_pq_rerank"])
+
+
+def test_pq_recall_gate_oracle(spark):
+    con = duck_con(SF_SMOKE)
+    df = api.queries()["recall_pq_vs_exact"](spark, SF_SMOKE)
+    assert_matches_oracle(df, con, api.oracle_sql()["recall_pq_vs_exact"])
+
+
+def test_pq_train_twins_identical(spark):
+    """The driver-side Lloyd and the distributed one-pass-per-iteration
+    loop share init + update arithmetic; forcing the distributed path
+    (local_rows=0 — the 100 TB route) must produce the same books."""
+    emb = _emb(spark)
+    local = pq.pq_train(emb)
+    dist = pq.pq_train(emb, local_rows=0)
+    assert local.shape == dist.shape == (pq.PQ_M, pq.PQ_KSUB, 64 // pq.PQ_M)
+    assert np.allclose(local, dist), float(np.abs(local - dist).max())
+
+
+def test_pq_pool_all_equals_exact(spark):
+    """pool=None re-ranks everything: the full codes -> ADC -> pool ->
+    exact-rerank pipeline must reproduce the exact cosine top-k."""
+    emb = _emb(spark)
+    exact = {tuple(r) for r in similarity.ann_cosine_topk(emb).collect()}
+    got = {tuple(r) for r in pq.knn_pq_rerank(emb).collect()}
+    assert got == exact and len(got) > 0
+
+
+def test_pq_approx_recall_above_bar(spark):
+    """The production pool config holds the gate bar on the smoke
+    embeddings (deterministic training -> deterministic recall)."""
+    emb = _emb(spark)
+    exact = {(r["query_id"], r["id"]) for r in similarity.ann_cosine_topk(emb).collect()}
+    approx = {
+        (r["query_id"], r["id"])
+        for r in pq.knn_pq_rerank(emb, pool=pq.PQ_POOL).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.90, recall
+
+
+def test_pq_codes_shape_and_range(spark):
+    """Codes are m ints in [0, ksub) per vector — the n x m compressed
+    replica that rides where floats can't."""
+    emb = _emb(spark)
+    books = pq.pq_train(emb)
+    rows = pq.pq_codes(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == pq.PQ_M
+        assert all(0 <= c < pq.PQ_KSUB for c in r["codes"])
+
+
+def test_pq_finite_pool_cuts_candidates(spark):
+    """A finite pool must change (degrade or equal) the result set —
+    i.e. the ADC cut is real, not a masked full scan: with a pool of 1
+    only the ADC-nearest candidate survives to re-rank, so per-query
+    output shrinks to exactly 1 row."""
+    emb = _emb(spark)
+    got = pq.knn_pq_rerank(emb, pool=1).collect()
+    per_q: dict = {}
+    for r in got:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q and all(v == 1 for v in per_q.values())
