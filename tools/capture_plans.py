@@ -127,6 +127,14 @@ PICKS = {
         "RANGE-frame window over the integer epoch-day — the window sees "
         "~|days| rows at any SF, never raw orders."
     ),
+    "knn_pq_rerank": (
+        "Product quantization two-phase kNN: one Arrow projection encodes "
+        "the corpus to n x m codes, the ADC scan is LUT lookups over the "
+        "codes table under the chunked query broadcast (no float GEMM in "
+        "the compressed domain), the pool cut is a partial top-k window, "
+        "and ONLY pool candidates join back to float vectors for the "
+        "exact cosine re-rank (the K12 pattern)."
+    ),
 }
 
 
