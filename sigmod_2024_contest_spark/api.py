@@ -646,6 +646,39 @@ register(
     evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), PQ_RECALL_BAR_PPM),
 )
 
+
+# IVF-PQ (FAISS-style composition, Jégou et al. TPAMI'11 §V): coarse
+# cells partition the corpus, residual-PQ codes are the payload.
+# nprobe=nlist + pool=None scores and exactly re-ranks EVERY vector,
+# so the registry config hash-matches the exact oracle through the
+# full cluster-route + residual-codes pipeline; the production
+# (nprobe=8/16 cells, pool=256) config is recall-gated —
+# deterministic 0.796 at sf0.01.
+IVFPQ_RECALL_BAR_PPM = 700_000
+
+
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.knn_ivfpq_rerank(
+        load_table(spark, sf_dir, "embeddings"), nprobe=pq.IVFPQ_NLIST, pool=None
+    )
+
+
+def _recall_ivfpq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return evaluate.recall_gate(
+        pq.knn_ivfpq_rerank(emb),
+        similarity.ann_cosine_topk(emb),
+        IVFPQ_RECALL_BAR_PPM,
+    )
+
+
+register("knn_ivfpq_rerank", _knn_ivfpq, similarity.ann_cosine_topk_sql())
+register(
+    "recall_ivfpq_vs_exact",
+    _recall_ivfpq_gate,
+    evaluate.recall_gate_sql(similarity.ann_cosine_topk_sql(), IVFPQ_RECALL_BAR_PPM),
+)
+
 def _knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-level cost choice (engine.knn_auto): at correctness scale
     the scan branch is taken (tiny flops product) and is exact, so the
@@ -1135,6 +1168,9 @@ _CHECK_FIRST: list[str] = [
     # r7: product quantization (exact hash gate + recall gate)
     "knn_pq_rerank",
     "recall_pq_vs_exact",
+    # r7: IVF-PQ composition — fills the 50-entry driver window exactly
+    "knn_ivfpq_rerank",
+    "recall_ivfpq_vs_exact",
 ]
 
 

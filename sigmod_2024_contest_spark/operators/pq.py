@@ -262,6 +262,14 @@ def knn_pq_rerank(
         .filter(F.col("prnk") <= eff_pool)
         .select("query_id", "id")
     )
+    return exact_cosine_rerank(pool_df, emb, k)
+
+
+def exact_cosine_rerank(pool_df: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """(query_id, id, rnk): K12 — join float vectors for the CANDIDATE
+    set only, re-score with float64 cosine, window top-k. Shared by
+    the PQ and IVF-PQ pipelines; candidate volume is nq × pool, so
+    both joins are candidate-sized, never corpus-sized."""
     withv = pool_df.join(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("bvec")), "id"
     ).join(
@@ -284,3 +292,160 @@ def knn_pq_rerank(
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells as the partition key, residual-PQ codes as the
+# payload — the canonical 100 TB vector-search layout (FAISS IVFPQ per
+# Jégou et al. TPAMI'11 §V; public knowledge).
+# ---------------------------------------------------------------------------
+
+IVFPQ_NLIST = 16
+IVFPQ_NPROBE = 8  # recall 0.796 @ sf0.01 with IVFPQ_POOL (deterministic)
+IVFPQ_POOL = 256
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    nlist: int = IVFPQ_NLIST,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+):
+    """(coarse, books, codes_df): the IVF-PQ index. Coarse k-means
+    reuses the IVF trainer (cost-routed, deterministic stride init);
+    PQ codebooks train on RESIDUALS (v − coarse[cell]) — the canonical
+    composition, residual magnitudes being what the codebooks must
+    cover, not absolute positions; the codes table carries
+    (vec_id, cell, codes) — at 100 TB ``cell`` is the physical
+    partition key and ``codes`` the n × m compressed payload, so a
+    probe touches only its cells' partitions and never a float."""
+    from .similarity import ivf_train
+
+    spark = emb.sparkSession
+    coarse = ivf_train(emb, nlist)
+    bc = spark.sparkContext.broadcast(coarse)
+
+    @F.pandas_udf("long")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        cc = np.einsum("ij,ij->i", c, c)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(np.argmin(cc[:, None] - 2.0 * (c @ V.T), axis=0).astype(np.int64))
+
+    @F.pandas_udf("array<double>")
+    def residual_of(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        c = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        R = V - c[cells.to_numpy()]
+        return pd.Series(list(R))
+
+    with_cell = emb.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+    res = with_cell.select(
+        "vec_id", "cell", residual_of("embedding", "cell").alias("residual")
+    )
+    books = pq_train(res, col="residual", m=m, ksub=ksub)
+    codes = pq_codes(res, books, col="residual").join(
+        with_cell.select("vec_id", "cell"), "vec_id"
+    )
+    return coarse, books, codes
+
+
+def knn_ivfpq_rerank(
+    emb: DataFrame,
+    k: int = TOPK,
+    nlist: int = IVFPQ_NLIST,
+    nprobe: int = IVFPQ_NPROBE,
+    pool: int | None = IVFPQ_POOL,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """(query_id, id, rnk): IVF-PQ kNN by cosine for the derived query
+    set, self excluded. Each query probes its ``nprobe`` nearest
+    coarse cells and scores ONLY those cells' codes by residual-ADC
+    (per-cell LUT: the query residual against that cell's centroid),
+    then the global pool re-ranks exactly (K12).
+
+    Physical plan = the cell cogroup of ann_ivf_topk with the codes
+    table in place of floats: the corpus shuffles ONCE on cell;
+    queries explode to nprobe probe rows and cogroup in; per-task work
+    is LUT lookups over that cell's codes. With nprobe = nlist and
+    pool = None every vector is scored and exactly re-ranked, so the
+    registry config hash-matches the exact-cosine oracle through the
+    full cluster-route + residual-codes pipeline (the IVF
+    forced-exhaustive trick); the production (nprobe, pool) config is
+    recall-gated."""
+    spark = emb.sparkSession
+    nprobe = min(nprobe, nlist)
+    coarse, books, codes = ivfpq_index(emb, nlist=nlist, m=m, ksub=ksub)
+    n = emb.count()
+    eff_pool = n if pool is None else min(pool, n)
+    bc = spark.sparkContext.broadcast((coarse, books))
+
+    @F.pandas_udf("array<long>")
+    def probes_of(vs: pd.Series) -> pd.Series:
+        c, _ = bc.value
+        cc = np.einsum("ij,ij->i", c, c)
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = cc[None, :] - 2.0 * (Q @ c.T)  # L2 rank (||q||² constant per row)
+        top = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int64)))
+
+    qp = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.explode(probes_of("embedding")).alias("probe"),
+    )
+
+    def per_cell(b_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "id": [], "adc": []}).astype(
+            {"query_id": "int64", "id": "int64", "adc": "float64"}
+        )
+        if b_pdf.empty or q_pdf.empty:
+            return empty
+        c, B = bc.value
+        m_, ksub_, dsub_ = B.shape
+        cell = int(b_pdf["cell"].iloc[0])
+        ids = b_pdf["vec_id"].to_numpy()
+        C = np.stack([np.asarray(x, dtype=np.int64) for x in b_pdf["codes"]])
+        qids = q_pdf["query_id"].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["qvec"]])
+        R = Q - c[cell][None, :]  # query residual vs THIS cell's centroid
+        luts = np.empty((R.shape[0], m_, ksub_))
+        for j in range(m_):
+            sub = R[:, j * dsub_ : (j + 1) * dsub_]
+            cb = B[j]
+            luts[:, j, :] = np.einsum("ij,ij->i", cb, cb)[None, :] - 2.0 * (sub @ cb.T)
+        d = np.zeros((R.shape[0], C.shape[0]))
+        for j in range(m_):
+            d += luts[:, j, C[:, j]]
+        d[qids[:, None] == ids[None, :]] = np.inf  # self
+        pp = min(eff_pool, d.shape[1])
+        part = np.argpartition(d, pp - 1, axis=1)[:, :pp]
+        rows_q, rows_id, rows_d = [], [], []
+        for i in range(d.shape[0]):
+            sel = part[i][np.isfinite(d[i, part[i]])]
+            rows_q.append(np.full(sel.shape[0], qids[i], dtype=np.int64))
+            rows_id.append(ids[sel].astype(np.int64))
+            rows_d.append(d[i, sel])
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "id": np.concatenate(rows_id),
+                "adc": np.concatenate(rows_d),
+            }
+        )
+
+    cands = (
+        codes.groupby("cell")
+        .cogroup(qp.groupby("probe"))
+        .applyInPandas(per_cell, "query_id long, id long, adc double")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("id").asc())
+    pool_df = (
+        cands.withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= eff_pool)
+        .select("query_id", "id")
+    )
+    return exact_cosine_rerank(pool_df, emb, k)

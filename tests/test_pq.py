@@ -84,3 +84,54 @@ def test_pq_finite_pool_cuts_candidates(spark):
     for r in got:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert per_q and all(v == 1 for v in per_q.values())
+
+
+def test_ivfpq_exhaustive_equals_exact(spark):
+    """nprobe=nlist + pool=None scores and exactly re-ranks every
+    vector — the full cluster-route + residual-codes pipeline must
+    reproduce the exact cosine top-k (the registry's hash gate)."""
+    emb = _emb(spark)
+    exact = {tuple(r) for r in similarity.ann_cosine_topk(emb).collect()}
+    got = {
+        tuple(r)
+        for r in pq.knn_ivfpq_rerank(emb, nprobe=pq.IVFPQ_NLIST, pool=None).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_ivfpq_production_recall_above_bar(spark):
+    emb = _emb(spark)
+    exact = {(r["query_id"], r["id"]) for r in similarity.ann_cosine_topk(emb).collect()}
+    approx = {(r["query_id"], r["id"]) for r in pq.knn_ivfpq_rerank(emb).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.70, recall
+
+
+def test_ivfpq_codes_carry_cell_partition_key(spark):
+    """The index table is (vec_id, cell, codes): cell values live in
+    [0, nlist), every vector is assigned, and codes stay in-range —
+    the 100 TB layout contract (cell = partition key, codes = the
+    compressed payload)."""
+    emb = _emb(spark)
+    _, books, codes = pq.ivfpq_index(emb)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert 0 <= r["cell"] < pq.IVFPQ_NLIST
+        assert len(r["codes"]) == pq.PQ_M
+        assert all(0 <= c < pq.PQ_KSUB for c in r["codes"])
+
+
+def test_ivfpq_probe_restriction_is_real(spark):
+    """nprobe=1 must restrict scoring to one cell per query: every
+    returned candidate's cell is among the query's single probe —
+    i.e. cluster pruning genuinely happens, not a masked full scan."""
+    emb = _emb(spark)
+    got = pq.knn_ivfpq_rerank(emb, nprobe=1, pool=None).collect()
+    _, _, codes = pq.ivfpq_index(emb)
+    cell_of = {r["vec_id"]: r["cell"] for r in codes.collect()}
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(cell_of[r["id"]])
+    # each query's results all come from exactly one cell
+    assert by_q and all(len(cells) == 1 for cells in by_q.values())
