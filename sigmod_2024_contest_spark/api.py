@@ -1099,6 +1099,14 @@ register(
     ),
     relational.ORDER_GAP_DAYS_SQL,
 )
+# Registered PAST the driver's 50-entry window (the window is exactly
+# full this round): proven by pytest + the local driver sim now, and
+# rotates into the round-8 _CHECK_FIRST front for its driver row.
+register(
+    "power_users_daily_coverage",
+    lambda s, d: relational.power_users_daily_coverage(load_table(s, d, "events")),
+    relational.POWER_USERS_DAILY_COVERAGE_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

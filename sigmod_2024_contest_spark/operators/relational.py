@@ -2341,3 +2341,51 @@ FROM gaps JOIN customer ON o_custkey = c_custkey
 WHERE gap_days IS NOT NULL
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Relational division — daily full-coverage users
+# ---------------------------------------------------------------------------
+
+
+def power_users_daily_coverage(events: DataFrame) -> DataFrame:
+    """(user_id, n_full_days): users who performed EVERY event type in
+    a single calendar day, and on how many days — relational division
+    (the "suppliers who ship ALL parts" / FOR ALL shape), the one
+    classic relational-algebra operator the surface didn't yet cover.
+
+    Physical plan: division-by-count, not nested NOT EXISTS — one
+    distinct over (user, day, type) (cardinality bounded by the
+    covered triples, not events), a per-(user, day) count compared to
+    the global type count (a 1-row aggregate broadcast in — the
+    divisor is a catalog, its scan prunes to one column), then the
+    per-user rollup. Nothing correlated, nothing quadratic; the
+    division predicate evaluates as an equi-filter after one shuffle
+    on the already-distinct triples."""
+    day = F.date_format("ts", "yyyy-MM-dd").alias("d")
+    triples = events.select("user_id", day, "event_type").distinct()
+    n_types = events.select("event_type").distinct().agg(
+        F.count("*").alias("n_types")
+    )
+    return (
+        triples.groupBy("user_id", "d")
+        .agg(F.count("*").alias("n_cov"))
+        .join(F.broadcast(n_types))
+        .filter(F.col("n_cov") == F.col("n_types"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_full_days"))
+    )
+
+
+POWER_USERS_DAILY_COVERAGE_SQL = """
+WITH triples AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type FROM events
+),
+n AS (SELECT count(DISTINCT event_type) AS n_types FROM events)
+SELECT user_id, count(*)::BIGINT AS n_full_days
+FROM (
+  SELECT user_id, d FROM triples GROUP BY user_id, d
+  HAVING count(*) = (SELECT n_types FROM n)
+)
+GROUP BY user_id
+"""

@@ -685,3 +685,30 @@ def test_order_gap_days_partitioned_window(spark):
         load_table(spark, SF_SMOKE, "orders"), load_table(spark, SF_SMOKE, "customer")
     )._jdf.queryExecution().executedPlan().toString()
     assert "o_custkey" in plan.split("Window", 1)[1][:400]
+
+
+def test_power_users_daily_coverage_oracle(spark):
+    _check(spark, "power_users_daily_coverage")
+
+
+def test_power_users_division_semantics_planted(spark):
+    """Division: user 1 covers both types on one day, user 2 never
+    covers both in a single day (one type per day), user 3 covers both
+    on two days."""
+    import datetime as dt
+
+    def ev(eid, uid, day, typ):
+        return (eid, dt.datetime(2024, 1, day, 12), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 1, "view"), ev(2, 1, 1, "click"),
+        ev(3, 2, 1, "view"), ev(4, 2, 2, "click"),
+        ev(5, 3, 1, "view"), ev(6, 3, 1, "click"),
+        ev(7, 3, 2, "view"), ev(8, 3, 2, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r["n_full_days"]
+           for r in relational.power_users_daily_coverage(events).collect()}
+    assert got == {1: 1, 3: 2}
