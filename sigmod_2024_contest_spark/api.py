@@ -1110,79 +1110,136 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (r6 verdict #2). The correctness harness runs
-# the FIRST 50 registered entries and stops, so with 66+ entries the
-# tail can never earn a driver-green row. Re-order the registry after
-# all registrations: entries that still lack a driver hash row (the 16
-# driver-skipped in r6 plus the repaired embed_project, plus anything
-# new this round) come first; the remainder keep their original order,
-# pushing the multiply-proven kNN/encode rows past the window. Across
-# rounds every entry earns at least one driver-green artifact row.
+# Driver-window rotation (r6 verdict #2, r7 verdict #1). The correctness
+# harness runs the FIRST 50 registered entries and stops, so with 100
+# entries the tail can never earn a driver-green row in a single round.
+# Re-order the registry after all registrations: the rotation window
+# comes first; the remainder keep their original order. Across every
+# two consecutive rounds each entry earns at least one driver hash row.
+#
+# Round-8 window = exactly {the 49 r6-window entries that received no
+# r7 row} ∪ {power_users_daily_coverage, the only entry with zero
+# driver rows ever (registered at position 99 in r7)}. The 50 entries
+# driver-proven in CORRECTNESS_r07 rotate to the back for r8 and return
+# in r9.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
-    # new this round — need their first green row
-    "tfidf_topk",
-    "salted_user_join",
-    "events_daily_dedup",
-    "events_daily_pivot",
-    "sales_rollup",
-    "events_user_reach",
-    "promo_revenue",
-    "large_orders",
-    "discounted_revenue",
-    "sales_opportunity",
-    "volume_shipping",
-    "parts_supplier_counts",
-    # repaired this round — needs its first green row
-    "embed_project",
-    # never driver-checked through r6 (registered past the 50-window)
-    "user_totals",
-    "media_byte_stats",
-    "media_frame_sample",
-    "media_resize",
-    "pricing_summary",
-    "top_customers",
-    "events_json_stats",
-    "asof_last_error",
-    "event_funnel",
-    "retention_cohorts",
-    "events_value_quantiles",
-    "shipping_priority",
-    "local_supplier_volume",
-    "brand_revenue",
-    "order_priority_check",
-    "returned_items",
-    # TPC-H completion sweep (r7): the 11 remaining query shapes
-    "forecast_revenue",
-    "late_line_priority",
-    "customer_order_distribution",
-    "top_supplier",
-    "min_cost_supplier",
-    "important_parts",
-    "small_qty_revenue",
-    "market_share",
-    "product_type_profit",
-    "promo_suppliers",
-    "waiting_suppliers",
-    # r7 analytics shapes: basket self-join, RANGE frame, lag growth
-    "copurchase_pairs",
-    "rolling_revenue",
-    "revenue_growth_mom",
-    # r7: last two cells of the grouping/join matrix
-    "sales_cube",
-    "user_order_reconciliation",
-    "order_gap_days",
-    # r7: product quantization (exact hash gate + recall gate)
-    "knn_pq_rerank",
-    "recall_pq_vs_exact",
-    # r7: IVF-PQ composition — fills the 50-entry driver window exactly
-    "knn_ivfpq_rerank",
-    "recall_ivfpq_vs_exact",
+    # the one entry with no driver row in any round — first in line
+    "power_users_daily_coverage",
+    # --- the 49 r6-window entries (green in CORRECTNESS_r06, absent
+    # --- from the r7 window; embed_project moved on via its r7 row) ---
+    # kNN core + routing
+    "knn_bruteforce",
+    "knn_declarative",
+    "knn_hybrid",
+    "knn_hybrid_bf_exact",
+    "knn_auto",
+    "route_plan",
+    "selectivity",
+    "split_interval",
+    "stats_category_counts",
+    "workload_stats",
+    # quantized encodes + reranks
+    "sq8_encode",
+    "sq8_asym_encode",
+    "sq4_encode",
+    "knn_sq8_rerank",
+    "knn_asym_rerank",
+    "knn_sq4_rerank",
+    # recall gates
+    "recall_hybrid_vs_exact",
+    "recall_ivf_vs_exact",
+    "recall_lsh_vs_exact",
+    "recall_nndescent_vs_exact",
+    # ANN similarity search
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # dedup family
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_cosine_lsh",
+    "decontaminate",
+    "winnow_fingerprints",
+    # text analysis
+    "lang_id",
+    "text_stats",
+    "text_repetition",
+    "token_counts",
+    "vocab_counts",
+    "ngram_counts",
+    "doc_fingerprint",
+    "redact_pii",
+    # curation + sampling
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "sample_balanced_splits",
+    "mixture_sample",
+    # streaming (batch-parity bodies)
+    "events_click_attribution",
+    "events_sessionized",
+    "events_windowed_counts",
 ]
+
+# Entries with a driver-green hash row in the PREVIOUS round
+# (CORRECTNESS_r07, 50/50 green). Together with _CHECK_FIRST these
+# must cover the whole registry: a new entry registered without being
+# added to the rotation plan fails loudly at import instead of
+# silently landing outside every driver window (r7 verdict #4).
+_PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
+    {
+        "tfidf_topk", "salted_user_join", "events_daily_dedup",
+        "events_daily_pivot", "sales_rollup", "events_user_reach",
+        "promo_revenue", "large_orders", "discounted_revenue",
+        "sales_opportunity", "volume_shipping", "parts_supplier_counts",
+        "embed_project", "user_totals", "media_byte_stats",
+        "media_frame_sample", "media_resize", "pricing_summary",
+        "top_customers", "events_json_stats", "asof_last_error",
+        "event_funnel", "retention_cohorts", "events_value_quantiles",
+        "shipping_priority", "local_supplier_volume", "brand_revenue",
+        "order_priority_check", "returned_items", "forecast_revenue",
+        "late_line_priority", "customer_order_distribution",
+        "top_supplier", "min_cost_supplier", "important_parts",
+        "small_qty_revenue", "market_share", "product_type_profit",
+        "promo_suppliers", "waiting_suppliers", "copurchase_pairs",
+        "rolling_revenue", "revenue_growth_mom", "sales_cube",
+        "user_order_reconciliation", "order_gap_days", "knn_pq_rerank",
+        "recall_pq_vs_exact", "knn_ivfpq_rerank", "recall_ivfpq_vs_exact",
+    }
+)
+
+_DRIVER_WINDOW = 50
 
 
 def _rotate_registry() -> None:
+    missing = [k for k in _CHECK_FIRST if k not in _REGISTRY]
+    if missing:
+        raise AssertionError(
+            f"_CHECK_FIRST names unregistered entries: {missing}"
+        )
+    uncovered = sorted(
+        k for k in _REGISTRY
+        if k not in _CHECK_FIRST and k not in _PRIOR_ROUND_GREEN
+    )
+    if uncovered:
+        raise AssertionError(
+            "registry entries outside every driver window: "
+            f"{uncovered} — add them to _CHECK_FIRST (and trim it back "
+            f"to {_DRIVER_WINDOW}) or record their prior-round green row "
+            "in _PRIOR_ROUND_GREEN"
+        )
+    if len(_CHECK_FIRST) > _DRIVER_WINDOW:
+        raise AssertionError(
+            f"_CHECK_FIRST has {len(_CHECK_FIRST)} entries; the driver "
+            f"only checks the first {_DRIVER_WINDOW} — trim the list"
+        )
     front = {k: _REGISTRY[k] for k in _CHECK_FIRST if k in _REGISTRY}
     rest = {k: v for k, v in _REGISTRY.items() if k not in front}
     _REGISTRY.clear()

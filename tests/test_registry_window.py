@@ -1,0 +1,90 @@
+"""Driver-window rotation invariants (r7 verdict #1 and #4).
+
+The correctness driver hashes the FIRST 50 registry entries only, so
+with 100 entries the rotation list in ``api.py`` is the sole mechanism
+that guarantees every entry a driver-green row within two rounds. These
+tests pin (a) the exact round-8 window composition and (b) the
+loud-fail insurance: a new entry registered without updating the
+rotation plan must raise at import, not silently land outside every
+window (the ``bda2c85`` failure mode, twice flagged by the judge).
+"""
+
+import pytest
+
+from sigmod_2024_contest_spark import api
+
+
+ROUND8_WINDOW = {
+    # the only entry with zero driver rows before r8
+    "power_users_daily_coverage",
+    # the 49 r6-window entries rotated back in
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "chunk_documents",
+    "curate_corpus", "decontaminate", "dedup_clusters", "dedup_containment",
+    "dedup_cosine_lsh", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint",
+    "events_click_attribution", "events_sessionized", "events_windowed_counts",
+    "knn_asym_rerank", "knn_auto", "knn_bruteforce", "knn_declarative",
+    "knn_hybrid", "knn_hybrid_bf_exact", "knn_sq4_rerank", "knn_sq8_rerank",
+    "lang_id", "mixture_sample", "ngram_counts", "pack_sequences",
+    "recall_hybrid_vs_exact", "recall_ivf_vs_exact", "recall_lsh_vs_exact",
+    "recall_nndescent_vs_exact", "redact_pii", "route_plan",
+    "sample_balanced_splits", "selectivity", "split_interval", "sq4_encode",
+    "sq8_asym_encode", "sq8_encode", "stats_category_counts",
+    "text_repetition", "text_stats", "token_counts", "vocab_counts",
+    "winnow_fingerprints", "workload_stats",
+}
+
+
+def test_round8_window_is_exactly_the_promised_set():
+    """First 50 registry keys == {r6 window entries} ∪ {the division
+    entry}, per the r7 verdict's 'done' criterion (item #1)."""
+    first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
+    assert len(first) == 50
+    assert set(first) == ROUND8_WINDOW
+
+
+def test_window_plus_prior_green_covers_registry():
+    """No entry may sit outside both the current window and the
+    prior-round green list — the condition _rotate_registry enforces."""
+    covered = set(api._CHECK_FIRST) | set(api._PRIOR_ROUND_GREEN)
+    assert set(api._REGISTRY) <= covered
+
+
+def test_registering_unplanned_entry_fails_rotation():
+    """A 101st entry added without updating _CHECK_FIRST or
+    _PRIOR_ROUND_GREEN must fail _rotate_registry loudly."""
+    name = "___unplanned_test_entry___"
+    assert name not in api._REGISTRY
+    api._REGISTRY[name] = (lambda s, d: None, None)
+    try:
+        with pytest.raises(AssertionError, match="outside every driver window"):
+            api._rotate_registry()
+    finally:
+        api._REGISTRY.pop(name, None)
+        api._rotate_registry()  # restore canonical order
+
+
+def test_overfull_window_fails_rotation():
+    """_CHECK_FIRST longer than the driver window must fail: names past
+    position 50 would silently never be checked."""
+    extra = "___overflow_test_entry___"
+    api._REGISTRY[extra] = (lambda s, d: None, None)
+    api._CHECK_FIRST.append(extra)
+    try:
+        with pytest.raises(AssertionError, match="trim the list"):
+            api._rotate_registry()
+    finally:
+        api._CHECK_FIRST.remove(extra)
+        api._REGISTRY.pop(extra, None)
+        api._rotate_registry()
+
+
+def test_check_first_names_are_registered():
+    """A typo'd window name must fail rather than shrink the window."""
+    api._CHECK_FIRST.append("___missing_entry___")
+    try:
+        with pytest.raises(AssertionError, match="unregistered"):
+            api._rotate_registry()
+    finally:
+        api._CHECK_FIRST.remove("___missing_entry___")
+        api._rotate_registry()
