@@ -459,38 +459,39 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
     ``ln((N+1)/(df+1))`` would round differently across libm builds —
     the repo-wide integer-ppm convention).
 
-    Distributed shape, two aggregations and one join:
+    Distributed shape — a single linear pipeline, no diamond:
     1. tokenize ONCE into a projected column (no-CSE-in-lambdas rule),
        explode, count tf per (doc_id, term) — map-side combine carries
        one row per distinct pair into the shuffle;
-    2. df per term off the SAME pair table (already distinct by
-       construction — no second pass over raw text);
-    3. join tf×df on term (vocab-sized, Zipf-skewed: hot terms have
-       high df and are EXCLUDED from top-k anyway, but the join must
-       still survive them — AQE skew split handles the hot-term
-       partitions), then per-doc top-k via row_number partitioned by
-       doc_id (millions of small partitions — the scalable window
-       axis; ties break (score desc, term asc) so the cut is total).
+    2. df per term as a COUNT window over the SAME pair table
+       (partitionBy term, whole-partition frame). The pair table is
+       distinct by (doc_id, term) construction, so the window count IS
+       the document frequency — no second aggregation, no vocab join,
+       and crucially no cached diamond: the r7 shape persisted the
+       pair table to feed both a groupBy and a join-back, and that
+       .persist() leaked across the driver's 100-entry session
+       (r7 verdict #3). Zipf-hot terms make a few fat term-partitions;
+       each holds (term, doc) pairs — bounded by corpus doc count, the
+       same bound the old shuffle-join's hot partitions had;
+    3. per-doc top-k via row_number partitioned by doc_id (millions of
+       small partitions — the scalable window axis; ties break
+       (score desc, term asc) so the cut is total).
     """
     pairs = (
         docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
-        # pairs feeds BOTH the df aggregation and the score join;
-        # unpersisted, Catalyst re-runs the tokenize+explode+agg per
-        # consumer (two documents scans — the exact "second pass over
-        # raw text" step 2 rules out). Distinct-pair sized, distributed
-        # cache.
-        .persist()
     )
-    df_tbl = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    scored = pairs.join(df_tbl, "term").select(
+    w_term = Window.partitionBy("term")
+    scored = pairs.select(
         "doc_id",
         "term",
         "tf",
-        "df",
-        F.expr("CAST(tf * 1000000 DIV (1 + df) AS BIGINT)").alias("score_ppm"),
+        F.count("*").over(w_term).cast("long").alias("df"),
+    ).withColumn(
+        "score_ppm",
+        F.expr("CAST(tf * 1000000 DIV (1 + df) AS BIGINT)"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_ppm").desc(), F.col("term").asc()

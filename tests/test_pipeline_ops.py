@@ -713,6 +713,24 @@ def test_tfidf_topk_planted(spark):
     assert (1, "common") not in got
 
 
+def test_tfidf_topk_leaves_no_cached_rdds(spark):
+    """r7 verdict #2: the r7 tfidf shape persisted its pair table and
+    never unpersisted, leaking one cached RDD per call across the
+    driver's 100-entry session. The rewrite (df as a window count over
+    term — no diamond) must leave the persistent-RDD map exactly as it
+    found it after the action completes."""
+    from sigmod_2024_contest_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} shared", "en", "s", 0) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert T.tfidf_topk(docs, k=3).count() > 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after == before
+
+
 # --- r7: explicit skew-salted join ---
 
 
