@@ -269,7 +269,17 @@ def exact_cosine_rerank(pool_df: DataFrame, emb: DataFrame, k: int) -> DataFrame
     """(query_id, id, rnk): K12 — join float vectors for the CANDIDATE
     set only, re-score with float64 cosine, window top-k. Shared by
     the PQ and IVF-PQ pipelines; candidate volume is nq × pool, so
-    both joins are candidate-sized, never corpus-sized."""
+    both joins are candidate-sized, never corpus-sized.
+
+    Scoring runs as a mapInArrow kernel over the joined batches using
+    ``list_column_matrix`` (the repo-wide Arrow convention, r7 verdict
+    #3): list<float> columns decode to (n, dim) matrices without
+    per-row Python objects, and each batch is one pair of einsum folds.
+    """
+    import pyarrow as pa
+
+    from .knn import list_column_matrix
+
     withv = pool_df.join(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("bvec")), "id"
     ).join(
@@ -277,18 +287,38 @@ def exact_cosine_rerank(pool_df: DataFrame, emb: DataFrame, k: int) -> DataFrame
         "query_id",
     )
 
-    @F.pandas_udf("double")
-    def cos(qv: pd.Series, bv: pd.Series) -> pd.Series:
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in bv])
-        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-        return pd.Series(np.einsum("ij,ij->i", Q, V) / (qn * vn))
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("id", pa.int64()),
+            pa.field("cos", pa.float64()),
+        ]
+    )
 
+    def score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            Q = list_column_matrix(batch, "qvec")
+            V = list_column_matrix(batch, "bvec")
+            qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            c = np.einsum("ij,ij->i", Q, V) / (qn * vn)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("query_id").cast(pa.int64()),
+                    batch.column("id").cast(pa.int64()),
+                    pa.array(c),
+                ],
+                schema=out_schema,
+            )
+
+    scored = withv.select("query_id", "id", "qvec", "bvec").mapInArrow(
+        score, "query_id long, id long, cos double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
-        withv.withColumn("cos", cos("qvec", "bvec"))
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
