@@ -49,16 +49,25 @@ PQ_POOL = 128  # approximate-config re-rank pool (recall 0.954 @ sf0.01)
 TOPK = 10
 
 
-def _stride_init(V: np.ndarray, ksub: int) -> np.ndarray:
-    """Deterministic init shared by both twins: every (n//ksub)-th row
-    (sorted by position) seeds a centroid — same rule as IVF's."""
+def _value_stride_seeds(ids: np.ndarray, V: np.ndarray, ksub: int) -> np.ndarray:
+    """Deterministic init shared by both twins and with IVF's: the rows
+    whose vec_id is a multiple of stride = max(n//ksub, 1) with
+    vec_id/stride < ksub, ordered by vec_id. Selecting by id VALUE (not
+    sorted position) makes the local and forced-distributed twins pick
+    identical seed rows on ANY id space — the r7 positional rule
+    (V[::stride]) only coincided with the distributed filter when ids
+    were contiguous from 0 (r7 advice #3). Sparse/non-dense ids can
+    under-fill; the codebook shrinks identically in both twins instead
+    of silently diverging."""
     n = V.shape[0]
     stride = max(n // ksub, 1)
-    return V[::stride][:ksub].astype(np.float64).copy()
+    sel = (ids % stride == 0) & (ids // stride < ksub)
+    return V[sel][:ksub].astype(np.float64).copy()
 
 
-def _lloyd(V: np.ndarray, ksub: int, iters: int) -> np.ndarray:
-    cents = _stride_init(V, ksub)
+def _lloyd(V: np.ndarray, cents: np.ndarray, iters: int) -> np.ndarray:
+    if cents.shape[0] == 0 or V.shape[0] == 0:
+        return cents
     for _ in range(iters):
         cc = np.einsum("ij,ij->i", cents, cents)
         assign = np.argmin(cc[:, None] - 2.0 * (cents @ V.T), axis=0)
@@ -93,10 +102,19 @@ def pq_train(
     if local_rows and n <= local_rows:
         rows = emb.select("vec_id", col).collect()
         rows.sort(key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         V = np.array([r[col] for r in rows], dtype=np.float64)
         dsub = V.shape[1] // m
+        seeds = _value_stride_seeds(ids, V, ksub)
         return np.stack(
-            [_lloyd(V[:, j * dsub : (j + 1) * dsub], ksub, iters) for j in range(m)]
+            [
+                _lloyd(
+                    V[:, j * dsub : (j + 1) * dsub],
+                    seeds[:, j * dsub : (j + 1) * dsub].copy(),
+                    iters,
+                )
+                for j in range(m)
+            ]
         )
     # distributed twin: stride init needs the seed rows only (bounded:
     # ksub rows), then iters passes of all-subspace partials

@@ -917,15 +917,23 @@ def sales_opportunity(
     Physical plan: the scalar average is one tiny agg broadcast into
     the filter; the NOT-EXISTS is a LEFT ANTI hash join against the
     date-pruned orders projection (o_custkey only reaches the shuffle);
-    final per-segment agg is catalog-sized. Nothing driver-side."""
-    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    final per-segment agg is catalog-sized. Nothing driver-side.
+
+    The above-average predicate compares in scaled integers —
+    cents(bal) * n_positive > sum(cents(positive bals)) — instead of
+    bal > avg(bal): a float mean is summation-order-dependent, so a
+    balance within an ulp of it could flip membership between Spark
+    and the oracle (r7 advice #2; the repo-wide integer-cents
+    convention for hash-relevant arithmetic)."""
+    pos_stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("sum_pos_c"),
+        F.count("*").cast("long").alias("n_pos"),
     )
     recent = orders.filter(
         F.col("o_orderdate") >= F.lit(active_cutoff).cast("timestamp")
     ).select("o_custkey")
-    rich = customer.join(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("avg_bal")
+    rich = customer.join(F.broadcast(pos_stats)).filter(
+        _cents(F.col("c_acctbal")) * F.col("n_pos") > F.col("sum_pos_c")
     )
     return (
         rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
@@ -943,7 +951,10 @@ SELECT c_mktsegment AS segment,
        count(*)::BIGINT AS n_cust,
        sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS acctbal_c
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+         FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey

@@ -39,6 +39,27 @@ def test_pq_train_twins_identical(spark):
     assert np.allclose(local, dist), float(np.abs(local - dist).max())
 
 
+def test_pq_train_twins_identical_noncontiguous_ids(spark):
+    """r7 advice #3: the local twin seeded by sorted POSITION while the
+    distributed twin filtered by id VALUE — they only agreed when
+    vec_ids were contiguous from 0. Both now use the value rule, so a
+    shifted/strided id space (7*id + 3: no id is a seed multiple the
+    positional rule would pick) must still train identical codebooks
+    through both paths."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        _emb(spark)
+        .limit(512)
+        .select((F.col("vec_id") * 7 + 3).alias("vec_id"), "embedding")
+    )
+    local = pq.pq_train(emb)
+    dist = pq.pq_train(emb, local_rows=0)
+    assert local.shape == dist.shape
+    assert local.shape[1] > 0  # the value rule must still find seeds
+    assert np.allclose(local, dist), float(np.abs(local - dist).max())
+
+
 def test_pq_pool_all_equals_exact(spark):
     """pool=None re-ranks everything: the full codes -> ADC -> pool ->
     exact-rerank pipeline must reproduce the exact cosine top-k."""

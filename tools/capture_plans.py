@@ -99,15 +99,17 @@ PICKS = {
         "flips the bench join to its shuffle twin for a corpus-sized bench."
     ),
     "waiting_suppliers": (
-        "TPC-H Q21: the correlated EXISTS/NOT-EXISTS pair decorrelated into "
-        "ONE per-order conditional-distinct aggregate; late lines join that "
-        "summary back on the same orderkey partitioning (exchange reuse), "
-        "supplier resolves last over the small surviving set."
+        "TPC-H Q21: ONE fact pass to (order, supplier, any_late) grain; the "
+        "correlated EXISTS/NOT-EXISTS pair becomes two window sums over that "
+        "grain partitioned by the high-cardinality orderkey (no join-back, "
+        "no second lineitem scan); supplier resolves last over the small "
+        "surviving set."
     ),
     "min_cost_supplier": (
-        "TPC-H Q2: lineitem-derived supply facts, then the correlated "
-        "per-part min as an agg + join-back sharing one ps_partkey "
-        "partitioning; the size/type part filter prunes before the supply "
+        "TPC-H Q2: lineitem-derived supply facts; the correlated per-part "
+        "min is a WINDOW min over the high-cardinality ps_partkey (one scan "
+        "— the agg + join-back draft re-executed the supply derivation per "
+        "consumer); the size/type part filter prunes before the supply "
         "join; nation broadcast, supplier unhinted."
     ),
     "promo_suppliers": (
@@ -117,10 +119,12 @@ PICKS = {
         "output before the outer semi."
     ),
     "copurchase_pairs": (
-        "Market-basket pairs: self-equi-join on orderkey over the distinct "
-        "(order, part) projection — one shuffle feeds both sides; the "
-        "per-order distinct-part cap drops pathological baskets BEFORE the "
-        "join so no single key can emit quadratic output."
+        "Market-basket pairs: NOT a self-join — one groupBy(l_orderkey) "
+        "collects each basket as a sorted distinct-part array, then JVM "
+        "array expressions expand the within-basket pairs; the per-order "
+        "distinct-part cap bounds basket size BEFORE expansion so no single "
+        "order can emit quadratic output (measured: the self-join twin ran "
+        "~4x slower at sf0.1)."
     ),
     "rolling_revenue": (
         "Trailing 7-day revenue: aggregate to daily grain FIRST, then a "
