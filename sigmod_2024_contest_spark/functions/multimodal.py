@@ -9,16 +9,20 @@ sample rate) are prunable/filterable WITHOUT touching payload bytes.
 All per-byte work happens in ``mapInPandas`` over Arrow record
 batches — NumPy ``frombuffer`` per row, no Python byte loops.
 
-Decode stubs: this container ships no image/audio codecs, so
-``decode=\"real\"`` raises NotImplementedError at the exact seam where
-PIL/ffmpeg would plug in, and ``decode=\"fake\"`` (default) is a
-deterministic stand-in — payload bytes are interpreted directly as
-pixel/sample values. The fake keeps every downstream kernel (histogram,
-block-mean resize, frame slicing) real, vectorized, and testable; the
-testdata payloads are the documents' UTF-8 bytes, so byte-level results
-are independently verifiable by the DuckDB oracle via ascii()
-arithmetic on the text (api.py entries media_byte_stats,
-media_frame_sample).
+Decode paths: ``decode=\"fake\"`` (default) is a deterministic
+stand-in — payload bytes are interpreted directly as pixel/sample
+values — keeping every downstream kernel (histogram, block-mean
+resize, frame slicing) real, vectorized, and testable; the testdata
+payloads are the documents' UTF-8 bytes, so byte-level results are
+independently verifiable by the DuckDB oracle via ascii() arithmetic
+on the text (api.py entries media_byte_stats, media_frame_sample).
+``decode=\"real\"`` parses actual uncompressed image containers in
+pure NumPy — binary PGM/PPM (P5/P6) and uncompressed 8/24-bit BMP —
+no external codec needed; compressed formats (JPEG/PNG/MP4) raise
+ValueError at the same seam, which is where PIL/ffmpeg would plug in
+on a cluster that ships them. Either way the decoded samples flow
+into the SAME kernels, so the Spark-side plumbing (schema,
+partitioning, Arrow batch shape) is identical for both paths.
 """
 
 from __future__ import annotations
@@ -56,12 +60,77 @@ def pack_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pnm_header(buf: bytes) -> tuple[list[int], int]:
+    """Parse the 3 integer header tokens (width, height, maxval) of a
+    binary PNM after the 2-byte magic, honoring '#' comments; returns
+    (tokens, offset of the first raster byte — one whitespace past the
+    maxval token, per the PNM spec)."""
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        if i >= len(buf):
+            raise ValueError("truncated PNM header")
+        c = buf[i]
+        if c == 0x23:  # '#' comment runs to end of line
+            while i < len(buf) and buf[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            i += 1
+        else:
+            j = i
+            while j < len(buf) and buf[j] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23):
+                j += 1
+            toks.append(int(buf[i:j]))
+            i = j
+    return toks, i + 1  # exactly one whitespace byte precedes the raster
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real (codec-free) image decode: binary PGM ('P5', gray) / PPM
+    ('P6', RGB) and uncompressed 8-bit or 24-bit BMP, parsed with
+    NumPy only. Returns (height, width, channels, samples) with
+    samples flat in row-major top-down raster order (BMP bottom-up
+    rows are flipped, row padding stripped, BGR reordered to RGB).
+    Compressed containers raise ValueError — that is the seam where a
+    cluster-side codec (PIL/ffmpeg) would plug in."""
+    magic = payload[:2]
+    if magic in (b"P5", b"P6"):
+        (w, h, maxval), off = _pnm_header(payload)
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        ch = 1 if magic == b"P5" else 3
+        need = w * h * ch
+        raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        return h, w, ch, raster.copy()
+    if magic == b"BM":
+        hdr = np.frombuffer(payload, dtype=np.uint8, count=54).copy()
+        data_off = int(hdr[10:14].view(np.uint32)[0])
+        w = int(hdr[18:22].view(np.int32)[0])
+        h_raw = int(hdr[22:26].view(np.int32)[0])
+        bpp = int(hdr[28:30].view(np.uint16)[0])
+        compression = int(hdr[30:34].view(np.uint32)[0])
+        if compression != 0 or bpp not in (8, 24):
+            raise ValueError(f"only uncompressed 8/24-bit BMP (bpp={bpp}, comp={compression})")
+        h = abs(h_raw)
+        ch = bpp // 8
+        stride = (w * ch + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = raster.reshape(h, stride)[:, : w * ch]
+        if h_raw > 0:
+            rows = rows[::-1]  # positive height = bottom-up storage
+        px = rows.reshape(h, w, ch)
+        if ch == 3:
+            px = px[:, :, ::-1]  # BGR -> RGB
+        return h, w, ch, np.ascontiguousarray(px).ravel()
+    raise ValueError(
+        f"unrecognized container magic {magic!r}: compressed formats "
+        "(JPEG/PNG/MP4) need a cluster-side codec — plug it in here"
+    )
+
+
 def _decode_bytes(payload: bytes, decode: str) -> np.ndarray:
     if decode == "real":
-        raise NotImplementedError(
-            "real image/audio decode needs PIL/soundfile/ffmpeg — not in "
-            "this container; plug the codec in here"
-        )
+        return decode_image(bytes(payload))[3]
     return np.frombuffer(payload, dtype=np.uint8)
 
 

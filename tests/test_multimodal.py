@@ -1,5 +1,6 @@
 """Multimodal binary-column plumbing: schemas, Arrow batch shapes,
-fake-decode kernels vs NumPy reference, real-decode stub seam."""
+fake-decode kernels vs NumPy reference, and the real (codec-free)
+PGM/PPM/BMP decode path on planted container bytes."""
 
 from __future__ import annotations
 
@@ -57,13 +58,100 @@ def test_resize_matches_numpy_reference(spark):
         assert list(got["pixels"]) == want
 
 
-def test_real_decode_is_explicit_stub(spark):
-    media = MM.pack_media(_docs(spark)).limit(2)
-    with pytest.raises(Exception) as ei:
-        MM.byte_stats(media, decode="real").collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+# --- real (codec-free) decode: planted-bytes containers -------------------
+
+
+def _pgm(w, h, vals, comment=False):
+    head = b"P5\n" + (b"# planted\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+    return head + bytes(vals)
+
+
+def _bmp24(w, h, rgb_rows):
+    """Minimal uncompressed 24-bit BMP: bottom-up rows, 4-byte padded,
+    BGR order — the layout decode_image must undo."""
+    stride = (w * 3 + 3) // 4 * 4
+    raster = b""
+    for row in reversed(rgb_rows):  # bottom-up
+        line = b"".join(bytes([b_, g, r]) for (r, g, b_) in row)  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    data_off = 54
+    size = data_off + len(raster)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")  # positive = bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
     )
+    return hdr + raster
+
+
+def test_decode_image_pgm_planted():
+    vals = [10, 20, 30, 40, 50, 60]
+    h, w, ch, arr = MM.decode_image(_pgm(3, 2, vals, comment=True))
+    assert (h, w, ch) == (2, 3, 1)
+    assert arr.tolist() == vals
+
+
+def test_decode_image_ppm_planted():
+    raster = bytes(range(2 * 1 * 3))  # 2x1 RGB
+    h, w, ch, arr = MM.decode_image(b"P6\n2 1\n255\n" + raster)
+    assert (h, w, ch) == (1, 2, 3)
+    assert arr.tolist() == list(range(6))
+
+
+def test_decode_image_bmp24_planted():
+    """w=3 forces row padding (9 -> 12 bytes); values chosen so any
+    BGR/row-order mistake changes the output."""
+    rows = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)], [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    h, w, ch, arr = MM.decode_image(_bmp24(3, 2, rows))
+    assert (h, w, ch) == (2, 3, 3)
+    assert arr.reshape(2, 3, 3).tolist() == [[list(p) for p in r] for r in rows]
+
+
+def test_decode_image_rejects_compressed():
+    with pytest.raises(ValueError, match="codec"):
+        MM.decode_image(b"\xff\xd8\xff\xe0JFIF-like")
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    """decode='real' end-to-end: planted PGM payloads flow through the
+    SAME mapInPandas kernel as the fake path, and byte_stats reduces
+    the decoded samples (header excluded) exactly."""
+    vals = [[9, 9, 9, 1], [0, 255, 16, 32]]
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(_pgm(2, 2, v)), (2, 2, 1, 0)) for i, v in enumerate(vals)],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in MM.byte_stats(media, decode="real").collect()}
+    for i, v in enumerate(vals):
+        assert got[i]["n_bytes"] == 4
+        assert got[i]["sum_bytes"] == sum(v)
+        assert got[i]["sumsq_bytes"] == sum(x * x for x in v)
+        ref = np.bincount(np.asarray(v) >> 4, minlength=MM.N_BINS).tolist()
+        assert list(got[i]["hist"]) == ref
+
+
+def test_real_decode_resize_through_spark(spark):
+    """Block-mean resize over a REAL-decoded 4x4 PGM: meta dims match
+    the container dims, so np.resize is a no-op and the pooled output
+    is the hand-computed 2x2 block mean."""
+    img = list(range(16))  # 4x4 ramp
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(_pgm(4, 4, img)), (4, 4, 1, 0))],
+        MM.MEDIA_SCHEMA,
+    )
+    [r] = MM.resize_images(media, factor=2, decode="real").collect()
+    assert (r["out_w"], r["out_h"]) == (2, 2)
+    ref = np.arange(16).reshape(4, 4).reshape(2, 2, 2, 2).transpose(0, 2, 1, 3)
+    ref = np.floor(ref.reshape(2, 2, 4).mean(axis=2)).astype(int).ravel().tolist()
+    assert list(r["pixels"]) == ref
 
 
 def test_frame_sample_covers_payload(spark):
