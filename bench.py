@@ -397,6 +397,21 @@ def main() -> None:
 
     import gc
 
+    # Spark-level cleanup hook (r7 advice #4): a few entries persist
+    # derived tables for the duration of their own action (scalar
+    # diamonds like top_customers/Q15/Q11) — across a 100-entry loop
+    # those caches would otherwise accumulate and lean on LRU eviction.
+    # Snapshot the persists the PREP phase owns (the hybrid index and
+    # codes replicas, reused by every knn entry), then drop anything new
+    # after each entry.
+    keep_rdds = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    def _drop_new_persists() -> None:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in keep_rdds:
+                jmap.get(rid).unpersist(False)
+
     timings: dict[str, float] = {}
     for name in names:
         gc.collect()  # one entry's droppable refs are not the next one's pause
@@ -407,6 +422,7 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable on partial failure
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        _drop_new_persists()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

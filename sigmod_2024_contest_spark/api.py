@@ -1122,6 +1122,13 @@ register(
 # driver rows ever (registered at position 99 in r7)}. The 50 entries
 # driver-proven in CORRECTNESS_r07 rotate to the back for r8 and return
 # in r9.
+#
+# STANDING OBLIGATION (round 9 and after): each round, swap the two
+# halves — next round's _CHECK_FIRST := this round's _PRIOR_ROUND_GREEN
+# (minus any entry re-proven meanwhile), and _PRIOR_ROUND_GREEN := this
+# round's _CHECK_FIRST once its CORRECTNESS artifact is green. A new
+# entry MUST be placed in _CHECK_FIRST (displacing the most-recently
+# proven name) or the assert below fails at import.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
