@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from sigmod_2024_contest_spark.operators import engine, routing
 from sigmod_2024_contest_spark.plans import workload
 from sigmod_2024_contest_spark.plans.explain import (
@@ -53,6 +55,33 @@ def test_explain_fanout_matches_shard_metadata(spark):
                 prefix = f"cat:{int(queries[r['query_id']]['v'])}"
                 want = math.ceil(counts[prefix] / engine.MAX_NODES_PER_GRAPH)
                 assert r["n_shards"] == want
+
+
+def test_explain_fanout_matches_engine_assignments(spark):
+    """The strongest tie: for every graph-routed query, the explain
+    table's n_shards must equal the number of (query, pkey) pairs the
+    ENGINE's assignment join actually produces against the analytic
+    shard catalog — same slice math, same empty-slice drops."""
+    base = base_vectors(spark, SF_SMOKE)
+    queries = workload.queries_df(spark, SF_SMOKE)
+    plan = routing.route_plan(base, queries)
+    counts = _slice_counts(base, routing.CAT_GRAPH_THR)
+    splan = {p: math.ceil(c / engine.MAX_NODES_PER_GRAPH) for p, c in counts.items()}
+    catalog = engine.catalog_from_plan(spark, splan)
+    actual = {
+        r["query_id"]: r["n"]
+        for r in engine._assignments(queries, plan, catalog)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in explain_routes(spark, SF_SMOKE).collect():
+        assert r["n_shards"] == actual.get(r["query_id"], 0), (
+            r["query_id"],
+            r["route"],
+            r["n_shards"],
+            actual.get(r["query_id"], 0),
+        )
 
 
 def test_render_route_report_sections(spark):
