@@ -139,6 +139,13 @@ PICKS = {
         "and ONLY pool candidates join back to float vectors for the "
         "exact cosine re-rank (the K12 pattern)."
     ),
+    "tfidf_topk": (
+        "TF-IDF keyword extraction, one linear pipeline (r8): tokenize + "
+        "explode + pair-count once, document frequency as a count() window "
+        "over term on the SAME pair table (no vocab join, no cached "
+        "diamond), then the per-doc top-k window — exactly two exchanges "
+        "(term, then doc_id) over one documents scan."
+    ),
 }
 
 
