@@ -79,6 +79,45 @@ def test_overfull_window_fails_rotation():
         api._rotate_registry()
 
 
+def test_rotate_window_tool_plans_stalest_first():
+    """tools/rotate_window.py ranks never-green entries first, then
+    oldest-green, and reports the newest round as prior-green —
+    the mechanical form of the standing half-swap obligation."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from rotate_window import plan_next_window
+
+    names = ["a", "b", "c", "d", "e"]
+    rounds = {
+        7: {"a", "b"},         # newest round green
+        6: {"c"},              # stale by one round
+    }                           # d, e: never green
+    nxt, prior = plan_next_window(names, rounds, window=3)
+    assert nxt == ["d", "e", "c"]  # never-green first, then stalest
+    assert prior == {"a", "b"}
+
+
+def test_rotate_window_tool_reproduces_r8_window():
+    """On the repo's real r1-r7 artifacts the tool must propose exactly
+    the committed r8 window (same 50 names)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from rotate_window import load_green_rounds, plan_next_window
+
+    # pin to rounds <= 7 and to the LITERAL r8 window: the input and
+    # the expectation are both frozen facts, so this stays green after
+    # the driver writes CORRECTNESS_r08+ and after future rotations
+    # change api._CHECK_FIRST
+    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 7}
+    assert max(rounds) == 7
+    names = sorted(ROUND8_WINDOW | rounds[7])  # the r8-era registry, frozen
+    nxt, prior = plan_next_window(names, rounds, window=50)
+    assert set(nxt) == ROUND8_WINDOW
+    assert prior == rounds[7]
+
+
 def test_check_first_names_are_registered():
     """A typo'd window name must fail rather than shrink the window."""
     api._CHECK_FIRST.append("___missing_entry___")
