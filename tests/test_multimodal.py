@@ -120,6 +120,39 @@ def test_decode_image_rejects_compressed():
         MM.decode_image(b"\xff\xd8\xff\xe0JFIF-like")
 
 
+def test_decode_image_roundtrip_property():
+    """Randomized container round-trip (hypothesis): any gray image
+    encoded as PGM, and any RGB image encoded as bottom-up padded BMP,
+    must decode back to the exact pixel matrix."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # environment without hypothesis: planted tests cover it
+        pytest.skip("hypothesis unavailable")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        data=st.data(),
+    )
+    def roundtrip(w, h, data):
+        gray = data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+        )
+        gh, gw, gch, garr = MM.decode_image(_pgm(w, h, gray))
+        assert (gh, gw, gch) == (h, w, 1) and garr.tolist() == gray
+        rgb_rows = [
+            [tuple(data.draw(st.integers(0, 255)) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        bh, bw, bch, barr = MM.decode_image(_bmp24(w, h, rgb_rows))
+        assert (bh, bw, bch) == (h, w, 3)
+        assert barr.reshape(h, w, 3).tolist() == [[list(p) for p in r] for r in rgb_rows]
+
+    roundtrip()
+
+
 def test_real_decode_through_spark_pipeline(spark):
     """decode='real' end-to-end: planted PGM payloads flow through the
     SAME mapInPandas kernel as the fake path, and byte_stats reduces
