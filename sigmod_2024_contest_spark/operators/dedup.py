@@ -484,6 +484,38 @@ WHERE inter * 1000000 >= {tau_ppm} * (n1.n + n2.n - inter)
 # ---------------------------------------------------------------------------
 
 
+def band_sigs(arrs: DataFrame, with_skeys: bool = False) -> DataFrame:
+    """(doc_id, band, sig[, skeys]) — the LSH band signatures of a
+    (doc_id, skeys, mh) shingle table: N_HASHES minhashes split into
+    bands of BAND_ROWS, each band's values folded to one string key.
+    Shared by the batch pair join and the streaming stateful twin so
+    the two candidate generators cannot drift."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("mh", b * BAND_ROWS + j + 1).cast("string")
+                        for j in range(BAND_ROWS)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+    )
+    cols = ["doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")]
+    if with_skeys:
+        cols.append("skeys")
+    keep = ["doc_id", "skeys"] if with_skeys else ["doc_id"]
+    return (
+        arrs.filter(F.size("skeys") > 0)
+        .select(*keep, F.explode(bands).alias("bs"))
+        .select(*cols)
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFrame:
     """(d1, d2, jaccard_ppm): LSH-banded candidate generation +
     exact-Jaccard verification.
@@ -500,27 +532,7 @@ def minhash_lsh_pairs(docs: DataFrame, tau_ppm: int = JACCARD_TAU_PPM) -> DataFr
     # derive from this cache, so hashing runs a single time.
     arrs = _shingle_table(docs).cache()
     sh = arrs.select("doc_id", F.explode("skeys").alias("skey"))
-
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("mh", b * BAND_ROWS + j + 1).cast("string")
-                        for j in range(BAND_ROWS)
-                    ],
-                ).alias("sig"),
-            )
-            for b in range(N_HASHES // BAND_ROWS)
-        ]
-    )
-    sigs = (
-        arrs.filter(F.size("skeys") > 0)
-        .select("doc_id", F.explode(bands).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    )
+    sigs = band_sigs(arrs)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cands = (

@@ -15,6 +15,8 @@ comparisons never hash floats.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -349,3 +351,105 @@ EVENTS_DAILY_DEDUP_SQL = """
 SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate detection (stateful MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+# Production bound on band-bucket state: a bucket holding more docs
+# than this is a degenerate signature (near-identical boilerplate at
+# corpus scale); later arrivals still pair against the retained
+# prefix, mirroring the batch path's hot-shingle df cap. None = exact
+# (the parity-test config).
+NEAR_DUP_BUCKET_CAP = 256
+
+_NEAR_DUP_OUT_SCHEMA = "d1 long, d2 long, jaccard_ppm long"
+# per-bucket state: docs seen + their shingle-key sets, flattened
+# (skeys of docs[i] = flat[offs[i]:offs[i+1]]; offs has len(docs)+1
+# entries) — flat arrays avoid nested-array state encoders.
+_NEAR_DUP_STATE_SCHEMA = "docs array<long>, offs array<long>, flat array<long>"
+
+
+def stream_near_dup_pairs(
+    docs: DataFrame,
+    tau_ppm: int | None = None,
+    bucket_cap: int | None = NEAR_DUP_BUCKET_CAP,
+) -> DataFrame:
+    """(d1, d2, jaccard_ppm): streaming twin of
+    :func:`..operators.dedup.minhash_lsh_pairs` — near-duplicate PAIRS
+    over a document stream, the streaming-ingest dedup a training-data
+    pipeline runs before anything else touches a new crawl drop.
+
+    Same candidate generator as batch (``_shingle_table`` minhashes →
+    ``band_sigs`` — shared code, cannot drift), but the band-bucket
+    "self-join" becomes KEYED STATE: each (band, sig) bucket remembers
+    the docs it has seen (ids + exact shingle-key sets), and every new
+    arrival verifies exact Jaccard against the bucket's residents —
+    so a pair is emitted exactly once, by whichever band bucket and
+    micro-batch sees its second member first, regardless of arrival
+    order (the pair SET is arrival-order independent; ties inside one
+    batch resolve by doc_id order). Duplicate emissions can only come
+    from the same pair colliding in MULTIPLE bands — exactly the
+    multiplicity the batch op removes with ``.distinct()``; consumers
+    (and the parity test) distinct on (d1, d2) the same way.
+
+    100 TB posture: state is per-bucket and bounded — bucket occupancy
+    is the LSH collision count (uniform by construction, capped by
+    ``bucket_cap`` against degenerate signatures), and each resident
+    stores its distinct shingle keys (the verify side of the batch op
+    holds the same sets in its join). No corpus-sized shuffle ever
+    happens; the only wide exchange is the groupBy on (band, sig),
+    identical to the batch candidate join's key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import JACCARD_TAU_PPM, _shingle_table, band_sigs
+
+    tau = JACCARD_TAU_PPM if tau_ppm is None else int(tau_ppm)
+    sigs = band_sigs(_shingle_table(docs), with_skeys=True)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            docs_l, offs, flat = (list(x) for x in state.get)
+        else:
+            docs_l, offs, flat = [], [0], []
+        seen = {int(d): (offs[i], offs[i + 1]) for i, d in enumerate(docs_l)}
+        sets = {d: frozenset(flat[lo:hi]) for d, (lo, hi) in seen.items()}
+        out_d1, out_d2, out_j = [], [], []
+        arrivals = []
+        for pdf in pdfs:
+            for doc_id, skeys in zip(pdf["doc_id"], pdf["skeys"]):
+                arrivals.append((int(doc_id), frozenset(int(k) for k in skeys)))
+        arrivals.sort(key=lambda t: t[0])
+        for doc_id, ks in arrivals:
+            if doc_id in sets:
+                continue  # replayed doc: already a resident
+            for other, os_ in sets.items():
+                inter = len(ks & os_)
+                un = len(ks) + len(os_) - inter
+                if un and inter * 1_000_000 >= tau * un:
+                    lo, hi = (doc_id, other) if doc_id < other else (other, doc_id)
+                    out_d1.append(lo)
+                    out_d2.append(hi)
+                    # same IEEE-double floor as the batch op's
+                    # floor(inter/un * 1e6) — integer // can differ by
+                    # one ulp-case and break exact parity
+                    out_j.append(int(math.floor(inter / un * 1e6)))
+            if bucket_cap is None or len(docs_l) < bucket_cap:
+                docs_l.append(doc_id)
+                flat.extend(sorted(ks))
+                offs.append(len(flat))
+            sets[doc_id] = ks  # still pairs within this batch even if capped
+        state.update((docs_l, offs, flat))
+        if out_d1:
+            yield pd.DataFrame({"d1": out_d1, "d2": out_d2, "jaccard_ppm": out_j})
+
+    return sigs.groupBy("band", "sig").applyInPandasWithState(
+        fn,
+        _NEAR_DUP_OUT_SCHEMA,
+        _NEAR_DUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

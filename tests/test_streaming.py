@@ -299,3 +299,92 @@ def test_pricing_summary_streaming_matches_batch(spark, tmp_path):
     )
     got = _run_stream(spark, stream, "complete", "q1_stream")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+# --- streaming near-duplicate pairs (stateful MinHash-LSH) -----------------
+
+
+def _near_dup_docs(spark):
+    """Planted corpus: two near-dup groups + unrelated docs, with
+    enough token overlap that batch minhash_lsh_pairs verifies >= tau.
+    Returned as (DataFrame, rows) so tests can split rows into
+    micro-batch files."""
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = "large scale data processing with spark uses partitions shuffles and caches well"
+    rows = [
+        (1, base_a),
+        (2, base_a + " again"),                       # near-dup of 1
+        (3, base_a.replace("lazy", "sleepy")),        # near-dup of 1/2
+        (4, base_b),
+        (5, base_b.replace("caches", "buffers")),     # near-dup of 4
+        (6, "completely unrelated tiny text snippet"),
+        (7, "another unrelated document about cooking pasta with garlic and olive oil"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return df, rows
+
+
+def _stream_docs_in_chunks(spark, tmp_path, rows, n_chunks=3):
+    """Write the planted docs as n time-separated parquet files and
+    return a maxFilesPerTrigger=1 streaming reader — near-dup members
+    land in DIFFERENT micro-batches, so pairing must cross state."""
+    import time
+
+    out = str(tmp_path / "docs_in")
+    os.makedirs(out)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in chunk], schema
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"dchunk{i}"))
+        src = next(
+            f for f in os.listdir(str(tmp_path / f"dchunk{i}")) if f.endswith(".parquet")
+        )
+        shutil.copy(
+            str(tmp_path / f"dchunk{i}" / src), os.path.join(out, f"part-{i}.parquet")
+        )
+        time.sleep(1.1)
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
+
+
+def test_stream_near_dup_pairs_matches_batch(spark, tmp_path):
+    """The streamed pair set (distinct over band collisions) must equal
+    the batch minhash_lsh_pairs result on the same docs — including
+    pairs whose members arrive in different micro-batches."""
+    from sigmod_2024_contest_spark.operators import dedup
+
+    docs, rows = _near_dup_docs(spark)
+    want = {
+        (r["d1"], r["d2"], r["jaccard_ppm"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert len(want) >= 2  # the planted groups must actually pair
+
+    sdf = _stream_docs_in_chunks(spark, tmp_path, rows)
+    got_df = _run_stream(
+        spark, P.stream_near_dup_pairs(sdf, bucket_cap=None), "append", "near_dup_sink"
+    )
+    got = {(r["d1"], r["d2"], r["jaccard_ppm"]) for r in got_df.collect()}
+    assert got == want
+
+
+def test_stream_near_dup_pairs_single_emission_per_band(spark, tmp_path):
+    """Within one band bucket a pair is emitted at most once even
+    across replays: re-delivering a doc must not re-pair it."""
+    docs, rows = _near_dup_docs(spark)
+    replay = rows + rows[:3]  # docs 1-3 delivered twice
+    sdf = _stream_docs_in_chunks(spark, tmp_path, replay, n_chunks=4)
+    got_df = _run_stream(
+        spark, P.stream_near_dup_pairs(sdf, bucket_cap=None), "append", "near_dup_replay"
+    )
+    pdf = got_df.groupBy("d1", "d2").count().collect()
+    from sigmod_2024_contest_spark.operators.dedup import N_HASHES, BAND_ROWS
+
+    n_bands = N_HASHES // BAND_ROWS
+    for r in pdf:
+        assert r["count"] <= n_bands, (r["d1"], r["d2"], r["count"])
