@@ -232,7 +232,20 @@ def build_index(
         alpha = Q.train_alpha(base)
     if shard_plan is None:
         shard_plan = _shard_plan(base, cat_thr, max_nodes)
+    both = _slice_rows(base, shard_plan, alpha)
+    a = float(alpha)
     build_levels = hnsw_levels
+    return both.groupBy("pkey").applyInPandas(
+        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, build_levels),
+        INDEX_SCHEMA,
+    )
+
+
+def _slice_rows(base: DataFrame, shard_plan: dict[str, int], alpha: float) -> DataFrame:
+    """(pkey, id, category, ts, codes): each base row exploded to its
+    slice shards under a FIXED shard plan — the row-routing half of
+    ``build_index``, shared with :func:`upsert_index` so incremental
+    ingest routes rows exactly like the original build."""
     big_cats = [
         int(p.split(":")[1]) for p in shard_plan if p.startswith("cat:")
     ]
@@ -258,7 +271,7 @@ def build_index(
         "id", "category", "ts",
         Q.encode_expr("vec", alpha).cast("array<tinyint>").alias("codes"),
     )
-    both = enc.select(
+    return enc.select(
         F.explode(pref_arr).alias("prefix"),
         "id",
         "category",
@@ -271,11 +284,66 @@ def build_index(
         "ts",
         "codes",
     )
-    a = float(alpha)
-    return both.groupBy("pkey").applyInPandas(
-        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, build_levels),
-        INDEX_SCHEMA,
+
+
+def upsert_index(
+    index: DataFrame,
+    new_base: DataFrame,
+    shard_plan: dict[str, int],
+    alpha: float,
+    m: int = 16,
+    efc: int = 100,
+    graph_min_nodes: int = 0,
+    hnsw_levels: bool = False,
+) -> DataFrame:
+    """Incremental index maintenance: fold new vectors into an existing
+    partitioned graph index, rebuilding ONLY the shards they land in.
+
+    The reference builds once and searches (baseline.cpp) — continuous
+    ingest is a beyond-reference capability, and the shard layout makes
+    it cheap: new rows route to pkeys under the SAME fixed
+    ``shard_plan``/``alpha`` the index was built with (``_slice_rows``,
+    shared code), untouched shards pass through as a pure filter (no
+    rebuild, no decode — their rows are byte-identical), and each
+    affected shard rebuilds from its retained members (the index rows
+    already carry id/category/ts/codes — no second look at the
+    original corpus) plus the arrivals. Cost per micro-batch is
+    O(affected shards × max_nodes log), independent of corpus size.
+
+    Delta-architecture contract (documented, test-pinned): the plan and
+    alpha stay FIXED between compactions, so shards grow past
+    ``max_nodes`` under sustained ingest and brand-new big categories
+    keep riding their decile shards until a periodic full
+    ``build_index`` re-derives the plan — the classic delta + compact
+    split. ``shard_catalog``/search need no changes: pkeys are stable.
+    """
+    spark = index.sparkSession
+    sliced = _slice_rows(new_base, shard_plan, alpha)
+    affected = [r["pkey"] for r in sliced.select("pkey").distinct().collect()]
+    if not affected:
+        return index
+    untouched = index.filter(~F.col("pkey").isin(affected))
+
+    # index rows store codes as BINARY (int8.tobytes()); the builder
+    # consumes array<tinyint> — frombuffer is the exact inverse
+    @F.pandas_udf("array<tinyint>")
+    def _bin_to_codes(bs: pd.Series) -> pd.Series:
+        return bs.map(lambda b: np.frombuffer(bytes(b), dtype=np.int8))
+
+    retained = index.filter(F.col("pkey").isin(affected)).select(
+        "pkey", "id", "category", "ts",
+        _bin_to_codes("codes").alias("codes"),
     )
+    a = float(alpha)
+    rebuilt = (
+        retained.unionByName(sliced)
+        .groupBy("pkey")
+        .applyInPandas(
+            lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, hnsw_levels),
+            INDEX_SCHEMA,
+        )
+    )
+    return untouched.unionByName(rebuilt)
 
 
 def partition_index_for_search(index: DataFrame) -> DataFrame:

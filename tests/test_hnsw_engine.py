@@ -453,3 +453,75 @@ def test_knn_auto_both_branches(spark):
         map(tuple, engine.knn_auto(spark, base, q, scan_flops_bound=0.0).collect())
     )
     assert eng_branch == exact
+
+
+def test_upsert_index_rebuilds_only_affected_shards(spark):
+    """Incremental ingest (upsert_index): new rows confined to one
+    ts-decile must leave every other decile's shards BYTE-identical
+    (pure filter pass-through), while affected shards rebuild to the
+    same member sets and codes a from-scratch build over the union
+    produces under the same fixed plan/alpha."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+    from pyspark.sql import functions as F
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    new = base_all.filter(F.col("ts") < 0.1)
+    old = base_all.filter(F.col("ts") >= 0.1)
+    assert new.count() > 0 and old.count() > 0
+
+    idx_old = engine.build_index(old, shard_plan=splan, alpha=alpha, max_nodes=64)
+    idx_up = engine.upsert_index(idx_old, new, splan, alpha).cache()
+    idx_full = engine.build_index(base_all, shard_plan=splan, alpha=alpha, max_nodes=64)
+
+    affected = {r["pkey"] for r in engine._slice_rows(new, splan, alpha)
+                .select("pkey").distinct().collect()}
+    assert affected and any(p.startswith("dec:1") or p.startswith("dec:9")
+                            for p in splan)  # other deciles exist to stay untouched
+
+    untouched_up = sorted(
+        (tuple(r) for r in idx_up.filter(~F.col("pkey").isin(list(affected))).collect())
+    )
+    untouched_old = sorted(
+        (tuple(r) for r in idx_old.filter(~F.col("pkey").isin(list(affected))).collect())
+    )
+    assert untouched_up == untouched_old and len(untouched_up) > 0
+
+    def members(df):
+        out = {}
+        for r in df.select("pkey", "id", "codes").collect():
+            out.setdefault(r["pkey"], {}) [r["id"]] = bytes(r["codes"])
+        return out
+
+    assert members(idx_up) == members(idx_full)
+
+
+def test_upsert_index_search_recall(spark):
+    """Search quality over an incrementally-grown index: full-pipeline
+    recall vs the exact oracle over the UNION corpus >= 0.9 (the graph
+    in an affected shard is rebuilt, not patched, so quality matches a
+    fresh build's)."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+    from pyspark.sql import functions as F
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    idx = engine.build_index(
+        base_all.filter(F.col("ts") >= 0.1), shard_plan=splan, alpha=alpha, max_nodes=64
+    )
+    idx = engine.upsert_index(idx, base_all.filter(F.col("ts") < 0.1), splan, alpha)
+
+    q = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base_all, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base_all, q, index=idx, alpha=alpha).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    assert set(got) == set(exact)
+    recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
