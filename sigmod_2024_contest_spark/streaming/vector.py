@@ -137,3 +137,83 @@ def knn_stream_indexed(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming base-vector ingest: incremental index maintenance per batch
+# ---------------------------------------------------------------------------
+
+BASE_SCHEMA = "id long, category int, ts double, vec array<float>"
+
+
+def stream_base(spark: SparkSession, base_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of base-vector parquet (test stand-in for a
+    queue source; swap the reader, keep the plan)."""
+    return (
+        spark.readStream.schema(BASE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(base_dir)
+    )
+
+
+def index_ingest_stream(
+    base: DataFrame,
+    index_dir: str,
+    shard_plan: dict[str, int],
+    alpha: float,
+    m: int = 16,
+    efc: int = 100,
+):
+    """Continuous corpus ingest: each micro-batch of new vectors folds
+    into the persisted graph index via ``engine.upsert_index`` —
+    rebuild cost per batch is O(affected shards), never corpus-sized.
+
+    Versioned persistence makes the fold idempotent AND readable mid-
+    ingest: batch ``b`` reads the newest committed version, upserts,
+    writes ``v{b}/`` in full, and only then moves the ``LATEST``
+    pointer — a retried batch (streaming checkpoint replay) simply
+    overwrites its own version directory and re-points, and searchers
+    always load a complete snapshot through ``latest_index``. The
+    shard plan and alpha are FIXED for the stream's lifetime (the
+    delta + periodic-compaction contract of ``upsert_index``); a
+    compaction job rebuilds from the raw corpus with a fresh plan and
+    starts a new stream. Returns the StreamingQuery (caller owns
+    stop/await)."""
+    import os
+
+    from ..operators import engine
+    from ..sources import layout
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest = latest_index_path(index_dir)
+        if latest is None:
+            new_index = engine.build_index(
+                batch_df, shard_plan=shard_plan, alpha=alpha, m=m, efc=efc
+            )
+        else:
+            new_index = engine.upsert_index(
+                layout.load_index(spark, latest), batch_df, shard_plan, alpha, m=m, efc=efc
+            )
+        vdir = os.path.join(index_dir, f"v{batch_id}")
+        layout.save_index(new_index, vdir)
+        tmp = os.path.join(index_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(index_dir, "LATEST"))
+
+    return base.writeStream.foreachBatch(fold).start()
+
+
+def latest_index_path(index_dir: str) -> str | None:
+    """The newest committed index version under ``index_dir`` (via the
+    atomically-replaced LATEST pointer), or None before first commit."""
+    import os
+
+    marker = os.path.join(index_dir, "LATEST")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return os.path.join(index_dir, f.read().strip())

@@ -388,3 +388,73 @@ def test_stream_near_dup_pairs_single_emission_per_band(spark, tmp_path):
     n_bands = N_HASHES // BAND_ROWS
     for r in pdf:
         assert r["count"] <= n_bands, (r["d1"], r["d2"], r["count"])
+
+
+# --- streaming base-vector ingest (incremental index maintenance) ----------
+
+
+def test_index_ingest_stream_end_to_end(spark, tmp_path):
+    """Stream the sf0.001 corpus as 3 micro-batches through
+    index_ingest_stream: the final committed snapshot must (a) contain
+    exactly the union corpus per shard (same member/code sets as one
+    from-scratch build under the same plan/alpha), and (b) serve the
+    full hybrid search at recall >= 0.9 vs the exact oracle."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, knn, routing
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources import layout
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).cache()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+
+    src = str(tmp_path / "base_in")
+    os.makedirs(src)
+    for i in range(3):
+        chunk = base_all.filter(F.col("id") % 3 == i)
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"bchunk{i}"))
+        part = next(
+            f for f in os.listdir(str(tmp_path / f"bchunk{i}")) if f.endswith(".parquet")
+        )
+        shutil.copy(str(tmp_path / f"bchunk{i}" / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+
+    index_dir = str(tmp_path / "index")
+    os.makedirs(index_dir)
+    q = V.index_ingest_stream(
+        V.stream_base(spark, src), index_dir, splan, alpha
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = V.latest_index_path(index_dir)
+    assert latest is not None and latest.endswith("v2")
+    idx = layout.load_index(spark, latest)
+
+    idx_full = engine.build_index(base_all, shard_plan=splan, alpha=alpha, max_nodes=64)
+
+    def members(df):
+        out = {}
+        for r in df.select("pkey", "id", "codes").collect():
+            out.setdefault(r["pkey"], {})[r["id"]] = bytes(r["codes"])
+        return out
+
+    assert members(idx) == members(idx_full)
+
+    queries = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base_all, queries).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base_all, queries, index=idx, alpha=alpha).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    assert set(got) == set(exact)
+    recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
