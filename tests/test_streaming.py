@@ -458,3 +458,71 @@ def test_index_ingest_stream_end_to_end(spark, tmp_path):
     assert set(got) == set(exact)
     recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
     assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+
+def test_ingest_then_serve_closed_loop(spark, tmp_path):
+    """The full streaming lifecycle: ingest the corpus as micro-batches
+    (index_ingest_stream), then serve a QUERY stream from the latest
+    committed snapshot (knn_stream_indexed) — results row-identical to
+    the batch hybrid engine over the union corpus."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources import layout
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+
+    # ingest phase: two corpus micro-batches
+    src = str(tmp_path / "ingest_in")
+    os.makedirs(src)
+    for i in range(2):
+        chunk = base_all.filter(F.col("id") % 2 == i)
+        cdir = tmp_path / f"ichunk{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(cdir))
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        shutil.copy(str(cdir / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "live_index")
+    os.makedirs(index_dir)
+    iq = V.index_ingest_stream(V.stream_base(spark, src), index_dir, splan, alpha)
+    try:
+        iq.processAllAvailable()
+    finally:
+        iq.stop()
+    index = layout.load_index(spark, V.latest_index_path(index_dir)).persist()
+
+    # serve phase: a query stream against the live snapshot
+    q = workload.queries_df(spark, SF_SMOKE)
+    qdir = str(tmp_path / "qs")
+    os.makedirs(qdir)
+    qd = tmp_path / "qchunk"
+    q.coalesce(1).write.mode("overwrite").parquet(str(qd))
+    part = next(f for f in os.listdir(qd) if f.endswith(".parquet"))
+    shutil.copy(str(qd / part), os.path.join(qdir, "q-0.parquet"))
+    out = str(tmp_path / "serve_out")
+    sq = V.knn_stream_indexed(
+        spark, base_all, index, V.stream_queries(spark, qdir), out,
+        str(tmp_path / "ckpt3"), k=10, alpha=alpha,
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    got = sorted((r.query_id, r.id, r.rnk) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r.query_id, r.id, r.rnk)
+        for r in engine.knn_hybrid(
+            spark, base_all, q, k=10, index=index, alpha=alpha
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    base_all.unpersist()
+    index.unpersist()
