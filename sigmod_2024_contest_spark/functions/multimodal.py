@@ -364,3 +364,90 @@ SELECT doc_id, ow::INT AS out_w, oh::INT AS out_h,
        array_to_string(pixels, ',') AS pixels_csv
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio: PCM WAV decode (codec-free) + sample-level feature extraction
+# ---------------------------------------------------------------------------
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real (codec-free) audio decode: RIFF/WAVE with 8-bit unsigned or
+    16-bit signed PCM, parsed with NumPy only. Returns (sample_rate,
+    channels, samples) — samples as int32 in interleaved frame order
+    (8-bit values re-centered to signed by subtracting 128, per the
+    WAV spec's unsigned-8-bit convention). Compressed codecs (MP3/AAC/
+    float WAV) raise ValueError at the same seam as images."""
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(
+            "unrecognized audio container: compressed codecs (MP3/AAC) "
+            "need a cluster-side decoder — plug it in here"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM WAV (format={audio_format}, bits={bits})")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        n = len(data) // 2 * 2
+        samples = np.frombuffer(data[:n], dtype="<i2").astype(np.int32)
+    return sample_rate, channels, samples
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "sum_samples long, sumsq_samples long, peak int"
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, channels, n_samples, sum/sumsq, peak):
+    feature extraction over REAL-decoded PCM WAV payloads — the audio
+    sibling of :func:`byte_stats`, same mapInPandas batch shape, sample
+    domain instead of byte domain."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "sum_samples", "sumsq_samples", "peak",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, s = decode_audio(payload)
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(s.size)
+                out["sum_samples"].append(int(s64.sum()))
+                out["sumsq_samples"].append(int((s64 * s64).sum()))
+                out["peak"].append(int(np.abs(s).max()) if s.size else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                    "sample_rate": np.asarray(out["sample_rate"], dtype=np.int32),
+                    "channels": np.asarray(out["channels"], dtype=np.int32),
+                    "n_samples": np.asarray(out["n_samples"], dtype=np.int64),
+                    "sum_samples": np.asarray(out["sum_samples"], dtype=np.int64),
+                    "sumsq_samples": np.asarray(out["sumsq_samples"], dtype=np.int64),
+                    "peak": np.asarray(out["peak"], dtype=np.int32),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_STATS_SCHEMA)

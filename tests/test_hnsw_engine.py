@@ -525,3 +525,30 @@ def test_upsert_index_search_recall(spark):
     assert set(got) == set(exact)
     recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
     assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+
+def test_upsert_index_new_category_rides_deciles(spark):
+    """Delta-contract pin: vectors of a category UNSEEN by the fixed
+    shard plan route only to their decile shards (no cat: pkey exists
+    for them) — they stay searchable through the decile/global path
+    until a compaction re-derives the plan."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+    from pyspark.sql import functions as F
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    new = base_all.filter(F.col("ts") < 0.05).withColumn("category", F.lit(99))
+    assert new.count() > 0
+    assigned = {
+        r["pkey"] for r in engine._slice_rows(new, splan, alpha)
+        .select("pkey").distinct().collect()
+    }
+    assert assigned and all(p.startswith("dec:") for p in assigned)
+    idx = engine.build_index(base_all, shard_plan=splan, alpha=alpha, max_nodes=64)
+    upserted = engine.upsert_index(idx, new, splan, alpha)
+    # every new id is present in the index (reachable by search)
+    new_ids = {r["id"] for r in new.select("id").collect()}
+    got_ids = {r["id"] for r in upserted.select("id").distinct().collect()}
+    assert new_ids <= got_ids

@@ -235,3 +235,70 @@ def test_media_resize_planted(spark):
         img.reshape(2, 2, 4, 2).mean(axis=(1, 3))
     ).astype(np.int64).ravel()
     assert row.pixels_csv == ",".join(map(str, want))
+
+
+# --- audio: PCM WAV decode + sample stats ----------------------------------
+
+
+def _wav(samples, rate=8000, channels=1, bits=16):
+    """Minimal RIFF/WAVE PCM container around the given samples."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_audio_wav16_planted():
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    rate, ch, s = MM.decode_audio(_wav(samples, rate=44100, channels=2))
+    assert (rate, ch) == (44100, 2)
+    assert s.tolist() == samples
+
+
+def test_decode_audio_wav8_planted():
+    samples = [0, 127, -128, 5]
+    rate, ch, s = MM.decode_audio(_wav(samples, rate=8000, bits=8))
+    assert (rate, ch) == (8000, 1)
+    assert s.tolist() == samples
+
+
+def test_decode_audio_rejects_compressed():
+    with pytest.raises(ValueError, match="decoder"):
+        MM.decode_audio(b"\xff\xfb\x90mp3-frame-ish")
+
+
+def test_audio_sample_stats_through_spark(spark):
+    """Real-decoded WAV payloads through the mapInPandas stats kernel:
+    sums/peak computed over SAMPLES (signed), not container bytes."""
+    a = [100, -200, 300]
+    b = [0, -32768]
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(_wav(a, rate=16000)), (0, 0, 0, 16000)),
+            (1, "audio", bytearray(_wav(b, rate=8000)), (0, 0, 0, 8000)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in MM.audio_sample_stats(media).collect()}
+    assert got[0]["sample_rate"] == 16000 and got[0]["n_samples"] == 3
+    assert got[0]["sum_samples"] == sum(a)
+    assert got[0]["sumsq_samples"] == sum(x * x for x in a)
+    assert got[0]["peak"] == 300
+    assert got[1]["peak"] == 32768 and got[1]["sum_samples"] == -32768
