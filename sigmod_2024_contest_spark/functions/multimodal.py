@@ -16,13 +16,15 @@ resize, frame slicing) real, vectorized, and testable; the testdata
 payloads are the documents' UTF-8 bytes, so byte-level results are
 independently verifiable by the DuckDB oracle via ascii() arithmetic
 on the text (api.py entries media_byte_stats, media_frame_sample).
-``decode=\"real\"`` parses actual uncompressed image containers in
-pure NumPy — binary PGM/PPM (P5/P6) and uncompressed 8/24-bit BMP —
-no external codec needed; compressed formats (JPEG/PNG/MP4) raise
-ValueError at the same seam, which is where PIL/ffmpeg would plug in
-on a cluster that ships them. Either way the decoded samples flow
-into the SAME kernels, so the Spark-side plumbing (schema,
-partitioning, Arrow batch shape) is identical for both paths.
+``decode=\"real\"`` parses actual uncompressed containers in pure
+NumPy — binary PGM/PPM (P5/P6) and uncompressed 8/24-bit BMP for
+images (:func:`decode_image`), RIFF/WAVE 8/16-bit PCM for audio
+(:func:`decode_audio`) — no external codec needed; compressed formats
+(JPEG/PNG/MP3/MP4) raise ValueError at the same seam, which is where
+PIL/ffmpeg would plug in on a cluster that ships them. Either way the
+decoded samples flow into the SAME kernels, so the Spark-side
+plumbing (schema, partitioning, Arrow batch shape) is identical for
+both paths.
 """
 
 from __future__ import annotations
