@@ -453,3 +453,96 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: Y4M (YUV4MPEG2, uncompressed) decode + per-frame features
+# ---------------------------------------------------------------------------
+
+
+def decode_video(payload: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Real (codec-free) video decode: YUV4MPEG2 — the standard
+    UNCOMPRESSED video interchange container (plain-text header,
+    ``FRAME`` markers, raw planar YUV) — parsed with NumPy only.
+    Returns (height, width, colorspace, frames) with frames shaped
+    (n_frames, frame_bytes): C420 frames carry w*h*3/2 bytes,
+    C444 w*h*3, Cmono w*h. Compressed codecs (MP4/H.264/VP9) raise
+    ValueError at the same seam as images/audio."""
+    buf = bytes(payload)
+    if not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            "unrecognized video container: compressed codecs (MP4/H.264) "
+            "need a cluster-side decoder — plug it in here"
+        )
+    nl = buf.index(b"\n")
+    w = h = 0
+    cs = "C420"
+    for tok in buf[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            cs = tok.decode()
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C420"):
+        fbytes = w * h * 3 // 2
+    elif cs.startswith("C444"):
+        fbytes = w * h * 3
+    elif cs.startswith("Cmono"):
+        fbytes = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    frames = []
+    pos = nl + 1
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: missing FRAME marker")
+        fnl = buf.index(b"\n", pos)
+        start = fnl + 1
+        frames.append(np.frombuffer(buf, dtype=np.uint8, count=fbytes, offset=start))
+        pos = start + fbytes
+    out = np.stack(frames) if frames else np.empty((0, fbytes), np.uint8)
+    return h, w, cs, out
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx int, luma_mean_ppm long, luma_min int, luma_max int"
+)
+
+
+def video_frame_stats(media: DataFrame, every: int = 1) -> DataFrame:
+    """(doc_id, frame_idx, luma stats): per-frame feature extraction
+    over REAL-decoded Y4M payloads — the video sibling of
+    :func:`sample_frames`, real frame boundaries instead of equal
+    slices. Luma = the Y plane (first w*h bytes of any supported
+    colorspace); mean is integer ppm of the 0-255 range so results
+    hash stably."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "luma_mean_ppm", "luma_min", "luma_max",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, _, frames = decode_video(payload)
+                luma = frames[:, : w * h].astype(np.int64)
+                for fi in range(0, frames.shape[0], every):
+                    y = luma[fi]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["luma_mean_ppm"].append(int(y.sum() * 1_000_000 // (255 * y.size)))
+                    out["luma_min"].append(int(y.min()))
+                    out["luma_max"].append(int(y.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                    "frame_idx": np.asarray(out["frame_idx"], dtype=np.int32),
+                    "luma_mean_ppm": np.asarray(out["luma_mean_ppm"], dtype=np.int64),
+                    "luma_min": np.asarray(out["luma_min"], dtype=np.int32),
+                    "luma_max": np.asarray(out["luma_max"], dtype=np.int32),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(gen, VIDEO_FRAME_STATS_SCHEMA)

@@ -302,3 +302,47 @@ def test_audio_sample_stats_through_spark(spark):
     assert got[0]["sumsq_samples"] == sum(x * x for x in a)
     assert got[0]["peak"] == 300
     assert got[1]["peak"] == 32768 and got[1]["sum_samples"] == -32768
+
+
+# --- video: Y4M decode + per-frame luma stats -------------------------------
+
+
+def _y4m(w, h, frames, cs="C420"):
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {cs}\n".encode()
+    body = b"".join(b"FRAME\n" + bytes(f) for f in frames)
+    return head + body
+
+
+def test_decode_video_y4m_planted():
+    w, h = 4, 2
+    fbytes = w * h * 3 // 2  # C420
+    f0 = list(range(fbytes))
+    f1 = list(range(100, 100 + fbytes))
+    hh, ww, cs, frames = MM.decode_video(_y4m(w, h, [f0, f1]))
+    assert (hh, ww, cs) == (h, w, "C420")
+    assert frames.shape == (2, fbytes)
+    assert frames[0].tolist() == f0 and frames[1].tolist() == f1
+
+
+def test_decode_video_mono_and_reject():
+    hh, ww, cs, frames = MM.decode_video(_y4m(2, 2, [[1, 2, 3, 4]], cs="Cmono"))
+    assert (hh, ww, cs) == (2, 2, "Cmono") and frames.shape == (1, 4)
+    with pytest.raises(ValueError, match="decoder"):
+        MM.decode_video(b"\x00\x00\x00\x18ftypmp42-ish")
+
+
+def test_video_frame_stats_through_spark(spark):
+    """Real Y4M through the mapInPandas kernel: luma stats use only the
+    Y plane (first w*h bytes), chroma ignored."""
+    w, h = 2, 2
+    luma0, chroma0 = [0, 255, 0, 255], [9, 9]      # mean 127.5 of range
+    luma1, chroma1 = [10, 10, 10, 10], [200, 200]
+    payload = _y4m(w, h, [luma0 + chroma0, luma1 + chroma1])
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), (w, h, 2, 0))], MM.MEDIA_SCHEMA
+    )
+    got = {r["frame_idx"]: r for r in MM.video_frame_stats(media).collect()}
+    assert got[0]["luma_min"] == 0 and got[0]["luma_max"] == 255
+    assert got[0]["luma_mean_ppm"] == (sum(luma0) * 1_000_000) // (255 * 4)
+    assert got[1]["luma_min"] == got[1]["luma_max"] == 10
+    assert got[1]["luma_mean_ppm"] == (40 * 1_000_000) // (255 * 4)
