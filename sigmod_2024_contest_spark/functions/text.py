@@ -459,20 +459,21 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
     ``ln((N+1)/(df+1))`` would round differently across libm builds —
     the repo-wide integer-ppm convention).
 
-    Distributed shape — a single linear pipeline, no diamond:
+    Distributed shape — no persist, no unsplittable partitions:
     1. tokenize ONCE into a projected column (no-CSE-in-lambdas rule),
        explode, count tf per (doc_id, term) — map-side combine carries
        one row per distinct pair into the shuffle;
-    2. df per term as a COUNT window over the SAME pair table
-       (partitionBy term, whole-partition frame). The pair table is
-       distinct by (doc_id, term) construction, so the window count IS
-       the document frequency — no second aggregation, no vocab join,
-       and crucially no cached diamond: the r7 shape persisted the
-       pair table to feed both a groupBy and a join-back, and that
-       .persist() leaked across the driver's 100-entry session
-       (r7 verdict #3). Zipf-hot terms make a few fat term-partitions;
-       each holds (term, doc) pairs — bounded by corpus doc count, the
-       same bound the old shuffle-join's hot partitions had;
+    2. df per term as ``pairs.groupBy(term).count()`` — map-side
+       combine collapses to ONE row per term before the shuffle —
+       joined back to the pair table on term. The join is the skew-
+       safe shape: AQE can split a Zipf-hot term's probe side across
+       tasks (a window partitionBy(term) cannot — the r8 shape put
+       every (doc, "the") pair through one task's sort at scale), and
+       with a vocab-sized build side AQE upgrades it to broadcast,
+       eliminating the probe shuffle entirely. No ``.persist()`` for
+       the pairs diamond: both consumers read the identical aggregate,
+       so Catalyst's ReuseExchange serves them from one shuffle (the
+       r7 persist leaked across the driver's 100-entry session);
     3. per-doc top-k via row_number partitioned by doc_id (millions of
        small partitions — the scalable window axis; ties break
        (score desc, term asc) so the cut is total).
@@ -483,13 +484,8 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    w_term = Window.partitionBy("term")
-    scored = pairs.select(
-        "doc_id",
-        "term",
-        "tf",
-        F.count("*").over(w_term).cast("long").alias("df"),
-    ).withColumn(
+    dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = pairs.join(dfs, "term").withColumn(
         "score_ppm",
         F.expr("CAST(tf * 1000000 DIV (1 + df) AS BIGINT)"),
     )
