@@ -399,6 +399,179 @@ register("knn_hybrid_bf_exact", _knn_hybrid_bf_exact, _KNN_HYBRID_BF_EXACT_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Incremental index maintenance, driver-proven (upsert_index): build on
+# 90% of the corpus, upsert the rest, and emit per-shard digests that
+# the oracle recomputes STRUCTURALLY from the raw table — shard routing
+# is pmod(id, nshards) under the derived plan and codes are the SQ8
+# encode, both SQL-expressible — plus an in-plan graph-equality flag
+# against a from-scratch build under the same plan/alpha (adjacency is
+# not SQL-expressible, but build determinism makes equality checkable
+# in-plan; the oracle expects literal TRUE).
+# ---------------------------------------------------------------------------
+
+UPSERT_PARITY_MAX_NODES = 128
+
+
+def _index_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .session import ship_package
+
+    ship_package(spark)
+    base = base_vectors(spark, sf_dir)
+    alpha = Q.train_alpha(base)
+    plan = engine._shard_plan(base, routing.CAT_GRAPH_THR, UPSERT_PARITY_MAX_NODES)
+    arrivals = base.filter(F.col("id") % 10 == 0)
+    idx = engine.build_index(
+        base.filter(F.col("id") % 10 != 0),
+        shard_plan=plan,
+        alpha=alpha,
+        max_nodes=UPSERT_PARITY_MAX_NODES,
+    )
+    up = engine.upsert_index(idx, arrivals, plan, alpha)
+    scratch = engine.build_index(
+        base, shard_plan=plan, alpha=alpha, max_nodes=UPSERT_PARITY_MAX_NODES
+    )
+
+    u = up.select("pkey", "id", "category", "ts", "codes", "nbrs", "nbr_ts", "level")
+    s = scratch.select(
+        "pkey", "id", "category", "ts", "codes", "nbrs", "nbr_ts", "level"
+    )
+    joined = u.alias("u").join(s.alias("s"), ["pkey", "id"], "full_outer")
+    match = F.coalesce(
+        F.col("u.codes").isNotNull()
+        & F.col("s.codes").isNotNull()
+        & (F.col("u.codes") == F.col("s.codes"))
+        & (F.col("u.category") == F.col("s.category"))
+        & (F.col("u.ts") == F.col("s.ts"))
+        & (F.col("u.nbrs") == F.col("s.nbrs"))
+        & (F.col("u.nbr_ts") == F.col("s.nbr_ts"))
+        & (F.col("u.level") == F.col("s.level")),
+        F.lit(False),
+    )
+    eq = (
+        joined.select("pkey", match.alias("m"))
+        .groupBy("pkey")
+        .agg(F.min("m").alias("graph_equal"))
+    )
+    digest = F.pandas_udf(engine._codes_weighted_digest_batch, "long")
+    stats_df = (
+        up.select("pkey", "id", digest(F.col("codes")).alias("dg"))
+        .groupBy("pkey")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("dg").cast("long").alias("code_digest"),
+        )
+    )
+    return stats_df.join(eq, "pkey").select(
+        "pkey", "n_members", "sum_id", "code_digest", "graph_equal"
+    )
+
+
+_INDEX_UPSERT_PARITY_SQL = f"""
+WITH alpha AS ({Q.ALPHA_SQL}),
+b AS ({workload.base_cte_sql()}),
+tot AS (SELECT count(*) AS total FROM b),
+cat_counts AS (SELECT category::BIGINT AS key, count(*) AS c FROM b GROUP BY 1),
+dec_counts AS (
+  SELECT least(floor(ts * 10)::INT, 9)::BIGINT AS key, count(*) AS c
+  FROM b GROUP BY 1
+),
+plan AS (
+  SELECT 'cat:' || key AS prefix, c FROM cat_counts, tot
+  WHERE c >= {routing.CAT_GRAPH_THR} * total
+  UNION ALL
+  SELECT 'dec:' || key, c FROM dec_counts
+),
+plan2 AS (
+  SELECT prefix, ((c + {UPSERT_PARITY_MAX_NODES} - 1) // {UPSERT_PARITY_MAX_NODES}) AS ns
+  FROM plan
+),
+sliced AS (
+  SELECT b.id, p.prefix, p.ns,
+         {Q.encode_sql('b.vec')} AS codes
+  FROM b, alpha
+  JOIN plan2 p
+    ON p.prefix = 'dec:' || least(floor(b.ts * 10)::INT, 9)::BIGINT
+    OR p.prefix = 'cat:' || b.category::BIGINT
+),
+rows_ AS (
+  SELECT prefix || ':' || (id % ns) AS pkey, id,
+         list_sum(list_transform(range(1, len(codes) + 1),
+                                 j -> j * codes[j]))::BIGINT AS dg
+  FROM sliced
+)
+SELECT pkey,
+       count(*)::BIGINT AS n_members,
+       sum(id)::BIGINT AS sum_id,
+       sum(dg)::BIGINT AS code_digest,
+       TRUE AS graph_equal
+FROM rows_ GROUP BY pkey
+"""
+
+register("index_upsert_parity", _index_upsert_parity, _INDEX_UPSERT_PARITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup pairs, driver-proven: run the bounded document
+# stream to completion through the stateful MinHash-LSH operator
+# (memory sink), distinct over band collisions exactly like the batch
+# op — the oracle is the BATCH minhash SQL, so this row certifies
+# stream-equals-batch the same way the other streaming entries do.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_SINK_SEQ = iter(range(1_000_000))
+
+
+def _stream_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import ship_package
+    from .streaming import pipeline as P
+
+    ship_package(spark)
+    static = load_table(spark, sf_dir, "documents")
+    # the file-stream source requires a DIRECTORY; the testdata table
+    # is a single parquet file — stage a symlink dir (no data copy)
+    import tempfile
+
+    import zlib
+
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"sg_neardup_src_{zlib.crc32(src.encode()):08x}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"neardup_parity_{next(_NEARDUP_SINK_SEQ)}"
+    q = (
+        P.stream_near_dup_pairs(sdf, bucket_cap=None)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("d1", "d2", "jaccard_ppm").distinct()
+
+
+register(
+    "stream_neardup_parity",
+    _stream_neardup_parity,
+    dedup.minhash_lsh_pairs_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis (SURVEY §7.5)
 # ---------------------------------------------------------------------------
 
@@ -795,6 +968,24 @@ register(
     lambda s, d: MM.resize_images_hashable(MM.pack_media(_docs(s, d))),
     MM.resize_images_sql(),
 )
+# Real-decode driver rows (r8 gap): planted REAL containers built
+# in-plan, decoded by the codec-free parsers, features hash-checked —
+# the oracle recomputes them from the text (pack ∘ decode = identity).
+register(
+    "media_image_stats",
+    lambda s, d: MM.byte_stats_hashable(MM.pack_image(_docs(s, d)), decode="real"),
+    MM.BYTE_STATS_HASHABLE_SQL,
+)
+register(
+    "media_audio_stats",
+    lambda s, d: MM.audio_sample_stats(MM.pack_audio(_docs(s, d))),
+    MM.AUDIO_STATS_ORACLE_SQL,
+)
+register(
+    "media_video_stats",
+    lambda s, d: MM.video_frame_stats(MM.pack_video(_docs(s, d))),
+    MM.VIDEO_STATS_ORACLE_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1117,108 +1308,140 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-8 window = exactly {the 49 r6-window entries that received no
-# r7 row} ∪ {power_users_daily_coverage, the only entry with zero
-# driver rows ever (registered at position 99 in r7)}. The 50 entries
-# driver-proven in CORRECTNESS_r07 rotate to the back for r8 and return
-# in r9.
+# Round-9 window = the 5 entries new this round (never driver-proven:
+# index_upsert_parity, stream_neardup_parity, media_image/audio/video
+# _stats) followed by the 45 stalest r7-green names in registry order;
+# the 5 r7-green names they displace (rolling_revenue,
+# revenue_growth_mom, sales_cube, user_order_reconciliation,
+# order_gap_days) wait in _PRIOR_ROUND_GREEN on their CORRECTNESS_r07
+# rows and lead the r10 window.
 #
-# STANDING OBLIGATION (round 9 and after): each round, swap the two
-# halves — next round's _CHECK_FIRST := this round's _PRIOR_ROUND_GREEN
-# (minus any entry re-proven meanwhile), and _PRIOR_ROUND_GREEN := this
-# round's _CHECK_FIRST once its CORRECTNESS artifact is green. A new
-# entry MUST be placed in _CHECK_FIRST (displacing the most-recently
-# proven name) or the assert below fails at import.
+# STANDING OBLIGATION (every round): run tools/rotate_window.py after
+# the round's CORRECTNESS artifact lands and paste its two literals —
+# stalest-first (never-green entries always first), window = 50.
+# _PRIOR_ROUND_GREEN = every entry with a driver-green row in SOME
+# round that the cut left outside the window; with the registry at 105
+# the proof cadence is ~2 rounds (worst case 3 for a just-displaced
+# name). A NEW entry MUST land in _CHECK_FIRST (it has no green row)
+# or the assert below fails at import.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
-    # the one entry with no driver row in any round — first in line
-    "power_users_daily_coverage",
-    # --- the 49 r6-window entries (green in CORRECTNESS_r06, absent
-    # --- from the r7 window; embed_project moved on via its r7 row) ---
-    # kNN core + routing
-    "knn_bruteforce",
-    "knn_declarative",
-    "knn_hybrid",
-    "knn_hybrid_bf_exact",
-    "knn_auto",
-    "route_plan",
-    "selectivity",
-    "split_interval",
-    "stats_category_counts",
-    "workload_stats",
-    # quantized encodes + reranks
-    "sq8_encode",
-    "sq8_asym_encode",
-    "sq4_encode",
-    "knn_sq8_rerank",
-    "knn_asym_rerank",
-    "knn_sq4_rerank",
-    # recall gates
-    "recall_hybrid_vs_exact",
-    "recall_ivf_vs_exact",
-    "recall_lsh_vs_exact",
-    "recall_nndescent_vs_exact",
-    # ANN similarity search
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # dedup family
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_containment",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_cosine_lsh",
-    "decontaminate",
-    "winnow_fingerprints",
-    # text analysis
-    "lang_id",
-    "text_stats",
-    "text_repetition",
-    "token_counts",
-    "vocab_counts",
-    "ngram_counts",
-    "doc_fingerprint",
-    "redact_pii",
-    # curation + sampling
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "sample_balanced_splits",
-    "mixture_sample",
-    # streaming (batch-parity bodies)
-    "events_click_attribution",
-    "events_sessionized",
-    "events_windowed_counts",
+    "index_upsert_parity",
+    "stream_neardup_parity",
+    "media_image_stats",
+    "media_audio_stats",
+    "media_video_stats",
+    "embed_project",
+    "knn_pq_rerank",
+    "recall_pq_vs_exact",
+    "knn_ivfpq_rerank",
+    "recall_ivfpq_vs_exact",
+    "user_totals",
+    "events_daily_dedup",
+    "media_byte_stats",
+    "media_frame_sample",
+    "media_resize",
+    "pricing_summary",
+    "top_customers",
+    "events_json_stats",
+    "asof_last_error",
+    "event_funnel",
+    "retention_cohorts",
+    "events_value_quantiles",
+    "shipping_priority",
+    "local_supplier_volume",
+    "brand_revenue",
+    "order_priority_check",
+    "returned_items",
+    "promo_revenue",
+    "large_orders",
+    "discounted_revenue",
+    "sales_opportunity",
+    "volume_shipping",
+    "parts_supplier_counts",
+    "tfidf_topk",
+    "salted_user_join",
+    "events_daily_pivot",
+    "sales_rollup",
+    "events_user_reach",
+    "forecast_revenue",
+    "late_line_priority",
+    "customer_order_distribution",
+    "top_supplier",
+    "min_cost_supplier",
+    "important_parts",
+    "small_qty_revenue",
+    "market_share",
+    "product_type_profit",
+    "promo_suppliers",
+    "waiting_suppliers",
+    "copurchase_pairs",
 ]
 
-# Entries with a driver-green hash row in the PREVIOUS round
-# (CORRECTNESS_r07, 50/50 green). Together with _CHECK_FIRST these
-# must cover the whole registry: a new entry registered without being
-# added to the rotation plan fails loudly at import instead of
+# Entries with a driver-green hash row that the stalest-first cut left
+# outside this round's window: the 50 CORRECTNESS_r08 names plus the 5
+# r7-green names the new entries displaced. Together with _CHECK_FIRST
+# these must cover the whole registry: a new entry registered without
+# being added to the rotation plan fails loudly at import instead of
 # silently landing outside every driver window (r7 verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
-        "tfidf_topk", "salted_user_join", "events_daily_dedup",
-        "events_daily_pivot", "sales_rollup", "events_user_reach",
-        "promo_revenue", "large_orders", "discounted_revenue",
-        "sales_opportunity", "volume_shipping", "parts_supplier_counts",
-        "embed_project", "user_totals", "media_byte_stats",
-        "media_frame_sample", "media_resize", "pricing_summary",
-        "top_customers", "events_json_stats", "asof_last_error",
-        "event_funnel", "retention_cohorts", "events_value_quantiles",
-        "shipping_priority", "local_supplier_volume", "brand_revenue",
-        "order_priority_check", "returned_items", "forecast_revenue",
-        "late_line_priority", "customer_order_distribution",
-        "top_supplier", "min_cost_supplier", "important_parts",
-        "small_qty_revenue", "market_share", "product_type_profit",
-        "promo_suppliers", "waiting_suppliers", "copurchase_pairs",
-        "rolling_revenue", "revenue_growth_mom", "sales_cube",
-        "user_order_reconciliation", "order_gap_days", "knn_pq_rerank",
-        "recall_pq_vs_exact", "knn_ivfpq_rerank", "recall_ivfpq_vs_exact",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "chunk_documents",
+        "curate_corpus",
+        "decontaminate",
+        "dedup_clusters",
+        "dedup_containment",
+        "dedup_cosine_lsh",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "doc_fingerprint",
+        "events_click_attribution",
+        "events_sessionized",
+        "events_windowed_counts",
+        "knn_asym_rerank",
+        "knn_auto",
+        "knn_bruteforce",
+        "knn_declarative",
+        "knn_hybrid",
+        "knn_hybrid_bf_exact",
+        "knn_sq4_rerank",
+        "knn_sq8_rerank",
+        "lang_id",
+        "mixture_sample",
+        "ngram_counts",
+        "order_gap_days",
+        "pack_sequences",
+        "power_users_daily_coverage",
+        "recall_hybrid_vs_exact",
+        "recall_ivf_vs_exact",
+        "recall_lsh_vs_exact",
+        "recall_nndescent_vs_exact",
+        "redact_pii",
+        "revenue_growth_mom",
+        "rolling_revenue",
+        "route_plan",
+        "sales_cube",
+        "sample_balanced_splits",
+        "selectivity",
+        "split_interval",
+        "sq4_encode",
+        "sq8_asym_encode",
+        "sq8_encode",
+        "stats_category_counts",
+        "text_repetition",
+        "text_stats",
+        "token_counts",
+        "user_order_reconciliation",
+        "vocab_counts",
+        "winnow_fingerprints",
+        "workload_stats",
     }
 )
 

@@ -84,7 +84,18 @@ def _pnm_header(buf: bytes) -> tuple[list[int], int]:
                 j += 1
             toks.append(int(buf[i:j]))
             i = j
-    return toks, i + 1  # exactly one whitespace byte precedes the raster
+    # the PNM spec mandates EXACTLY ONE whitespace byte between the
+    # maxval token and the raster — verify rather than assume: a '#'
+    # comment here, or a CRLF line ending (two bytes), would silently
+    # shift the raster offset and corrupt every decoded pixel
+    if i >= len(buf) or buf[i] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+        raise ValueError("malformed PNM: maxval not followed by whitespace")
+    if buf[i] == 0x0D and i + 1 < len(buf) and buf[i + 1] == 0x0A:
+        raise ValueError(
+            "malformed PNM: CRLF after maxval (spec requires a single "
+            "whitespace byte before the raster)"
+        )
+    return toks, i + 1
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -123,7 +134,31 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         px = rows.reshape(h, w, ch)
         if ch == 3:
             px = px[:, :, ::-1]  # BGR -> RGB
-        return h, w, ch, np.ascontiguousarray(px).ravel()
+            return h, w, ch, np.ascontiguousarray(px).ravel()
+        # 8-bit BMP samples are COLOR-TABLE INDICES, not values: the
+        # palette (4-byte BGRX entries) sits between the 54-byte
+        # headers and the raster. An identity grayscale ramp decodes
+        # to the indices themselves (gray, 1 channel); anything else
+        # maps through the palette to RGB — returning raw indices for
+        # a non-gray palette would claim a successful decode of wrong
+        # sample values.
+        n_colors = int(hdr[46:50].view(np.uint32)[0]) or 256
+        if 54 + 4 * n_colors > data_off:
+            raise ValueError(
+                "8-bit BMP: color table truncated or missing "
+                f"(need {n_colors} BGRX entries before the raster)"
+            )
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=54
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = px.reshape(h, w)
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("8-bit BMP: pixel index beyond the color table")
+        ramp = np.arange(n_colors, dtype=np.uint8)
+        if (pal == ramp[:, None]).all():
+            return h, w, 1, np.ascontiguousarray(idx).ravel()
+        mapped = pal[idx]  # (h, w, 3) RGB
+        return h, w, 3, np.ascontiguousarray(mapped).ravel()
     raise ValueError(
         f"unrecognized container magic {magic!r}: compressed formats "
         "(JPEG/PNG/MP4) need a cluster-side codec — plug it in here"
@@ -546,3 +581,131 @@ def video_frame_stats(media: DataFrame, every: int = 1) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(gen, VIDEO_FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Planted-container packers: deterministic REAL payloads built in-plan
+# from the documents table, so the codec-free decoders (PGM / PCM WAV /
+# Y4M above) are exercised end-to-end by driver-checkable entries — the
+# oracle recomputes the same features straight from the text, because
+# the pack → decode pair is the identity on the planted bytes.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 16000
+
+
+def pack_image(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): planted binary PGM — P5, a '#' comment line
+    (exercising the header comment path), width = len(text), height 1,
+    raster = the text's UTF-8 bytes. ``decode_image`` must undo exactly
+    the header it wrote; any offset mistake shifts every sample."""
+
+    @F.pandas_udf("binary")
+    def pgm(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            data = t.encode("utf-8")
+            out.append(
+                b"P5\n# planted\n" + f"{len(data)} 1\n255\n".encode() + data
+            )
+        return pd.Series(out)
+
+    return docs.select("doc_id", pgm("text").alias("payload"))
+
+
+def pack_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): planted RIFF/WAVE — mono, 16 kHz, 8-bit
+    unsigned PCM, data chunk = the text's UTF-8 bytes (so decoded
+    samples are ascii(c) − 128 per the WAV 8-bit convention)."""
+
+    @F.pandas_udf("binary")
+    def wav(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            data = t.encode("utf-8")
+            n = len(data)
+            hdr = (
+                b"RIFF"
+                + (36 + n).to_bytes(4, "little")
+                + b"WAVE"
+                + b"fmt "
+                + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little")   # PCM
+                + (1).to_bytes(2, "little")   # mono
+                + AUDIO_RATE.to_bytes(4, "little")
+                + AUDIO_RATE.to_bytes(4, "little")  # byte rate (1 B/frame)
+                + (1).to_bytes(2, "little")   # block align
+                + (8).to_bytes(2, "little")   # bits
+                + b"data"
+                + n.to_bytes(4, "little")
+            )
+            out.append(hdr + data)
+        return pd.Series(out)
+
+    return docs.select("doc_id", wav("text").alias("payload"))
+
+
+def pack_video(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): planted YUV4MPEG2 — Cmono, the pack_media
+    meta geometry (w = 8 + doc_id % 8, h = 4 + doc_id % 4, n_frames =
+    1 + doc_id % 7), frame f's pixel p = byte ((f·w·h + p) mod n) of
+    the text — the same cycling convention the resize/sample oracles
+    use, so DuckDB can rebuild every frame from the text alone."""
+
+    @F.pandas_udf("binary")
+    def y4m(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for doc_id, t in zip(doc_ids, texts):
+            d = int(doc_id)
+            w, h, nf = 8 + d % 8, 4 + d % 4, 1 + d % 7
+            tb = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            n = tb.size
+            fb = w * h
+            head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+            parts = [head]
+            for f_ in range(nf):
+                idx = (np.arange(fb, dtype=np.int64) + f_ * fb) % n
+                parts.append(b"FRAME\n" + tb[idx].tobytes())
+            out.append(b"".join(parts))
+        return pd.Series(out)
+
+    return docs.select("doc_id", y4m("doc_id", "text").alias("payload"))
+
+
+# DuckDB twins: features straight from the text (pack ∘ decode = id).
+AUDIO_STATS_ORACLE_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, ascii(c) - 128 AS s
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+)
+SELECT doc_id,
+       {AUDIO_RATE}::INT AS sample_rate,
+       1::INT AS channels,
+       count(*)::BIGINT AS n_samples,
+       sum(s)::BIGINT AS sum_samples,
+       sum(s * s)::BIGINT AS sumsq_samples,
+       max(abs(s))::INT AS peak
+FROM chars GROUP BY doc_id
+"""
+
+VIDEO_STATS_ORACLE_SQL = """
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n,
+         (8 + doc_id % 8) AS w, (4 + doc_id % 4) AS h, (1 + doc_id % 7) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, n, w * h AS fb, unnest(range(0, nf)) AS f FROM m
+),
+px AS (
+  SELECT doc_id, f::INT AS frame_idx, fb,
+         list_transform(range(0, fb),
+                        p -> ascii(substr(text, ((f * fb + p) % n) + 1, 1))) AS vals
+  FROM fr
+)
+SELECT doc_id, frame_idx,
+       (list_sum(vals) * 1000000 // (255 * fb))::BIGINT AS luma_mean_ppm,
+       list_min(vals)::INT AS luma_min,
+       list_max(vals)::INT AS luma_max
+FROM px
+"""

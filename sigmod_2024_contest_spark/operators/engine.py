@@ -286,6 +286,39 @@ def _slice_rows(base: DataFrame, shard_plan: dict[str, int], alpha: float) -> Da
     )
 
 
+def _bin_to_codes_batch(bs: pd.Series) -> pd.Series:
+    """BINARY codes column (int8.tobytes()) → array<tinyint> rows, the
+    exact inverse of the index writer. One frombuffer over the
+    concatenated batch, then per-row views — no row-at-a-time decode;
+    the slices alias the single flat buffer."""
+    raw = [bytes(b) for b in bs]
+    flat = np.frombuffer(b"".join(raw), dtype=np.int8)
+    offs = np.zeros(len(raw) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in raw], out=offs[1:])
+    return pd.Series([flat[offs[i]: offs[i + 1]] for i in range(len(raw))])
+
+
+def _codes_weighted_digest_batch(bs: pd.Series) -> pd.Series:
+    """Per-row position-weighted code digest Σ_j (j+1)·code_j over a
+    BINARY codes column (int8 bytes) — a compact, SQL-reproducible
+    fingerprint of the code vector (the oracle computes the same fold
+    over its re-encoded list). One frombuffer + one GEMV per batch."""
+    raw = [bytes(b) for b in bs]
+    if not raw:
+        return pd.Series([], dtype="int64")
+    flat = np.frombuffer(b"".join(raw), dtype=np.int8).astype(np.int64)
+    lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    if (lens == lens[0]).all() and lens[0] > 0:
+        mat = flat.reshape(-1, int(lens[0]))
+        w = np.arange(1, int(lens[0]) + 1, dtype=np.int64)
+        return pd.Series(mat @ w)
+    out, pos = [], 0
+    for n in lens:
+        out.append(int(flat[pos: pos + n] @ np.arange(1, n + 1, dtype=np.int64)))
+        pos += n
+    return pd.Series(out, dtype="int64")
+
+
 def upsert_index(
     index: DataFrame,
     new_base: DataFrame,
@@ -313,9 +346,10 @@ def upsert_index(
     Delta-architecture contract (documented, test-pinned): the plan and
     alpha stay FIXED between compactions, so shards grow past
     ``max_nodes`` under sustained ingest and brand-new big categories
-    keep riding their decile shards until a periodic full
-    ``build_index`` re-derives the plan — the classic delta + compact
-    split. ``shard_catalog``/search need no changes: pkeys are stable.
+    keep riding their decile shards until :func:`compaction_due` fires
+    and :func:`compact_index` re-derives the plan/alpha from the raw
+    corpus — the classic delta + compact split. ``shard_catalog``/
+    search need no changes between compactions: pkeys are stable.
     """
     spark = index.sparkSession
     sliced = _slice_rows(new_base, shard_plan, alpha)
@@ -324,15 +358,25 @@ def upsert_index(
         return index
     untouched = index.filter(~F.col("pkey").isin(affected))
 
-    # index rows store codes as BINARY (int8.tobytes()); the builder
-    # consumes array<tinyint> — frombuffer is the exact inverse
-    @F.pandas_udf("array<tinyint>")
-    def _bin_to_codes(bs: pd.Series) -> pd.Series:
-        return bs.map(lambda b: np.frombuffer(bytes(b), dtype=np.int8))
+    # Replay idempotence: a retried micro-batch (streaming checkpoint
+    # replay after the LATEST pointer already moved) re-applies rows
+    # the index already holds; without this anti-join the rebuild
+    # would duplicate them and diverge from the from-scratch build.
+    # Dropping retained rows whose id re-arrives also gives true
+    # UPSERT semantics for value updates — under the standing
+    # assumption that (category, ts) per id are immutable (routing is
+    # deterministic in them, so the stale copy lives in an affected
+    # shard). The arrival-id side is micro-batch-sized — broadcast.
+    arrival_ids = F.broadcast(new_base.select("id").distinct())
+    bin_to_codes = F.pandas_udf(_bin_to_codes_batch, "array<tinyint>")
 
-    retained = index.filter(F.col("pkey").isin(affected)).select(
-        "pkey", "id", "category", "ts",
-        _bin_to_codes("codes").alias("codes"),
+    retained = (
+        index.filter(F.col("pkey").isin(affected))
+        .join(arrival_ids, "id", "left_anti")
+        .select(
+            "pkey", "id", "category", "ts",
+            bin_to_codes(F.col("codes")).alias("codes"),
+        )
     )
     a = float(alpha)
     rebuilt = (
@@ -344,6 +388,86 @@ def upsert_index(
         )
     )
     return untouched.unionByName(rebuilt)
+
+
+COMPACT_FACTOR = 2.0
+
+
+def compaction_due(
+    index: DataFrame,
+    shard_plan: dict[str, int],
+    max_nodes: int = MAX_NODES_PER_GRAPH,
+    factor: float = COMPACT_FACTOR,
+    cat_thr: float = routing.CAT_GRAPH_THR,
+) -> bool:
+    """The delta-contract compaction trigger (`upsert_index` keeps the
+    shard plan/alpha FIXED between compactions, so sustained ingest
+    erodes the per-shard ``max_nodes`` bound — the thing that keeps
+    search tasks constant-cost). Fires when either
+
+    - any shard holds more than ``factor × max_nodes`` members, or
+    - a category not in the plan now holds ≥ ``cat_thr`` of the corpus
+      (it has been riding its decile shards without a cat: slice).
+
+    Both checks are catalog-sized aggregations over the index: per-pkey
+    counts (≤ shard count rows) and per-category counts over the decile
+    rows (deciles partition the corpus exactly once). No raw-corpus
+    scan, no driver-side data."""
+    counts = index.groupBy("pkey").count()
+    if counts.filter(F.col("count") > factor * max_nodes).limit(1).count() > 0:
+        return True
+    planned_cats = [
+        int(p.split(":")[1]) for p in shard_plan if p.startswith("cat:")
+    ]
+    decs = index.filter(F.col("pkey").startswith("dec:"))
+    cat_counts = decs.groupBy("category").agg(F.count("*").alias("cnt"))
+    total = decs.count()
+    big_new = cat_counts.filter(
+        (F.col("cnt") >= F.lit(cat_thr) * F.lit(total))
+        & ~F.col("category").cast("long").isin([int(c) for c in planned_cats])
+    )
+    return big_new.limit(1).count() > 0
+
+
+def compact_index(
+    index: DataFrame,
+    base: DataFrame,
+    shard_plan: dict[str, int],
+    alpha: float,
+    cat_thr: float = routing.CAT_GRAPH_THR,
+    max_nodes: int = MAX_NODES_PER_GRAPH,
+    factor: float = COMPACT_FACTOR,
+    m: int = 16,
+    efc: int = 100,
+    graph_min_nodes: int = 0,
+    hnsw_levels: bool = False,
+) -> tuple[DataFrame, dict[str, int], float]:
+    """The compact half of the delta + compact split: when
+    :func:`compaction_due` fires, re-derive the shard plan AND alpha
+    from the full raw corpus (``base`` — the index stores codes only,
+    so retraining the quantizer needs the float vectors; the compaction
+    job is the one that owns the raw corpus) and rebuild from scratch,
+    restoring the per-shard ``max_nodes`` bound and giving newly-big
+    categories their cat: slices. Otherwise pass (index, plan, alpha)
+    through unchanged — callers loop ``upsert → compact_index`` and the
+    trigger decides. Returns the (index, plan, alpha) triple the caller
+    continues upserting under."""
+    if not compaction_due(index, shard_plan, max_nodes, factor, cat_thr):
+        return index, shard_plan, alpha
+    new_alpha = Q.train_alpha(base)
+    new_plan = _shard_plan(base, cat_thr, max_nodes)
+    rebuilt = build_index(
+        base,
+        cat_thr=cat_thr,
+        m=m,
+        efc=efc,
+        max_nodes=max_nodes,
+        graph_min_nodes=graph_min_nodes,
+        shard_plan=new_plan,
+        alpha=new_alpha,
+        hnsw_levels=hnsw_levels,
+    )
+    return rebuilt, new_plan, new_alpha
 
 
 def partition_index_for_search(index: DataFrame) -> DataFrame:

@@ -32,14 +32,32 @@ def ship_package(spark: SparkSession) -> None:
     if app_id in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), f"sigmod_2024_contest_spark_{os.getpid()}.zip")
+    # Content-addressed zip name: a PID- or app-keyed name can collide
+    # with a STALE zip left in tmp by an earlier process (PIDs recycle),
+    # silently shipping old code to the workers. Hashing the sources
+    # makes reuse safe and rebuilds exactly when the package changed.
+    import hashlib
+
+    srcs = []
+    for root, _, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                srcs.append(os.path.join(root, f))
+    digest = hashlib.sha256()
+    for full in sorted(srcs):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"sigmod_2024_contest_spark_{digest.hexdigest()[:16]}.zip",
+    )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in srcs:
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        os.replace(tmp, zpath)  # atomic: concurrent sessions see full zips
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED.add(app_id)
 

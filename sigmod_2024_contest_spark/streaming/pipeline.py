@@ -368,7 +368,9 @@ _NEAR_DUP_OUT_SCHEMA = "d1 long, d2 long, jaccard_ppm long"
 # per-bucket state: docs seen + their shingle-key sets, flattened
 # (skeys of docs[i] = flat[offs[i]:offs[i+1]]; offs has len(docs)+1
 # entries) — flat arrays avoid nested-array state encoders.
-_NEAR_DUP_STATE_SCHEMA = "docs array<long>, offs array<long>, flat array<long>"
+_NEAR_DUP_STATE_SCHEMA = (
+    "docs array<long>, offs array<long>, flat array<long>, capped array<long>"
+)
 
 
 def stream_near_dup_pairs(
@@ -400,7 +402,19 @@ def stream_near_dup_pairs(
     stores its distinct shingle keys (the verify side of the batch op
     holds the same sets in its join). No corpus-sized shuffle ever
     happens; the only wide exchange is the groupBy on (band, sig),
-    identical to the batch candidate join's key."""
+    identical to the batch candidate join's key.
+
+    Cap semantics (explicit accepted loss): an arrival to a FULL
+    bucket pairs against the residents and within its own micro-batch,
+    but is not retained as a resident — a near-duplicate of it landing
+    in this bucket in a LATER micro-batch will not pair here (it can
+    still pair through any of its other n_bands-1 buckets). What a
+    full bucket DOES remember is the capped doc's id (ids only, no
+    shingle sets — state growth per capped doc is one long), so a
+    checkpoint replay re-delivering a capped doc is recognized and
+    skipped instead of re-verifying and re-emitting its pairs — the
+    <= n_bands emission bound holds in capped mode too (test-pinned
+    by ``test_stream_near_dup_pairs_capped_replay``)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.dedup import JACCARD_TAU_PPM, _shingle_table, band_sigs
@@ -412,11 +426,12 @@ def stream_near_dup_pairs(
         import pandas as pd
 
         if state.exists:
-            docs_l, offs, flat = (list(x) for x in state.get)
+            docs_l, offs, flat, capped = (list(x) for x in state.get)
         else:
-            docs_l, offs, flat = [], [0], []
+            docs_l, offs, flat, capped = [], [0], [], []
         seen = {int(d): (offs[i], offs[i + 1]) for i, d in enumerate(docs_l)}
         sets = {d: frozenset(flat[lo:hi]) for d, (lo, hi) in seen.items()}
+        capped_ids = set(int(c) for c in capped)
         out_d1, out_d2, out_j = [], [], []
         arrivals = []
         for pdf in pdfs:
@@ -424,8 +439,8 @@ def stream_near_dup_pairs(
                 arrivals.append((int(doc_id), frozenset(int(k) for k in skeys)))
         arrivals.sort(key=lambda t: t[0])
         for doc_id, ks in arrivals:
-            if doc_id in sets:
-                continue  # replayed doc: already a resident
+            if doc_id in sets or doc_id in capped_ids:
+                continue  # replayed doc: already seen (resident or capped)
             for other, os_ in sets.items():
                 inter = len(ks & os_)
                 un = len(ks) + len(os_) - inter
@@ -441,8 +456,11 @@ def stream_near_dup_pairs(
                 docs_l.append(doc_id)
                 flat.extend(sorted(ks))
                 offs.append(len(flat))
+            else:
+                capped.append(doc_id)  # remember the id so replays skip
+                capped_ids.add(doc_id)
             sets[doc_id] = ks  # still pairs within this batch even if capped
-        state.update((docs_l, offs, flat))
+        state.update((docs_l, offs, flat, capped))
         if out_d1:
             yield pd.DataFrame({"d1": out_d1, "d2": out_d2, "jaccard_ppm": out_j})
 

@@ -173,7 +173,13 @@ def index_ingest_stream(
     writes ``v{b}/`` in full, and only then moves the ``LATEST``
     pointer — a retried batch (streaming checkpoint replay) simply
     overwrites its own version directory and re-points, and searchers
-    always load a complete snapshot through ``latest_index``. The
+    always load a complete snapshot through ``latest_index``. Replay
+    is exact even when the crash lands BETWEEN the pointer move and
+    the checkpoint commit (the replayed batch then reads a LATEST
+    that already contains its rows): ``upsert_index`` anti-joins
+    retained rows against the arrival ids, so re-applying a batch is
+    a true upsert — no duplicate nodes, byte-identical snapshot
+    (test-pinned by ``test_upsert_index_replay_idempotent``). The
     shard plan and alpha are FIXED for the stream's lifetime (the
     delta + periodic-compaction contract of ``upsert_index``); a
     compaction job rebuilds from the raw corpus with a fresh plan and

@@ -552,3 +552,110 @@ def test_upsert_index_new_category_rides_deciles(spark):
     new_ids = {r["id"] for r in new.select("id").collect()}
     got_ids = {r["id"] for r in upserted.select("id").distinct().collect()}
     assert new_ids <= got_ids
+
+
+def test_upsert_index_replay_idempotent(spark):
+    """Streaming checkpoint replay safety: re-applying a micro-batch
+    the index already absorbed must change NOTHING — the arrival
+    anti-join drops the retained duplicates before the rebuild, so a
+    retried foreachBatch fold converges to the same snapshot."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    batch = base_all.filter(F.col("ts") < 0.1)
+    idx0 = engine.build_index(
+        base_all.filter(F.col("ts") >= 0.1), shard_plan=splan, alpha=alpha, max_nodes=64
+    )
+
+    def snap(df):
+        return sorted(
+            (r["pkey"], r["id"], r["category"], r["ts"], bytes(r["codes"]),
+             tuple(r["nbrs"]), tuple(r["nbr_ts"]), r["level"])
+            for r in df.collect()
+        )
+
+    once = engine.upsert_index(idx0, batch, splan, alpha).cache()
+    twice = engine.upsert_index(once, batch, splan, alpha)
+    s1, s2 = snap(once), snap(twice)
+    # each corpus row appears once per slice it routes to (cat + dec),
+    # never duplicated within a shard
+    assert len(s1) == engine._slice_rows(base_all, splan, alpha).count()
+    assert len({(p, i) for p, i, *_ in s1}) == len(s1)
+    assert s1 == s2
+
+
+def test_compact_index_restores_shard_bounds(spark):
+    """Delta + compact split, the compact half: sustained upsert ingest
+    under a FIXED plan overflows shards past factor*max_nodes; the
+    compaction_due catalog query fires, compact_index re-derives the
+    plan from the raw corpus, per-shard occupancy returns under the
+    bound, and search recall over the compacted index stays >= 0.95."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    max_nodes = 16
+    seed = base_all.filter(F.col("ts") < 0.2)
+    splan = engine._shard_plan(seed, routing.CAT_GRAPH_THR, max_nodes)
+    idx = engine.build_index(seed, shard_plan=splan, alpha=alpha, max_nodes=max_nodes)
+    assert not engine.compaction_due(idx, splan, max_nodes=max_nodes)
+
+    # sustained ingest: 4 deltas against the frozen plan → ~5x growth
+    for lo, hi in ((0.2, 0.4), (0.4, 0.6), (0.6, 0.8), (0.8, 1.01)):
+        delta = base_all.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        idx = engine.upsert_index(idx, delta, splan, alpha)
+    occ = idx.groupBy("pkey").count()
+    assert occ.agg(F.max("count")).collect()[0][0] > engine.COMPACT_FACTOR * max_nodes
+    assert engine.compaction_due(idx, splan, max_nodes=max_nodes)
+
+    idx2, plan2, alpha2 = engine.compact_index(
+        idx, base_all, splan, alpha, max_nodes=max_nodes
+    )
+    assert plan2 != splan  # plan re-derived for the grown corpus
+    occ2 = {r["pkey"]: r["count"] for r in idx2.groupBy("pkey").count().collect()}
+    # pmod(id) spreads a slice across its shards: bounded by the
+    # trigger threshold with slack only for id-mod imbalance
+    assert max(occ2.values()) <= engine.COMPACT_FACTOR * max_nodes
+    assert not engine.compaction_due(idx2, plan2, max_nodes=max_nodes)
+    assert idx2.select("id").distinct().count() == base_all.count()
+
+    q = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base_all, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base_all, q, index=idx2, alpha=alpha2).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.95, sum(recalls) / len(recalls)
+
+
+def test_compaction_due_new_big_category(spark):
+    """Trigger condition 2: a category absent from the fixed plan that
+    grows past cat_thr of the corpus fires compaction even when no
+    shard has overflowed."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 4096)
+    idx = engine.build_index(base_all, shard_plan=splan, alpha=alpha, max_nodes=4096)
+    assert not engine.compaction_due(idx, splan, max_nodes=4096)
+    # relabel 30% of the corpus to an unseen category IN THE INDEX —
+    # simulating what sustained category-skewed ingest accumulates
+    drifted = idx.withColumn(
+        "category",
+        F.when(F.col("ts") < 0.3, F.lit(77)).otherwise(F.col("category")),
+    )
+    assert engine.compaction_due(drifted, splan, max_nodes=4096)

@@ -346,3 +346,114 @@ def test_video_frame_stats_through_spark(spark):
     assert got[0]["luma_mean_ppm"] == (sum(luma0) * 1_000_000) // (255 * 4)
     assert got[1]["luma_min"] == got[1]["luma_max"] == 10
     assert got[1]["luma_mean_ppm"] == (40 * 1_000_000) // (255 * 4)
+
+
+def _bmp8(w, h, idx_rows, palette, n_colors=None):
+    """Minimal uncompressed 8-bit BMP: bottom-up padded index raster
+    preceded by a BGRX color table."""
+    n = len(palette) if n_colors is None else n_colors
+    stride = (w + 3) // 4 * 4
+    raster = b""
+    for row in reversed(idx_rows):
+        raster += bytes(row) + b"\x00" * (stride - w)
+    table = b"".join(bytes([b_, g, r, 0]) for (r, g, b_) in palette)
+    data_off = 54 + len(table)
+    size = data_off + len(raster)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 12
+        + n.to_bytes(4, "little")  # biClrUsed
+        + b"\x00" * 4
+    )
+    return hdr + table + raster
+
+
+def test_decode_image_bmp8_grayscale_ramp():
+    """Identity grayscale palette: samples ARE the indices, 1 channel."""
+    pal = [(i, i, i) for i in range(256)]
+    rows = [[10, 200, 32], [7, 0, 255]]
+    h, w, ch, arr = MM.decode_image(_bmp8(3, 2, rows, pal, n_colors=0))
+    assert (h, w, ch) == (2, 3, 1)
+    assert arr.reshape(2, 3).tolist() == rows
+
+
+def test_decode_image_bmp8_color_palette_mapped():
+    """Non-identity palette: indices map through the color table to
+    RGB — raw indices would be wrong sample values."""
+    pal = [(9, 8, 7), (100, 101, 102), (200, 0, 50), (1, 2, 3)]
+    rows = [[0, 2], [3, 1]]
+    h, w, ch, arr = MM.decode_image(_bmp8(2, 2, rows, pal))
+    assert (h, w, ch) == (2, 2, 3)
+    got = arr.reshape(2, 2, 3).tolist()
+    assert got == [[list(pal[i]) for i in r] for r in rows]
+
+
+def test_decode_image_bmp8_truncated_palette_rejected():
+    pal = [(i, i, i) for i in range(4)]
+    buf = _bmp8(2, 1, [[0, 1]], pal, n_colors=256)  # claims 256, stores 4
+    with pytest.raises(ValueError, match="color table"):
+        MM.decode_image(buf)
+
+
+def test_pnm_header_rejects_crlf_and_junk():
+    """Spec: exactly ONE whitespace byte between maxval and raster —
+    CRLF or a comment there would silently shift the raster offset."""
+    vals = bytes([1, 2, 3, 4, 5, 6])
+    with pytest.raises(ValueError, match="CRLF"):
+        MM.decode_image(b"P5\n3 2\n255\r\n" + vals)
+    with pytest.raises(ValueError, match="whitespace"):
+        MM.decode_image(b"P5\n3 2\n255#c\n" + vals)
+
+
+def test_pack_audio_decode_roundtrip(spark):
+    """pack_audio → decode_audio is the identity on the planted bytes:
+    mono 16 kHz 8-bit PCM whose samples are ascii(text) − 128."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "Zz 09")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: bytes(r["payload"])
+            for r in MM.pack_audio(docs).collect()}
+    rate, ch, s = MM.decode_audio(rows[1])
+    assert (rate, ch) == (MM.AUDIO_RATE, 1)
+    assert s.tolist() == [b - 128 for b in b"hello world"]
+    rate2, ch2, s2 = MM.decode_audio(rows[2])
+    assert s2.tolist() == [b - 128 for b in b"Zz 09"]
+
+
+def test_pack_video_decode_roundtrip(spark):
+    """pack_video → decode_video reproduces the documented geometry and
+    the cycled-text frame bytes."""
+    text = "abcdefghij" * 6
+    doc_id = 5  # w=13, h=1(4+5%4=5? no: 4+1=5)... computed below
+    docs = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    payload = bytes(MM.pack_video(docs).collect()[0]["payload"])
+    h, w, cs, frames = MM.decode_video(payload)
+    assert (w, h) == (8 + doc_id % 8, 4 + doc_id % 4)
+    assert cs.startswith("Cmono")
+    nf = 1 + doc_id % 7
+    assert frames.shape == (nf, w * h)
+    tb = text.encode()
+    n = len(tb)
+    for f in range(nf):
+        expect = [tb[(f * w * h + p) % n] for p in range(w * h)]
+        assert frames[f].tolist() == expect
+
+
+def test_pack_image_decode_roundtrip(spark):
+    """pack_image plants a commented P5 header; real decode must strip
+    exactly that header and return the text bytes."""
+    text = "The quick brown fox."
+    docs = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    payload = bytes(MM.pack_image(docs).collect()[0]["payload"])
+    h, w, ch, arr = MM.decode_image(payload)
+    assert (h, w, ch) == (1, len(text), 1)
+    assert arr.tobytes() == text.encode()

@@ -35,12 +35,47 @@ ROUND8_WINDOW = {
 }
 
 
-def test_round8_window_is_exactly_the_promised_set():
-    """First 50 registry keys == {r6 window entries} ∪ {the division
-    entry}, per the r7 verdict's 'done' criterion (item #1)."""
+ROUND9_NEW_ENTRIES = [
+    # r9 registrations — never driver-proven, so stalest-first puts
+    # them at the head of the window
+    "index_upsert_parity", "stream_neardup_parity", "media_image_stats",
+    "media_audio_stats", "media_video_stats",
+]
+
+ROUND9_DISPLACED = {
+    # r7-green names the new entries pushed out; they wait in
+    # _PRIOR_ROUND_GREEN on their CORRECTNESS_r07 rows and lead r10
+    "rolling_revenue", "revenue_growth_mom", "sales_cube",
+    "user_order_reconciliation", "order_gap_days",
+}
+
+
+def test_round9_window_is_exactly_the_planned_set():
+    """First 50 registry keys == the 5 new r9 entries + the 45 stalest
+    r7-green names (r8 verdict item #1 + #2): new entries lead, no r8-
+    green name re-occupies a slot, displaced names sit in prior-green."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert set(first) == ROUND8_WINDOW
+    assert first[:5] == ROUND9_NEW_ENTRIES
+    assert ROUND8_WINDOW.isdisjoint(first)  # r8-green half fully rotated out
+    assert ROUND9_DISPLACED.isdisjoint(first)
+    assert ROUND9_DISPLACED <= set(api._PRIOR_ROUND_GREEN)
+
+
+def test_rotate_window_tool_reproduces_r9_window():
+    """On the real r1-r8 artifacts and the live registry the tool must
+    propose exactly the committed r9 lists — the rotation stays
+    mechanical, not hand-curated."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from rotate_window import load_green_rounds, plan_next_window
+
+    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 8}
+    assert max(rounds) == 8
+    nxt, prior = plan_next_window(list(api._REGISTRY), rounds, window=50)
+    assert nxt == api._CHECK_FIRST
+    assert prior == set(api._PRIOR_ROUND_GREEN)
 
 
 def test_window_plus_prior_green_covers_registry():

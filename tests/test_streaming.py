@@ -526,3 +526,22 @@ def test_ingest_then_serve_closed_loop(spark, tmp_path):
     assert got == want and len(got) > 0
     base_all.unpersist()
     index.unpersist()
+
+
+def test_stream_near_dup_pairs_capped_replay(spark, tmp_path):
+    """Capped mode: a doc arriving at a FULL bucket still pairs against
+    the residents, its id (only) is remembered, and a checkpoint replay
+    re-delivering it is skipped — the <= n_bands emission bound must
+    hold even for capped docs (pre-fix they re-verified and re-emitted
+    on every replay)."""
+    docs, rows = _near_dup_docs(spark)
+    replay = rows + rows  # every doc delivered twice
+    sdf = _stream_docs_in_chunks(spark, tmp_path, replay, n_chunks=4)
+    got_df = _run_stream(
+        spark, P.stream_near_dup_pairs(sdf, bucket_cap=1), "append", "near_dup_capped"
+    )
+    from sigmod_2024_contest_spark.operators.dedup import BAND_ROWS, N_HASHES
+
+    n_bands = N_HASHES // BAND_ROWS
+    for r in got_df.groupBy("d1", "d2").count().collect():
+        assert r["count"] <= n_bands, (r["d1"], r["d2"], r["count"])

@@ -61,8 +61,15 @@ def plan_next_window(
     order = {n: i for i, n in enumerate(registry_names)}
     ranked = sorted(registry_names, key=lambda n: (latest.get(n, -1), order[n]))
     nxt = ranked[:window]
-    newest_round = max(rounds) if rounds else 0
-    prior = set(rounds.get(newest_round, set())) & set(registry_names)
+    # Prior-green = every registry entry with a driver-green row in ANY
+    # round that the stalest-first cut left outside the window. With
+    # exactly 2×window entries this is the newest round's green set;
+    # when new entries displace proven ones (registry > 2×window), the
+    # displaced names stay covered by their older green rows and cycle
+    # back in on the next rotation. Never-green entries can ONLY be in
+    # the window — the api.py import guard keeps that loud.
+    green_any = set(latest) & set(registry_names)
+    prior = green_any - set(nxt)
     return nxt, prior
 
 
