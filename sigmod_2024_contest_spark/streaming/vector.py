@@ -163,6 +163,9 @@ def index_ingest_stream(
     alpha: float,
     m: int = 16,
     efc: int = 100,
+    corpus_dir: str | None = None,
+    max_nodes: int | None = None,
+    compact_factor: float | None = None,
 ):
     """Continuous corpus ingest: each micro-batch of new vectors folds
     into the persisted graph index via ``engine.upsert_index`` —
@@ -179,38 +182,90 @@ def index_ingest_stream(
     that already contains its rows): ``upsert_index`` anti-joins
     retained rows against the arrival ids, so re-applying a batch is
     a true upsert — no duplicate nodes, byte-identical snapshot
-    (test-pinned by ``test_upsert_index_replay_idempotent``). The
-    shard plan and alpha are FIXED for the stream's lifetime (the
-    delta + periodic-compaction contract of ``upsert_index``); a
-    compaction job rebuilds from the raw corpus with a fresh plan and
-    starts a new stream. Returns the StreamingQuery (caller owns
+    (test-pinned by ``test_upsert_index_replay_idempotent``).
+
+    The shard plan and alpha are FIXED between compactions (the
+    delta + compact contract of ``upsert_index``). With ``corpus_dir``
+    set (the directory the file stream ingests from — for file-backed
+    ingest the accumulated raw corpus IS the source directory), the
+    fold closes the compaction loop itself: after each upsert it runs
+    the catalog-sized :func:`~..operators.engine.compaction_due`
+    check and, when it fires, :func:`~..operators.engine.compact_index`
+    re-derives plan AND alpha from the full corpus and rebuilds; the
+    stream continues upserting under the new plan. The active
+    (plan, alpha) pair is persisted as ``_meta.json``
+    (underscore: Spark's file listing ignores it next to the parquet) inside every
+    version directory, so a RESTARTED stream resumes under the plan
+    the compaction produced, not the constructor's — without that, a
+    restart after compaction would route new rows with a stale plan
+    against a compacted index. Without ``corpus_dir`` the plan stays
+    fixed and a separate compaction job owns the rebuild (the
+    documented split). Returns the StreamingQuery (caller owns
     stop/await)."""
+    import json
     import os
 
     from ..operators import engine
     from ..sources import layout
+
+    mn = engine.MAX_NODES_PER_GRAPH if max_nodes is None else int(max_nodes)
+    factor = engine.COMPACT_FACTOR if compact_factor is None else float(compact_factor)
+
+    def _write_snapshot(new_index, batch_id: int, plan, a) -> None:
+        vdir = os.path.join(index_dir, f"v{batch_id}")
+        layout.save_index(new_index, vdir)
+        with open(os.path.join(vdir, "_meta.json"), "w") as f:
+            json.dump({"shard_plan": plan, "alpha": a, "batch_id": batch_id}, f)
+        tmp = os.path.join(index_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(index_dir, "LATEST"))
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         latest = latest_index_path(index_dir)
+        plan, a = shard_plan, alpha
         if latest is None:
             new_index = engine.build_index(
-                batch_df, shard_plan=shard_plan, alpha=alpha, m=m, efc=efc
+                batch_df, shard_plan=plan, alpha=a, m=m, efc=efc
             )
         else:
+            meta = latest_index_meta(index_dir)
+            if meta is not None:  # resume under the LIVE plan/alpha
+                plan, a = meta["shard_plan"], meta["alpha"]
             new_index = engine.upsert_index(
-                layout.load_index(spark, latest), batch_df, shard_plan, alpha, m=m, efc=efc
+                layout.load_index(spark, latest), batch_df, plan, a, m=m, efc=efc
             )
-        vdir = os.path.join(index_dir, f"v{batch_id}")
-        layout.save_index(new_index, vdir)
-        tmp = os.path.join(index_dir, "LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"v{batch_id}")
-        os.replace(tmp, os.path.join(index_dir, "LATEST"))
+        if corpus_dir is not None and engine.compaction_due(
+            new_index, plan, max_nodes=mn, factor=factor
+        ):
+            corpus = spark.read.schema(BASE_SCHEMA).parquet(corpus_dir)
+            new_index, plan, a = engine.compact_index(
+                new_index, corpus, plan, a, max_nodes=mn, factor=factor, m=m, efc=efc
+            )
+        _write_snapshot(new_index, batch_id, plan, a)
 
     return base.writeStream.foreachBatch(fold).start()
+
+
+def latest_index_meta(index_dir: str) -> dict | None:
+    """The (shard_plan, alpha, batch_id) the newest committed snapshot
+    was written under, or None for pre-meta snapshots. Searchers and
+    restarted ingest streams read THIS, not construction-time values —
+    compaction changes both."""
+    import json
+    import os
+
+    latest = latest_index_path(index_dir)
+    if latest is None:
+        return None
+    mpath = os.path.join(latest, "_meta.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
 
 
 def latest_index_path(index_dir: str) -> str | None:

@@ -545,3 +545,70 @@ def test_stream_near_dup_pairs_capped_replay(spark, tmp_path):
     n_bands = N_HASHES // BAND_ROWS
     for r in got_df.groupBy("d1", "d2").count().collect():
         assert r["count"] <= n_bands, (r["d1"], r["d2"], r["count"])
+
+
+def test_index_ingest_stream_compacts_in_loop(spark, tmp_path):
+    """Closed-loop delta + compact under streaming ingest: the plan is
+    derived from the FIRST chunk only (tiny max_nodes), later chunks
+    overflow shards past factor×max_nodes, the fold's compaction_due
+    check fires, compact_index re-derives plan/alpha from the corpus
+    directory, _meta.json persists the LIVE pair, and the final
+    snapshot is back under the per-shard bound and serves search at
+    recall >= 0.9."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, knn, routing
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources import layout
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    max_nodes = 16
+    first = base_all.filter(F.col("id") % 4 == 0)
+    alpha0 = Q.train_alpha(first)
+    splan0 = engine._shard_plan(first, routing.CAT_GRAPH_THR, max_nodes)
+
+    src = str(tmp_path / "cbase_in")
+    os.makedirs(src)
+    for i in range(4):
+        chunk = base_all.filter(F.col("id") % 4 == i)
+        cdir = tmp_path / f"cchunk{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(cdir))
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        shutil.copy(str(cdir / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+
+    index_dir = str(tmp_path / "cindex")
+    os.makedirs(index_dir)
+    q = V.index_ingest_stream(
+        V.stream_base(spark, src), index_dir, splan0, alpha0,
+        corpus_dir=src, max_nodes=max_nodes,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    meta = V.latest_index_meta(index_dir)
+    assert meta is not None and meta["batch_id"] == 3
+    assert meta["shard_plan"] != splan0  # a compaction re-derived the plan
+    idx = layout.load_index(spark, V.latest_index_path(index_dir))
+    occ = {r["pkey"]: r["count"] for r in idx.groupBy("pkey").count().collect()}
+    assert max(occ.values()) <= engine.COMPACT_FACTOR * max_nodes
+    assert not engine.compaction_due(idx, meta["shard_plan"], max_nodes=max_nodes)
+    assert idx.select("id").distinct().count() == base_all.count()
+
+    queries = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base_all, queries).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(
+        spark, base_all, queries, index=idx, alpha=meta["alpha"]
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
