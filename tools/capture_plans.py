@@ -140,11 +140,32 @@ PICKS = {
         "exact cosine re-rank (the K12 pattern)."
     ),
     "tfidf_topk": (
-        "TF-IDF keyword extraction, one linear pipeline (r8): tokenize + "
-        "explode + pair-count once, document frequency as a count() window "
-        "over term on the SAME pair table (no vocab join, no cached "
-        "diamond), then the per-doc top-k window — exactly two exchanges "
-        "(term, then doc_id) over one documents scan."
+        "TF-IDF keyword extraction (r9 shape): tokenize + explode + "
+        "pair-count once; document frequency as groupBy(term).count() — one "
+        "row per term after map-side combine — joined back on term (AQE "
+        "skew-splits a Zipf-hot probe side and upgrades the vocab-sized "
+        "build side to broadcast; the r8 window-over-term could not be "
+        "split), then the per-doc top-k window. No persist: both consumers "
+        "of the pair aggregate share one exchange (ReuseExchange) or the "
+        "broadcast absorbs the second read."
+    ),
+    "index_upsert_parity": (
+        "Upsert-vs-scratch certification (deliberately corpus-sized — it "
+        "runs TWO index builds plus the upserted third; run it at "
+        "validation scale, not on the full production corpus): both builds "
+        "are groupBy(pkey).applyInPandas over pre-encoded codes, the "
+        "full-outer comparison joins on (pkey, id) — both sides already "
+        "hash-partitioned compatibly — and the digests reduce per shard, "
+        "so nothing driver-sized ever materializes. The arrival anti-join "
+        "side is broadcast (micro-batch-sized by contract)."
+    ),
+    "media_video_stats": (
+        "Real-decode feature extraction: pack (pandas UDF building Y4M "
+        "containers) and decode+features (mapInPandas) are back-to-back "
+        "Arrow stages over one column-pruned documents scan — zero "
+        "exchanges; payload bytes never leave the executor. The same plan "
+        "shape serves a petabyte media table: per-row work, no data "
+        "movement, the feature table is the only output."
     ),
 }
 
