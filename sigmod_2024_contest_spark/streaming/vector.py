@@ -166,6 +166,8 @@ def index_ingest_stream(
     corpus_dir: str | None = None,
     max_nodes: int | None = None,
     compact_factor: float | None = None,
+    incremental: bool = False,
+    retain_versions: int | None = None,
 ):
     """Continuous corpus ingest: each micro-batch of new vectors folds
     into the persisted graph index via ``engine.upsert_index`` —
@@ -200,10 +202,35 @@ def index_ingest_stream(
     restart after compaction would route new rows with a stale plan
     against a compacted index. Without ``corpus_dir`` the plan stays
     fixed and a separate compaction job owns the rebuild (the
-    documented split). Returns the StreamingQuery (caller owns
+    documented split).
+
+    ``incremental=True`` switches the snapshot store to MANIFEST mode —
+    the 100 TB write path. The default (full) mode rewrites the entire
+    index every micro-batch: O(corpus) write amplification per batch,
+    fine for tests, disqualifying at scale. In manifest mode each
+    version directory stores ONLY the shards that batch rebuilt
+    (pkey-partitioned parquet under ``v{b}/shards/``), and ``_meta.json``
+    additionally carries ``owners`` — the pkey → version map naming,
+    for every live shard, the version directory that owns its current
+    bytes. Readers (:func:`load_latest_index`) union per-owner reads
+    with pkey partition-filters, so directory pruning keeps every read
+    O(requested shards); the fold's own upsert reads the previous
+    snapshot the same way — per-batch I/O is O(affected shards) on
+    BOTH sides, never corpus-sized. A compaction (or first build)
+    resets owners to the new version. Replay stays idempotent: a
+    retried batch rewrites its own ``v{b}/shards`` and recomputes the
+    same owners.
+
+    ``retain_versions=N`` enables snapshot GC after each commit: keep
+    every version the current manifest references (manifest mode)
+    plus the newest N version directories (in-flight readers), delete
+    the rest — without it, sustained ingest accumulates one snapshot
+    per micro-batch forever. Returns the StreamingQuery (caller owns
     stop/await)."""
     import json
     import os
+
+    from pyspark.sql import functions as F
 
     from ..operators import engine
     from ..sources import layout
@@ -211,15 +238,15 @@ def index_ingest_stream(
     mn = engine.MAX_NODES_PER_GRAPH if max_nodes is None else int(max_nodes)
     factor = engine.COMPACT_FACTOR if compact_factor is None else float(compact_factor)
 
-    def _write_snapshot(new_index, batch_id: int, plan, a) -> None:
-        vdir = os.path.join(index_dir, f"v{batch_id}")
-        layout.save_index(new_index, vdir)
+    def _commit(vdir: str, batch_id: int, meta: dict) -> None:
         with open(os.path.join(vdir, "_meta.json"), "w") as f:
-            json.dump({"shard_plan": plan, "alpha": a, "batch_id": batch_id}, f)
+            json.dump(meta, f)
         tmp = os.path.join(index_dir, "LATEST.tmp")
         with open(tmp, "w") as f:
             f.write(f"v{batch_id}")
         os.replace(tmp, os.path.join(index_dir, "LATEST"))
+        if retain_versions is not None:
+            _gc_versions(index_dir, retain_versions)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -227,6 +254,8 @@ def index_ingest_stream(
         spark = batch_df.sparkSession
         latest = latest_index_path(index_dir)
         plan, a = shard_plan, alpha
+        affected: list[str] | None = None  # None = every shard is new
+        prev_owners: dict[str, str] = {}
         if latest is None:
             new_index = engine.build_index(
                 batch_df, shard_plan=plan, alpha=a, m=m, efc=efc
@@ -235,9 +264,14 @@ def index_ingest_stream(
             meta = latest_index_meta(index_dir)
             if meta is not None:  # resume under the LIVE plan/alpha
                 plan, a = meta["shard_plan"], meta["alpha"]
-            new_index = engine.upsert_index(
-                layout.load_index(spark, latest), batch_df, plan, a, m=m, efc=efc
-            )
+                prev_owners = meta.get("owners") or {}
+            cur = load_latest_index(spark, index_dir)
+            new_index = engine.upsert_index(cur, batch_df, plan, a, m=m, efc=efc)
+            affected = [
+                r["pkey"]
+                for r in engine._slice_rows(batch_df, plan, a)
+                .select("pkey").distinct().collect()
+            ]
         if corpus_dir is not None and engine.compaction_due(
             new_index, plan, max_nodes=mn, factor=factor
         ):
@@ -245,9 +279,96 @@ def index_ingest_stream(
             new_index, plan, a = engine.compact_index(
                 new_index, corpus, plan, a, max_nodes=mn, factor=factor, m=m, efc=efc
             )
-        _write_snapshot(new_index, batch_id, plan, a)
+            affected = None  # full rebuild: this version owns everything
+        vdir = os.path.join(index_dir, f"v{batch_id}")
+        meta_out = {"shard_plan": plan, "alpha": a, "batch_id": batch_id}
+        if not incremental:
+            layout.save_index(new_index, vdir)
+            _commit(vdir, batch_id, meta_out)
+            return
+        vtag = f"v{batch_id}"
+        if affected is None:
+            to_write = new_index
+            owners = None  # known only after the write; derive from dirs
+        else:
+            to_write = new_index.filter(F.col("pkey").isin(affected))
+            owners = dict(prev_owners)
+            for p in affected:
+                owners[p] = vtag
+        layout.save_index(to_write, os.path.join(vdir, "shards"))
+        if owners is None:
+            # pkey is the partition column: the written directory names
+            # ARE the shard list — no second job
+            owners = {
+                p.split("=", 1)[1]: vtag
+                for p in os.listdir(os.path.join(vdir, "shards"))
+                if p.startswith("pkey=")
+            }
+            from urllib.parse import unquote
+
+            owners = {unquote(p): v for p, v in owners.items()}
+        meta_out["owners"] = owners
+        _commit(vdir, batch_id, meta_out)
 
     return base.writeStream.foreachBatch(fold).start()
+
+
+def load_latest_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The newest committed snapshot as one DataFrame, whichever store
+    wrote it: manifest mode unions per-owner version reads under pkey
+    partition-filters (directory pruning — a read touches only the
+    shards it asks for), full mode reads the version directory
+    directly."""
+    from pyspark.sql import functions as F
+
+    from ..sources import layout
+
+    import os
+
+    latest = latest_index_path(index_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed index under {index_dir}")
+    meta = latest_index_meta(index_dir)
+    if not meta or "owners" not in meta:
+        return layout.load_index(spark, latest)
+    by_version: dict[str, list[str]] = {}
+    for pkey, vtag in meta["owners"].items():
+        by_version.setdefault(vtag, []).append(pkey)
+    parts = [
+        layout.load_index(
+            spark, os.path.join(index_dir, vtag, "shards")
+        ).filter(F.col("pkey").isin(pkeys))
+        for vtag, pkeys in sorted(by_version.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _gc_versions(index_dir: str, retain: int) -> None:
+    """Delete version directories neither referenced by the current
+    manifest nor among the newest ``retain`` versions (grace window for
+    in-flight readers of just-superseded snapshots)."""
+    import os
+    import re
+    import shutil
+
+    latest = latest_index_path(index_dir)
+    if latest is None:
+        return
+    keep = {os.path.basename(latest)}
+    meta = latest_index_meta(index_dir)
+    if meta and meta.get("owners"):
+        keep |= set(meta["owners"].values())
+    vdirs = sorted(
+        (d for d in os.listdir(index_dir) if re.fullmatch(r"v\d+", d)),
+        key=lambda s: int(s[1:]),
+    )
+    keep |= set(vdirs[-max(int(retain), 1):])
+    for d in vdirs:
+        if d not in keep:
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
 
 def latest_index_meta(index_dir: str) -> dict | None:

@@ -612,3 +612,121 @@ def test_index_ingest_stream_compacts_in_loop(spark, tmp_path):
         got.setdefault(r.query_id, set()).add(r.id)
     recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
     assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+
+def test_index_ingest_stream_incremental_manifest(spark, tmp_path):
+    """Manifest-mode snapshots: each version directory stores ONLY the
+    shards its batch rebuilt (write amplification O(affected), not
+    O(corpus)), the owners map names the owning version per shard, a
+    referenced old version survives GC, and the manifest-assembled
+    index equals a from-scratch build over the union corpus."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+
+    src = str(tmp_path / "inc_in")
+    os.makedirs(src)
+    bounds = [(0.0, 0.17), (0.17, 0.34), (0.34, 0.51)]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = base_all.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        cdir = tmp_path / f"inchunk{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(cdir))
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        shutil.copy(str(cdir / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+
+    index_dir = str(tmp_path / "inc_index")
+    os.makedirs(index_dir)
+    q = V.index_ingest_stream(
+        V.stream_base(spark, src), index_dir, splan, alpha,
+        incremental=True, retain_versions=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    meta = V.latest_index_meta(index_dir)
+    assert meta is not None and "owners" in meta and meta["batch_id"] == 2
+    owners = meta["owners"]
+    versions_used = set(owners.values())
+    assert len(versions_used) >= 2  # old shards still owned by old versions
+    # dec:0 was only ever written by batch 0 — v0 must own it and
+    # survive GC (it is referenced), while the version dirs on disk are
+    # exactly the referenced set (retain_versions=1 grace adds only the
+    # newest, which is referenced anyway)
+    dec0 = next(p for p in owners if p.startswith("dec:0"))
+    assert owners[dec0] == "v0"
+    on_disk = {d for d in os.listdir(index_dir) if d.startswith("v")}
+    assert on_disk == versions_used
+    # write amplification: the last version holds fewer shard dirs than
+    # the full shard count (only its affected shards)
+    v2_shards = [
+        d for d in os.listdir(os.path.join(index_dir, "v2", "shards"))
+        if d.startswith("pkey=")
+    ]
+    assert 0 < len(v2_shards) < len(owners)
+
+    idx = V.load_latest_index(spark, index_dir)
+    union = base_all.filter(F.col("ts") < 0.51)
+    idx_full = engine.build_index(union, shard_plan=splan, alpha=alpha, max_nodes=64)
+
+    def members(df):
+        out = {}
+        for r in df.select("pkey", "id", "codes").collect():
+            out.setdefault(r["pkey"], {})[r["id"]] = bytes(r["codes"])
+        return out
+
+    assert members(idx) == members(idx_full)
+
+
+def test_index_ingest_stream_retention_gc_full_mode(spark, tmp_path):
+    """Full-snapshot mode with retain_versions: superseded
+    self-contained snapshots are deleted, only the newest N survive."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.sources import layout
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+
+    src = str(tmp_path / "gc_in")
+    os.makedirs(src)
+    for i in range(3):
+        chunk = base_all.filter(F.col("id") % 3 == i)
+        cdir = tmp_path / f"gchunk{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(cdir))
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        shutil.copy(str(cdir / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+
+    index_dir = str(tmp_path / "gc_index")
+    os.makedirs(index_dir)
+    q = V.index_ingest_stream(
+        V.stream_base(spark, src), index_dir, splan, alpha, retain_versions=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    on_disk = sorted(d for d in os.listdir(index_dir) if d.startswith("v"))
+    assert on_disk == ["v2"]
+    # the surviving snapshot is complete and loadable both ways
+    idx = V.load_latest_index(spark, index_dir)
+    assert idx.select("id").distinct().count() == base_all.count()
+    assert layout.load_index(spark, V.latest_index_path(index_dir)).count() == idx.count()
