@@ -225,8 +225,16 @@ def index_ingest_stream(
     every version the current manifest references (manifest mode)
     plus the newest N version directories (in-flight readers), delete
     the rest — without it, sustained ingest accumulates one snapshot
-    per micro-batch forever. Returns the StreamingQuery (caller owns
-    stop/await)."""
+    per micro-batch forever.
+
+    Scale bounds of the manifest itself: ``owners`` is shard-catalog-
+    sized (one string pair per live shard — MBs at millions of shards;
+    a deployment past that would store it as a parquet manifest table,
+    same contract), and manifest FRAGMENTATION (how many distinct
+    versions own live shards, which bounds the reader's union width)
+    is reset to one by every compaction — the same event that restores
+    the shard-size bound also defragments the store. Returns the
+    StreamingQuery (caller owns stop/await)."""
     import json
     import os
 
