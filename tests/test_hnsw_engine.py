@@ -659,3 +659,40 @@ def test_compaction_due_new_big_category(spark):
         F.when(F.col("ts") < 0.3, F.lit(77)).otherwise(F.col("category")),
     )
     assert engine.compaction_due(drifted, splan, max_nodes=4096)
+
+
+def test_upsert_index_preserves_hnsw_levels_parity(spark):
+    """Upsert under the S9 levels build (hnsw_levels=True): rebuilt
+    shards must reproduce the from-scratch level structure too —
+    levels and upper-layer adjacency, not just base-layer members
+    (the build is deterministic per shard: crc32(pkey) seed, id-sorted
+    input)."""
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+
+    base_all = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    old = base_all.filter(F.col("id") % 5 != 0)
+    new = base_all.filter(F.col("id") % 5 == 0)
+
+    idx = engine.build_index(
+        old, shard_plan=splan, alpha=alpha, max_nodes=64, hnsw_levels=True
+    )
+    up = engine.upsert_index(idx, new, splan, alpha, hnsw_levels=True)
+    scratch = engine.build_index(
+        base_all, shard_plan=splan, alpha=alpha, max_nodes=64, hnsw_levels=True
+    )
+
+    def snap(df):
+        return sorted(
+            (r["pkey"], r["id"], r["level"], tuple(r["nbrs"]),
+             tuple(tuple(u) for u in r["upper"]))
+            for r in df.collect()
+        )
+
+    s_up, s_scr = snap(up), snap(scratch)
+    assert s_up == s_scr
+    assert any(lvl > 0 for _, _, lvl, _, _ in s_up)  # levels actually built
