@@ -293,3 +293,29 @@ def test_graph_to_pruned_nbrs_matches_naive(seed):
                 want[j, deg[j]] = i
                 deg[j] += 1
     assert np.array_equal(got, want)
+
+
+def test_codes_weighted_digest_batch_uniform_and_ragged():
+    """The binary-codes digest kernel: uniform-width batches take the
+    single-GEMV path, ragged batches the per-row fallback — both must
+    equal the obvious per-row fold, including negative int8 values."""
+    import numpy as np
+    import pandas as pd
+
+    from sigmod_2024_contest_spark.operators.engine import _codes_weighted_digest_batch
+
+    def ref(b):
+        a = np.frombuffer(b, dtype=np.int8).astype(np.int64)
+        return int((a * np.arange(1, a.size + 1)).sum())
+
+    uni = [np.array([1, -2, 127], np.int8).tobytes(),
+           np.array([-128, 0, 5], np.int8).tobytes()]
+    got = _codes_weighted_digest_batch(pd.Series(uni)).tolist()
+    assert got == [ref(b) for b in uni]
+
+    ragged = [np.array([7], np.int8).tobytes(),
+              np.array([-1, -1, -1, -1], np.int8).tobytes(),
+              b""]
+    got = _codes_weighted_digest_batch(pd.Series(ragged)).tolist()
+    assert got == [ref(b) for b in ragged]
+    assert _codes_weighted_digest_batch(pd.Series([], dtype=object)).tolist() == []

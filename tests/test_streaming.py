@@ -730,3 +730,32 @@ def test_index_ingest_stream_retention_gc_full_mode(spark, tmp_path):
     idx = V.load_latest_index(spark, index_dir)
     assert idx.select("id").distinct().count() == base_all.count()
     assert layout.load_index(spark, V.latest_index_path(index_dir)).count() == idx.count()
+
+
+def test_gc_versions_pure_fs(tmp_path):
+    """_gc_versions without Spark: referenced + newest-N versions
+    survive, unreferenced older ones are deleted."""
+    import json
+    import os
+
+    from sigmod_2024_contest_spark.streaming.vector import _gc_versions
+
+    idx = str(tmp_path / "idx")
+    for b in range(5):
+        os.makedirs(os.path.join(idx, f"v{b}"))
+    # manifest: v4 is LATEST; owners reference v1 and v4
+    with open(os.path.join(idx, "v4", "_meta.json"), "w") as f:
+        json.dump({"shard_plan": {}, "alpha": 1.0, "batch_id": 4,
+                   "owners": {"dec:0:0": "v1", "dec:1:0": "v4"}}, f)
+    with open(os.path.join(idx, "LATEST"), "w") as f:
+        f.write("v4")
+    _gc_versions(idx, retain=1)
+    left = sorted(d for d in os.listdir(idx) if d.startswith("v"))
+    assert left == ["v1", "v4"]  # v0/v2/v3 unreferenced and stale
+
+
+def test_load_latest_index_missing_raises(spark, tmp_path):
+    from sigmod_2024_contest_spark.streaming.vector import load_latest_index
+
+    with pytest.raises(FileNotFoundError):
+        load_latest_index(spark, str(tmp_path / "nothing_here"))
