@@ -572,6 +572,298 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Compaction, driver-proven (the compact half of the delta + compact
+# contract, r9): build under a plan/alpha derived from a 2/3 subset,
+# upsert the remaining third so sustained ingest erodes the per-shard
+# bound, assert `compaction_due` fires (emitted as a literal the oracle
+# expects TRUE), then `compact_index` re-derives plan AND alpha from
+# the full corpus and rebuilds. The oracle recomputes the compacted
+# layout STRUCTURALLY from the raw table — the re-derived plan is the
+# full-base plan, alpha is the full-base max|x|, shard routing is
+# pmod(id, ns), codes are the SQ8 encode under the NEW alpha — so a
+# hash match certifies that compaction actually re-derived both and
+# rebuilt every shard under them (a stale plan or alpha changes every
+# pkey/digest). MAX_NODES=32 + factor 0.5 size the trigger so it
+# provably fires at sf0.01's 500-row base (final decile fill ~25 >
+# 0.5×32 = 16); no scratch build — `compact_index` itself builds from
+# the raw corpus, so the oracle comparison IS the parity check.
+# ---------------------------------------------------------------------------
+
+COMPACT_PARITY_MAX_NODES = 32
+COMPACT_PARITY_FACTOR = 0.5
+
+
+def _index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .session import ship_package
+
+    ship_package(spark)
+    base = base_vectors(spark, sf_dir)
+    # deterministic 2/3 seed / 1/3 arrival split, decorrelated from the
+    # id % nshards membership (F.hash = Murmur3, fixed seed)
+    split = F.pmod(F.hash("id"), F.lit(3))
+    seed = base.filter(split != 0)
+    arrivals = base.filter(split == 0)
+    old_alpha = Q.train_alpha(seed)
+    old_plan = engine._shard_plan(
+        seed, routing.CAT_GRAPH_THR, COMPACT_PARITY_MAX_NODES
+    )
+    idx = engine.build_index(seed, shard_plan=old_plan, alpha=old_alpha)
+    up = engine.upsert_index(idx, arrivals, old_plan, old_alpha).persist()
+    try:
+        fired = engine.compaction_due(
+            up,
+            old_plan,
+            max_nodes=COMPACT_PARITY_MAX_NODES,
+            factor=COMPACT_PARITY_FACTOR,
+        )
+        rebuilt, _new_plan, _new_alpha = engine.compact_index(
+            up,
+            base,
+            old_plan,
+            old_alpha,
+            max_nodes=COMPACT_PARITY_MAX_NODES,
+            factor=COMPACT_PARITY_FACTOR,
+        )
+    finally:
+        up.unpersist()
+    digest = F.pandas_udf(engine._codes_weighted_digest_batch, "long")
+    return (
+        rebuilt.select("pkey", "id", digest(F.col("codes")).alias("dg"))
+        .groupBy("pkey")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("dg").cast("long").alias("code_digest"),
+        )
+        .select(
+            "pkey",
+            "n_members",
+            "sum_id",
+            "code_digest",
+            F.lit(bool(fired)).alias("compaction_fired"),
+        )
+    )
+
+
+_INDEX_COMPACTION_PARITY_SQL = f"""
+WITH alpha AS ({Q.ALPHA_SQL}),
+b AS ({workload.base_cte_sql()}),
+tot AS (SELECT count(*) AS total FROM b),
+cat_counts AS (SELECT category::BIGINT AS key, count(*) AS c FROM b GROUP BY 1),
+dec_counts AS (
+  SELECT least(floor(ts * 10)::INT, 9)::BIGINT AS key, count(*) AS c
+  FROM b GROUP BY 1
+),
+plan AS (
+  SELECT 'cat:' || key AS prefix, c FROM cat_counts, tot
+  WHERE c >= {routing.CAT_GRAPH_THR} * total
+  UNION ALL
+  SELECT 'dec:' || key, c FROM dec_counts
+),
+plan2 AS (
+  SELECT prefix,
+         ((c + {COMPACT_PARITY_MAX_NODES} - 1) // {COMPACT_PARITY_MAX_NODES}) AS ns
+  FROM plan
+),
+sliced AS (
+  SELECT b.id, p.prefix, p.ns,
+         {Q.encode_sql('b.vec')} AS codes
+  FROM b, alpha
+  JOIN plan2 p
+    ON p.prefix = 'dec:' || least(floor(b.ts * 10)::INT, 9)::BIGINT
+    OR p.prefix = 'cat:' || b.category::BIGINT
+),
+rows_ AS (
+  SELECT prefix || ':' || (id % ns) AS pkey, id,
+         list_sum(list_transform(range(1, len(codes) + 1),
+                                 j -> j * codes[j]))::BIGINT AS dg
+  FROM sliced
+)
+SELECT pkey,
+       count(*)::BIGINT AS n_members,
+       sum(id)::BIGINT AS sum_id,
+       sum(dg)::BIGINT AS code_digest,
+       TRUE AS compaction_fired
+FROM rows_ GROUP BY pkey
+"""
+
+register(
+    "index_compaction_parity", _index_compaction_parity, _INDEX_COMPACTION_PARITY_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-mode streaming ingest, driver-proven (r9): stage the base
+# vectors as three parquet files, run `index_ingest_stream` to
+# completion in MANIFEST mode (each version stores only its batch's
+# rebuilt shards; owners map + LATEST pointer; retain_versions=1 GC),
+# then assemble the live index through `load_latest_index`'s per-owner
+# pruned reads. The emitted per-shard digests are recomputed
+# structurally by the oracle (same shape as index_upsert_parity), and
+# two in-plan flags the oracle expects TRUE certify what SQL cannot:
+# `graph_equal` — the manifest-assembled index is row-identical
+# (adjacency included) to a from-scratch `build_index` under the same
+# plan/alpha, i.e. the incremental write path and the batch build
+# converge; `store_bounded` — after GC the store holds only
+# manifest-referenced versions plus the retention window.
+# ---------------------------------------------------------------------------
+
+INGEST_PARITY_MAX_NODES = 128
+
+
+def _stream_index_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators import engine as _e
+    from .session import ship_package
+    from .streaming import vector as V
+
+    ship_package(spark)
+    base = base_vectors(spark, sf_dir)
+    alpha = Q.train_alpha(base)
+    plan = engine._shard_plan(
+        base, routing.CAT_GRAPH_THR, INGEST_PARITY_MAX_NODES
+    )
+    work = tempfile.mkdtemp(prefix="sg_ingest_parity_")
+    stage = os.path.join(work, "arrivals")
+    index_dir = os.path.join(work, "index")
+    os.makedirs(stage)
+    os.makedirs(index_dir)
+    # two deterministic micro-batches (first build + one incremental
+    # fold — the minimum that exercises a multi-version manifest and
+    # GC); the fold is order-independent (fixed plan/alpha + anti-join
+    # upsert), so file order never matters
+    for i in range(2):
+        part_dir = os.path.join(work, f"p{i}")
+        (
+            base.filter(F.pmod(F.col("id"), F.lit(2)) == i)
+            .select("id", "category", "ts", "vec")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(stage, f"batch{i}.parquet"))
+    q = V.index_ingest_stream(
+        V.stream_base(spark, stage),
+        index_dir,
+        plan,
+        alpha,
+        incremental=True,
+        retain_versions=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx = V.load_latest_index(spark, index_dir)
+    meta = V.latest_index_meta(index_dir) or {}
+    referenced = set((meta.get("owners") or {}).values())
+    vdirs = {
+        d for d in os.listdir(index_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    }
+    newest = max(vdirs, key=lambda s: int(s[1:]))
+    store_bounded = vdirs <= (referenced | {newest})
+
+    scratch = _e.build_index(base, shard_plan=plan, alpha=alpha)
+    cols = ["pkey", "id", "category", "ts", "codes", "nbrs", "nbr_ts", "level"]
+    joined = (
+        idx.select(*cols).alias("u")
+        .join(scratch.select(*cols).alias("s"), ["pkey", "id"], "full_outer")
+    )
+    match = F.coalesce(
+        F.col("u.codes").isNotNull()
+        & F.col("s.codes").isNotNull()
+        & (F.col("u.codes") == F.col("s.codes"))
+        & (F.col("u.category") == F.col("s.category"))
+        & (F.col("u.ts") == F.col("s.ts"))
+        & (F.col("u.nbrs") == F.col("s.nbrs"))
+        & (F.col("u.nbr_ts") == F.col("s.nbr_ts"))
+        & (F.col("u.level") == F.col("s.level")),
+        F.lit(False),
+    )
+    eq = (
+        joined.select("pkey", match.alias("m"))
+        .groupBy("pkey")
+        .agg(F.min("m").alias("graph_equal"))
+    )
+    digest = F.pandas_udf(engine._codes_weighted_digest_batch, "long")
+    stats_df = (
+        idx.select("pkey", "id", digest(F.col("codes")).alias("dg"))
+        .groupBy("pkey")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("dg").cast("long").alias("code_digest"),
+        )
+    )
+    return stats_df.join(eq, "pkey").select(
+        "pkey",
+        "n_members",
+        "sum_id",
+        "code_digest",
+        "graph_equal",
+        F.lit(bool(store_bounded)).alias("store_bounded"),
+    )
+
+
+_STREAM_INDEX_INGEST_PARITY_SQL = f"""
+WITH alpha AS ({Q.ALPHA_SQL}),
+b AS ({workload.base_cte_sql()}),
+tot AS (SELECT count(*) AS total FROM b),
+cat_counts AS (SELECT category::BIGINT AS key, count(*) AS c FROM b GROUP BY 1),
+dec_counts AS (
+  SELECT least(floor(ts * 10)::INT, 9)::BIGINT AS key, count(*) AS c
+  FROM b GROUP BY 1
+),
+plan AS (
+  SELECT 'cat:' || key AS prefix, c FROM cat_counts, tot
+  WHERE c >= {routing.CAT_GRAPH_THR} * total
+  UNION ALL
+  SELECT 'dec:' || key, c FROM dec_counts
+),
+plan2 AS (
+  SELECT prefix,
+         ((c + {INGEST_PARITY_MAX_NODES} - 1) // {INGEST_PARITY_MAX_NODES}) AS ns
+  FROM plan
+),
+sliced AS (
+  SELECT b.id, p.prefix, p.ns,
+         {Q.encode_sql('b.vec')} AS codes
+  FROM b, alpha
+  JOIN plan2 p
+    ON p.prefix = 'dec:' || least(floor(b.ts * 10)::INT, 9)::BIGINT
+    OR p.prefix = 'cat:' || b.category::BIGINT
+),
+rows_ AS (
+  SELECT prefix || ':' || (id % ns) AS pkey, id,
+         list_sum(list_transform(range(1, len(codes) + 1),
+                                 j -> j * codes[j]))::BIGINT AS dg
+  FROM sliced
+)
+SELECT pkey,
+       count(*)::BIGINT AS n_members,
+       sum(id)::BIGINT AS sum_id,
+       sum(dg)::BIGINT AS code_digest,
+       TRUE AS graph_equal,
+       TRUE AS store_bounded
+FROM rows_ GROUP BY pkey
+"""
+
+register(
+    "stream_index_ingest_parity",
+    _stream_index_ingest_parity,
+    _STREAM_INDEX_INGEST_PARITY_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis (SURVEY §7.5)
 # ---------------------------------------------------------------------------
 
@@ -1329,6 +1621,8 @@ register(
 _CHECK_FIRST: list[str] = [
     "index_upsert_parity",
     "stream_neardup_parity",
+    "index_compaction_parity",
+    "stream_index_ingest_parity",
     "media_image_stats",
     "media_audio_stats",
     "media_video_stats",
@@ -1375,8 +1669,6 @@ _CHECK_FIRST: list[str] = [
     "market_share",
     "product_type_profit",
     "promo_suppliers",
-    "waiting_suppliers",
-    "copurchase_pairs",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -1387,6 +1679,8 @@ _CHECK_FIRST: list[str] = [
 # silently landing outside every driver window (r7 verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
+        "waiting_suppliers",
+        "copurchase_pairs",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "ann_lsh_topk",

@@ -328,9 +328,14 @@ def upsert_index(
     efc: int = 100,
     graph_min_nodes: int = 0,
     hnsw_levels: bool = False,
+    affected: list[str] | None = None,
 ) -> DataFrame:
     """Incremental index maintenance: fold new vectors into an existing
     partitioned graph index, rebuilding ONLY the shards they land in.
+
+    ``affected``: the arrival pkey list, if the caller already computed
+    it (the ingest fold needs it for the manifest owners map) — passing
+    it skips the internal distinct-collect job.
 
     The reference builds once and searches (baseline.cpp) — continuous
     ingest is a beyond-reference capability, and the shard layout makes
@@ -353,7 +358,8 @@ def upsert_index(
     """
     spark = index.sparkSession
     sliced = _slice_rows(new_base, shard_plan, alpha)
-    affected = [r["pkey"] for r in sliced.select("pkey").distinct().collect()]
+    if affected is None:
+        affected = [r["pkey"] for r in sliced.select("pkey").distinct().collect()]
     if not affected:
         return index
     untouched = index.filter(~F.col("pkey").isin(affected))

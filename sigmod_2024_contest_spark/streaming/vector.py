@@ -274,12 +274,16 @@ def index_ingest_stream(
                 plan, a = meta["shard_plan"], meta["alpha"]
                 prev_owners = meta.get("owners") or {}
             cur = load_latest_index(spark, index_dir)
-            new_index = engine.upsert_index(cur, batch_df, plan, a, m=m, efc=efc)
+            # ONE routing job: the distinct-collect both feeds the
+            # manifest owners map and skips upsert_index's internal one
             affected = [
                 r["pkey"]
                 for r in engine._slice_rows(batch_df, plan, a)
                 .select("pkey").distinct().collect()
             ]
+            new_index = engine.upsert_index(
+                cur, batch_df, plan, a, m=m, efc=efc, affected=affected
+            )
         if corpus_dir is not None and engine.compaction_due(
             new_index, plan, max_nodes=mn, factor=factor
         ):

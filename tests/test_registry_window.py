@@ -35,37 +35,42 @@ ROUND8_WINDOW = {
 }
 
 
-ROUND9_NEW_ENTRIES = [
-    # r9 registrations — never driver-proven, so stalest-first puts
-    # them at the head of the window
-    "index_upsert_parity", "stream_neardup_parity", "media_image_stats",
-    "media_audio_stats", "media_video_stats",
+NEVER_GREEN_ENTRIES = [
+    # r9 + r10 registrations — never driver-proven (CORRECTNESS_r09
+    # never landed, so the r9 five still lack rows); stalest-first puts
+    # all of them at the head of the window, in registry order
+    "index_upsert_parity", "stream_neardup_parity",
+    "index_compaction_parity", "stream_index_ingest_parity",
+    "media_image_stats", "media_audio_stats", "media_video_stats",
 ]
 
-ROUND9_DISPLACED = {
+DISPLACED = {
     # r7-green names the new entries pushed out; they wait in
-    # _PRIOR_ROUND_GREEN on their CORRECTNESS_r07 rows and lead r10
+    # _PRIOR_ROUND_GREEN on their CORRECTNESS_r07 rows and lead the
+    # next rotation
     "rolling_revenue", "revenue_growth_mom", "sales_cube",
     "user_order_reconciliation", "order_gap_days",
+    # displaced by the two r10 entries
+    "waiting_suppliers", "copurchase_pairs",
 }
 
 
-def test_round9_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the 5 new r9 entries + the 45 stalest
-    r7-green names (r8 verdict item #1 + #2): new entries lead, no r8-
-    green name re-occupies a slot, displaced names sit in prior-green."""
+def test_round10_window_is_exactly_the_planned_set():
+    """First 50 registry keys == the 7 never-green entries + the 43
+    stalest r7-green names: never-green lead, no r8-green name
+    re-occupies a slot, displaced names sit in prior-green."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:5] == ROUND9_NEW_ENTRIES
+    assert first[:7] == NEVER_GREEN_ENTRIES
     assert ROUND8_WINDOW.isdisjoint(first)  # r8-green half fully rotated out
-    assert ROUND9_DISPLACED.isdisjoint(first)
-    assert ROUND9_DISPLACED <= set(api._PRIOR_ROUND_GREEN)
+    assert DISPLACED.isdisjoint(first)
+    assert DISPLACED <= set(api._PRIOR_ROUND_GREEN)
 
 
-def test_rotate_window_tool_reproduces_r9_window():
-    """On the real r1-r8 artifacts and the live registry the tool must
-    propose exactly the committed r9 lists — the rotation stays
-    mechanical, not hand-curated."""
+def test_rotate_window_tool_reproduces_r10_window():
+    """On the real r1-r8 artifacts (no r9 artifact ever landed) and the
+    live registry the tool must propose exactly the committed r10
+    lists — the rotation stays mechanical, not hand-curated."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
