@@ -881,6 +881,22 @@ register("doc_fingerprint", lambda s, d: T.fingerprint(_docs(s, d)), T.FINGERPRI
 register("redact_pii", lambda s, d: T.redact_pii(_docs(s, d)), T.redact_pii_sql())
 register("ngram_counts", lambda s, d: T.ngram_counts(_docs(s, d)), T.ngram_counts_sql())
 register("token_counts", lambda s, d: T.token_counts(_docs(s, d)), T.TOKEN_COUNTS_SQL)
+# r10: quality-filter family (the web-pipeline keep/drop stack)
+register(
+    "quality_classifier",
+    lambda s, d: T.quality_classifier(_docs(s, d)),
+    T.QUALITY_CLASSIFIER_SQL,
+)
+register(
+    "source_quality_summary",
+    lambda s, d: T.source_quality_summary(_docs(s, d)),
+    T.SOURCE_QUALITY_SUMMARY_SQL,
+)
+register(
+    "bigram_likelihood",
+    lambda s, d: T.bigram_likelihood(_docs(s, d)),
+    T.BIGRAM_LIKELIHOOD_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -920,6 +936,12 @@ register(
     "curate_corpus",
     lambda s, d: curation.curate_corpus(_docs(s, d)),
     curation.curate_corpus_sql(),
+)
+# r10: keep-best-per-cluster curation policy
+register(
+    "dedup_keep_best",
+    lambda s, d: curation.dedup_keep_best(_docs(s, d)),
+    curation.dedup_keep_best_sql(),
 )
 register(
     "pack_sequences",
@@ -1626,6 +1648,10 @@ _CHECK_FIRST: list[str] = [
     "media_image_stats",
     "media_audio_stats",
     "media_video_stats",
+    "quality_classifier",
+    "source_quality_summary",
+    "bigram_likelihood",
+    "dedup_keep_best",
     "embed_project",
     "knn_pq_rerank",
     "recall_pq_vs_exact",
@@ -1665,10 +1691,6 @@ _CHECK_FIRST: list[str] = [
     "top_supplier",
     "min_cost_supplier",
     "important_parts",
-    "small_qty_revenue",
-    "market_share",
-    "product_type_profit",
-    "promo_suppliers",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -1681,6 +1703,10 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
         "waiting_suppliers",
         "copurchase_pairs",
+        "small_qty_revenue",
+        "market_share",
+        "product_type_profit",
+        "promo_suppliers",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "ann_lsh_topk",

@@ -518,3 +518,231 @@ SELECT doc_id, term, tf, df, score_ppm, CAST(rnk AS BIGINT) AS rnk FROM (
   FROM scored
 ) WHERE rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier — the fasttext-style keep/drop filter of
+# web-corpus pipelines (CCNet-family heuristics), as a pure column
+# expression.
+# ---------------------------------------------------------------------------
+
+# Documented fixed weights over exact per-doc ratios. The FORM is the
+# operator (a linear model over cheap text features, scoring the whole
+# corpus in one whole-stage-codegen'd scan, no Python); the weights are
+# a placeholder a deployment would learn offline and paste in.
+QC_BIAS = -2.0
+QC_W_LEN = 1.5       # length score: least(n_tokens, 200)/200
+QC_W_DISTINCT = 1.2  # type/token ratio (redundancy)
+QC_W_ALPHA = 1.8     # alphabetic+space character fraction
+QC_W_DIGIT = -2.5    # digit character fraction (boilerplate/tables)
+QC_W_STOP = 0.8      # stopword fraction (natural-language prose signal)
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """(doc_id, logit_ppm, keep): linear quality classifier over exact
+    text-feature ratios — keep = (w·x + b >= 0).
+
+    Emits the LOGIT (not a sigmoid) — it orders and thresholds docs
+    identically, and it is a fixed-order sum of IEEE double products,
+    so Spark and the DuckDB oracle round bit-identically; an
+    ``exp``/``ln`` would vary across libm builds (the repo-wide rule,
+    see tfidf_topk). All features are one projection over the doc scan:
+    zero shuffles, zero UDFs, whole-stage codegen end to end."""
+    ws = tokens_expr("text")
+    n_tokens = F.size(ws).cast("double")
+    f_len = F.least(n_tokens, F.lit(200.0)) / F.lit(200.0)
+    f_distinct = F.size(F.array_distinct(ws)).cast("double") / n_tokens
+    n_chars = F.length("text").cast("double")
+    f_alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast("double") / n_chars
+    )
+    f_digit = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / n_chars
+    )
+    f_stop = (
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LEN) * f_len
+        + F.lit(QC_W_DISTINCT) * f_distinct
+        + F.lit(QC_W_ALPHA) * f_alpha
+        + F.lit(QC_W_DIGIT) * f_digit
+        + F.lit(QC_W_STOP) * f_stop
+    )
+    return docs.select(
+        "doc_id",
+        F.floor(z * F.lit(1e6)).cast("long").alias("logit_ppm"),
+        (z >= F.lit(0.0)).alias("keep"),
+    )
+
+
+def quality_classifier_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM {table}),
+f AS (
+  SELECT doc_id,
+         least(len(ws)::DOUBLE, 200.0) / 200.0 AS f_len,
+         len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE AS f_distinct,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+           / length(text)::DOUBLE AS f_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / length(text)::DOUBLE AS f_digit,
+         len(list_filter(ws, w -> list_contains([{_sql_list(STOPWORDS)}], w)))::DOUBLE
+           / len(ws)::DOUBLE AS f_stop
+  FROM t
+),
+z AS (
+  SELECT doc_id,
+         {QC_BIAS} + {QC_W_LEN} * f_len + {QC_W_DISTINCT} * f_distinct
+         + {QC_W_ALPHA} * f_alpha + {QC_W_DIGIT} * f_digit
+         + {QC_W_STOP} * f_stop AS z
+  FROM f
+)
+SELECT doc_id,
+       CAST(floor(z * 1e6) AS BIGINT) AS logit_ppm,
+       z >= 0.0 AS keep
+FROM z
+"""
+
+
+QUALITY_CLASSIFIER_SQL = quality_classifier_sql()
+
+
+def source_quality_summary(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_keep, keep_ppm, avg_logit_ppm, n_langs):
+    per-source (the corpus's domain analogue) quality roll-up — the
+    domain-level filter table a web pipeline thresholds to drop whole
+    hosts. One classifier scan + one map-side-combined groupBy; the
+    result is |sources|-sized (catalog-scale at any corpus size).
+    Integer fields only: ppm ratios via int64 floor-division."""
+    scored = quality_classifier(docs).join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            F.sum("logit_ppm").cast("long").alias("sum_logit_ppm"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("n_keep * 1000000 DIV n_docs").cast("long").alias("keep_ppm"),
+            F.expr(
+                "CASE WHEN sum_logit_ppm >= 0 THEN sum_logit_ppm DIV n_docs "
+                "ELSE -((-sum_logit_ppm) DIV n_docs) END"
+            ).cast("long").alias("avg_logit_ppm"),
+            "n_langs",
+        )
+    )
+
+
+def source_quality_summary_sql(table: str = "documents") -> str:
+    # NOTE: avg uses truncate-toward-zero on both sides (Spark DIV
+    # truncates; DuckDB // floors, so negative sums are sign-split)
+    return f"""
+WITH q AS ({quality_classifier_sql(table)}),
+s AS (
+  SELECT q.doc_id, q.logit_ppm, q.keep, d.source, d.lang
+  FROM q JOIN {table} d USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       (sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT * 1000000
+         // count(*)::BIGINT)::BIGINT AS keep_ppm,
+       (CASE WHEN sum(logit_ppm) >= 0 THEN sum(logit_ppm) // count(*)
+             ELSE -((-sum(logit_ppm)) // count(*)) END)::BIGINT AS avg_logit_ppm,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM s GROUP BY source
+"""
+
+
+SOURCE_QUALITY_SUMMARY_SQL = source_quality_summary_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram language-model scoring — the perplexity-family
+# fluency feature of corpus pipelines, in exact int64 arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def bigram_likelihood(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, ll_ppm_sum, avg_ppm): score every document
+    by the corpus's own bigram model — for each adjacent token pair,
+    the conditional probability P(w2|w1) = c(w1,w2)/c(w1,·) as integer
+    ppm, summed and averaged per doc. The perplexity-bucketing shape
+    (KenLM-style fluency scoring) with the model trained in-plan on the
+    corpus itself; all arithmetic is int64 floor-division so the oracle
+    hashes bit-identically (no ``ln`` — repo-wide rule, see tfidf_topk).
+
+    Distributed shape: ONE tokenize+explode produces the (doc, w1, w2)
+    occurrence table; the model is two map-side-combined aggregations
+    over it (distinct-bigram- and vocab-sized — broadcast-eligible, and
+    AQE upgrades the score join when they fit); the hot-prefix join is
+    the AQE-skew-splittable shape, not a window. Docs with <2 tokens
+    surface with zeroed scores via the left join."""
+    ws = tokens_expr("text")
+    # slice-zip bigrams: slice(ws, 2, n-1) is [] for 1-token docs, so
+    # no when/otherwise branch is needed
+    n = F.size(ws)
+    bi = F.arrays_zip(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = docs.select("doc_id", F.explode(bi).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    model = c2.join(c1, "w1").withColumn(
+        "ppm", F.expr("c2 * 1000000 DIV c1").cast("long")
+    )
+    scored = (
+        bg.join(model.select("w1", "w2", "ppm"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("ppm").cast("long").alias("ll_ppm_sum"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("ll_ppm_sum", F.lit(0)).cast("long").alias("ll_ppm_sum"),
+            F.coalesce(
+                F.expr("ll_ppm_sum DIV n_bigrams"), F.lit(0)
+            ).cast("long").alias("avg_ppm"),
+        )
+    )
+
+
+BIGRAM_LIKELIHOOD_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, unnest(range(1, len(ws))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+model AS (
+  SELECT c2.w1, c2.w2, (c2.c2 * 1000000 // c1.c1)::BIGINT AS ppm
+  FROM c2 JOIN c1 USING (w1)
+),
+scored AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams, sum(ppm)::BIGINT AS ll_ppm_sum
+  FROM bg JOIN model USING (w1, w2) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.ll_ppm_sum, 0)::BIGINT AS ll_ppm_sum,
+       coalesce(s.ll_ppm_sum // s.n_bigrams, 0)::BIGINT AS avg_ppm
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""

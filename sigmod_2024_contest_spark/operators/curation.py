@@ -24,7 +24,7 @@ against per-doc stats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TEXT_STATS_SQL, text_stats, tokens_expr
@@ -118,6 +118,84 @@ SELECT k.doc_id, k.cluster_id, s.quality_ppm,
             ELSE 'train' END AS split
 FROM kept k JOIN stats s ON s.doc_id = k.doc_id
 WHERE s.quality_ppm >= {quality_bar_ppm}
+"""
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    tau_ppm: int = JACCARD_TAU_PPM,
+    force_distributed_cc: bool = False,
+) -> DataFrame:
+    """(doc_id, cluster_id, logit_ppm, keep): near-duplicate clusters
+    with the HIGHEST-QUALITY member kept — the keep-best curation
+    policy (curate_corpus keeps the smallest doc_id; real pipelines
+    keep the best-scoring copy of each near-dup group and drop the
+    rest).
+
+    Composition: jaccard pairs → connected components (both existing,
+    scale-audited ops) → left join back to the corpus so singletons
+    form their own clusters → quality via the linear classifier →
+    row_number over the cluster partition ordered (logit desc, doc_id
+    asc). Clusters are near-dup groups — bounded and numerous — so the
+    window partitions along the scalable axis (like tfidf's per-doc
+    top-k), never a corpus-wide sort."""
+    from ..functions.text import quality_classifier
+
+    pairs = jaccard_pairs(docs, tau_ppm=tau_ppm)
+    clusters = dedup_clusters(pairs, force_distributed=force_distributed_cc)
+    members = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    scored = members.join(quality_classifier(docs).select("doc_id", "logit_ppm"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("logit_ppm").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "logit_ppm",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def dedup_keep_best_sql(tau_ppm: int = JACCARD_TAU_PPM) -> str:
+    from ..functions.text import quality_classifier_sql
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({jaccard_pairs_sql(tau_ppm)}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+),
+members AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+q AS ({quality_classifier_sql()}),
+scored AS (
+  SELECT m.doc_id, m.cluster_id, q.logit_ppm
+  FROM members m JOIN q ON q.doc_id = m.doc_id
+)
+SELECT doc_id, cluster_id, logit_ppm,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY logit_ppm DESC, doc_id ASC) = 1 AS keep
+FROM scored
 """
 
 
