@@ -246,6 +246,19 @@ def _slice_rows(base: DataFrame, shard_plan: dict[str, int], alpha: float) -> Da
     slice shards under a FIXED shard plan — the row-routing half of
     ``build_index``, shared with :func:`upsert_index` so incremental
     ingest routes rows exactly like the original build."""
+    return _prefix_rows(base, shard_plan, alpha).select(
+        _pkey_expr(shard_plan, F.col("prefix")).alias("pkey"),
+        "id",
+        "category",
+        "ts",
+        "codes",
+    )
+
+
+def _prefix_rows(base: DataFrame, shard_plan: dict[str, int], alpha: float) -> DataFrame:
+    """(prefix, id, category, ts, codes): slice-prefix routing without
+    the shard assignment — shared by the hash router (``_slice_rows``)
+    and the append-only epoch router (``_slice_rows_epoch``)."""
     big_cats = [
         int(p.split(":")[1]) for p in shard_plan if p.startswith("cat:")
     ]
@@ -273,12 +286,6 @@ def _slice_rows(base: DataFrame, shard_plan: dict[str, int], alpha: float) -> Da
     )
     return enc.select(
         F.explode(pref_arr).alias("prefix"),
-        "id",
-        "category",
-        "ts",
-        "codes",
-    ).select(
-        _pkey_expr(shard_plan, F.col("prefix")).alias("pkey"),
         "id",
         "category",
         "ts",
@@ -394,6 +401,145 @@ def upsert_index(
         )
     )
     return untouched.unionByName(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# Append-only EPOCH sub-sharding — the ingest write-floor fix.
+#
+# Hash sub-sharding (``_slice_rows``: shard = id % ns) spreads every
+# micro-batch's arrivals across ALL shards of each touched slice, so in
+# manifest-mode ingest a hot big-CATEGORY slice — whose rows span all
+# time — rebuilds every one of its shards every batch: the measured
+# ~112-shard/batch write floor (tools/measure_manifest.py, README).
+# Epoch routing assigns shard ids append-only instead: each slice keeps
+# ONE open shard that fills to ``max_nodes`` and seals; arrivals go to
+# the open shard (and spill into fresh epochs when a batch overflows
+# it), so a batch rebuilds O(touched slices + batch/max_nodes) shards
+# regardless of how large the slice has grown. Sealed shards are
+# immutable — byte-identical across versions, never rewritten. The
+# pkey shape is unchanged (``prefix:<int>``, ids just grow monotonically
+# per slice), so the shard catalog, assignment join, search cogroup and
+# persistence all work untouched; search fans out to every shard of the
+# slice exactly as with hash shards.
+#
+# Contract: APPEND-ONLY ids (the standard vector-log assumption).
+# A re-arriving id would land in the open epoch while its first copy
+# sits in a sealed shard the fold never reopens — updates need the
+# hash-routed ``upsert_index`` (deterministic id → shard) or a
+# compaction. Replay safety therefore comes from the fold's batch-id
+# guard (a replayed micro-batch whose snapshot already committed
+# no-ops), not from the anti-join.
+# ---------------------------------------------------------------------------
+
+
+def _epoch_state_from_plan(shard_plan: dict[str, int]) -> dict[str, list[int]]:
+    """Initial epoch state over an existing HASH-built index: every
+    slice's next epoch starts beyond its hash shards (``prefix:ns``),
+    with an empty open shard. State shape: prefix → [open_epoch,
+    open_count] (JSON-serializable for the ingest manifest)."""
+    return {prefix: [ns, 0] for prefix, ns in shard_plan.items()}
+
+
+def _slice_rows_epoch(
+    new_base: DataFrame,
+    shard_plan: dict[str, int],
+    alpha: float,
+    state: dict[str, list[int]],
+    max_nodes: int,
+) -> tuple[DataFrame, dict[str, list[int]], list[str]]:
+    """Epoch-routed (pkey, id, category, ts, codes) for a micro-batch,
+    plus the advanced state and the affected pkey list.
+
+    Row n (0-based, per-slice by id asc) lands in epoch
+    ``open + (count + n) div max_nodes`` — fill the open shard, then
+    chunk the spill into fresh epochs. The per-slice row_number sorts
+    BATCH-sized data only (micro-batch scale by construction; the
+    first full-corpus build should use ``build_index``'s parallel hash
+    path and switch to epochs for the deltas — the ingest fold does)."""
+    pr = _prefix_rows(new_base, shard_plan, alpha)
+    counts = {
+        r["prefix"]: r["n"]
+        for r in pr.groupBy("prefix").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return pr.select(F.lit("").alias("pkey"), "id", "category", "ts", "codes"), dict(state), []
+    new_state = {k: list(v) for k, v in state.items()}
+    affected: list[str] = []
+    pairs: list[F.Column] = []
+    for prefix, n in sorted(counts.items()):
+        e, c = new_state.get(prefix, [0, 0])
+        last = c + n - 1
+        new_e = e + last // max_nodes
+        new_c = last % max_nodes + 1
+        new_state[prefix] = [new_e, new_c]
+        affected += [f"{prefix}:{k}" for k in range(e, new_e + 1)]
+        pairs += [F.lit(prefix), F.array(F.lit(e), F.lit(c))]
+    base_map = F.create_map(*pairs)
+    w = Window.partitionBy("prefix").orderBy("id")
+    rn = F.row_number().over(w).cast("long") - F.lit(1)
+    ep = F.element_at(base_map, F.col("prefix"))
+    rows = pr.select(
+        F.concat(
+            F.col("prefix"), F.lit(":"), F.floor(
+                (ep.getItem(1).cast("long") + rn) / F.lit(max_nodes)
+            ).cast("long") + ep.getItem(0).cast("long")
+        ).alias("pkey"),
+        "id",
+        "category",
+        "ts",
+        "codes",
+    )
+    return rows, new_state, affected
+
+
+def upsert_index_epoch(
+    index: DataFrame,
+    new_base: DataFrame,
+    shard_plan: dict[str, int],
+    alpha: float,
+    state: dict[str, list[int]],
+    max_nodes: int = MAX_NODES_PER_GRAPH,
+    m: int = 16,
+    efc: int = 100,
+    graph_min_nodes: int = 0,
+    hnsw_levels: bool = False,
+) -> tuple[DataFrame, dict[str, list[int]], list[str]]:
+    """Append-only incremental maintenance: fold new vectors into the
+    index rebuilding ONLY each touched slice's open shard (plus any
+    fresh epochs the batch spills into) — per-batch rebuild cost is
+    O(touched slices + batch/max_nodes) shards, independent of slice
+    size, where hash-routed :func:`upsert_index` rebuilds every shard
+    of every touched slice. Sealed shards pass through as a pure
+    filter. Returns (index, new_state, affected_pkeys)."""
+    sliced, new_state, affected = _slice_rows_epoch(
+        new_base, shard_plan, alpha, state, max_nodes
+    )
+    if not affected:
+        return index, new_state, []
+    untouched = index.filter(~F.col("pkey").isin(affected))
+    bin_to_codes = F.pandas_udf(_bin_to_codes_batch, "array<tinyint>")
+    # only the open shard has retained rows (sealed shards are never in
+    # `affected`); the anti-join is defense in depth — the append-only
+    # contract says arrival ids are new
+    arrival_ids = F.broadcast(new_base.select("id").distinct())
+    retained = (
+        index.filter(F.col("pkey").isin(affected))
+        .join(arrival_ids, "id", "left_anti")
+        .select(
+            "pkey", "id", "category", "ts",
+            bin_to_codes(F.col("codes")).alias("codes"),
+        )
+    )
+    a = float(alpha)
+    rebuilt = (
+        retained.unionByName(sliced)
+        .groupBy("pkey")
+        .applyInPandas(
+            lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, hnsw_levels),
+            INDEX_SCHEMA,
+        )
+    )
+    return untouched.unionByName(rebuilt), new_state, affected
 
 
 COMPACT_FACTOR = 2.0

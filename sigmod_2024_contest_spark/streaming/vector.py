@@ -168,6 +168,8 @@ def index_ingest_stream(
     compact_factor: float | None = None,
     incremental: bool = False,
     retain_versions: int | None = None,
+    epoch_sharding: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """Continuous corpus ingest: each micro-batch of new vectors folds
     into the persisted graph index via ``engine.upsert_index`` —
@@ -221,6 +223,19 @@ def index_ingest_stream(
     retried batch rewrites its own ``v{b}/shards`` and recomputes the
     same owners.
 
+    ``epoch_sharding=True`` switches the per-batch fold to the
+    APPEND-ONLY epoch router (``engine.upsert_index_epoch``): each
+    slice keeps one open shard that fills to ``max_nodes`` and seals,
+    so a batch rebuilds O(touched slices + batch/max_nodes) shards
+    where hash routing rebuilds EVERY shard of every touched slice —
+    the fix for the manifest write floor (big-category slices span all
+    time, so hash routing rewrites all their shards every batch). The
+    first batch still builds through the parallel hash path; the epoch
+    state (slice → open shard/count) persists in ``_meta.json`` and a
+    compaction resets it against the re-derived plan. Requires
+    append-only ids: an update to an existing id needs the hash router
+    or a compaction (see the contract note on ``upsert_index_epoch``).
+
     ``retain_versions=N`` enables snapshot GC after each commit: keep
     every version the current manifest references (manifest mode)
     plus the newest N version directories (in-flight readers), delete
@@ -264,26 +279,47 @@ def index_ingest_stream(
         plan, a = shard_plan, alpha
         affected: list[str] | None = None  # None = every shard is new
         prev_owners: dict[str, str] = {}
+        epochs: dict[str, list[int]] | None = None
         if latest is None:
             new_index = engine.build_index(
                 batch_df, shard_plan=plan, alpha=a, m=m, efc=efc
             )
+            if epoch_sharding:
+                epochs = engine._epoch_state_from_plan(plan)
         else:
             meta = latest_index_meta(index_dir)
-            if meta is not None:  # resume under the LIVE plan/alpha
+            if meta is not None:
+                # replay guard: a retried micro-batch whose snapshot
+                # already committed (crash landed between the LATEST
+                # move and the checkpoint commit) must no-op — under
+                # epoch routing a re-apply would duplicate its rows
+                # into the now-open shard (the hash router's anti-join
+                # cannot see sealed shards)
+                if meta.get("batch_id") == batch_id:
+                    return
+                # resume under the LIVE plan/alpha
                 plan, a = meta["shard_plan"], meta["alpha"]
                 prev_owners = meta.get("owners") or {}
+                epochs = meta.get("epochs")
             cur = load_latest_index(spark, index_dir)
-            # ONE routing job: the distinct-collect both feeds the
-            # manifest owners map and skips upsert_index's internal one
-            affected = [
-                r["pkey"]
-                for r in engine._slice_rows(batch_df, plan, a)
-                .select("pkey").distinct().collect()
-            ]
-            new_index = engine.upsert_index(
-                cur, batch_df, plan, a, m=m, efc=efc, affected=affected
-            )
+            if epoch_sharding:
+                if epochs is None:  # pre-epoch snapshot: start past ns
+                    epochs = engine._epoch_state_from_plan(plan)
+                new_index, epochs, affected = engine.upsert_index_epoch(
+                    cur, batch_df, plan, a, epochs,
+                    max_nodes=mn, m=m, efc=efc,
+                )
+            else:
+                # ONE routing job: the distinct-collect both feeds the
+                # manifest owners map and skips upsert_index's internal one
+                affected = [
+                    r["pkey"]
+                    for r in engine._slice_rows(batch_df, plan, a)
+                    .select("pkey").distinct().collect()
+                ]
+                new_index = engine.upsert_index(
+                    cur, batch_df, plan, a, m=m, efc=efc, affected=affected
+                )
         if corpus_dir is not None and engine.compaction_due(
             new_index, plan, max_nodes=mn, factor=factor
         ):
@@ -292,8 +328,12 @@ def index_ingest_stream(
                 new_index, corpus, plan, a, max_nodes=mn, factor=factor, m=m, efc=efc
             )
             affected = None  # full rebuild: this version owns everything
+            if epoch_sharding:
+                epochs = engine._epoch_state_from_plan(plan)
         vdir = os.path.join(index_dir, f"v{batch_id}")
         meta_out = {"shard_plan": plan, "alpha": a, "batch_id": batch_id}
+        if epochs is not None:
+            meta_out["epochs"] = epochs
         if not incremental:
             layout.save_index(new_index, vdir)
             _commit(vdir, batch_id, meta_out)
@@ -322,7 +362,10 @@ def index_ingest_stream(
         meta_out["owners"] = owners
         _commit(vdir, batch_id, meta_out)
 
-    return base.writeStream.foreachBatch(fold).start()
+    ws = base.writeStream.foreachBatch(fold)
+    if checkpoint_dir is not None:
+        ws = ws.option("checkpointLocation", checkpoint_dir)
+    return ws.start()
 
 
 def load_latest_index(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -759,3 +759,236 @@ def test_load_latest_index_missing_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_latest_index(spark, str(tmp_path / "nothing_here"))
+
+
+# ---------------------------------------------------------------------------
+# r10: append-only epoch sub-sharding (the ingest write-floor fix)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_router_state_math(spark):
+    """Fill-then-spill arithmetic: rows fill the open shard to
+    max_nodes, spill chunks into fresh epochs, state advances."""
+    from sigmod_2024_contest_spark.operators import engine
+
+    base = spark.createDataFrame(
+        [(i, 7, 0.05, [float(i), 0.0]) for i in range(10)],
+        "id long, category int, ts double, vec array<float>",
+    )
+    # one decile slice (dec:0), no big cats; open shard dec:0:2 holds 3
+    state = {"dec:0": [2, 3]}
+    rows, new_state, affected = engine._slice_rows_epoch(
+        base, {"dec:0": 2}, 1.0, state, max_nodes=4
+    )
+    got = {r["id"]: r["pkey"] for r in rows.collect()}
+    # positions 3..12 → epochs: 3 (id 0) fills dec:0:2 once (pos 3),
+    # then 4-7 → e3, 8-11 → e4, 12 → e5
+    assert got[0] == "dec:0:2"
+    assert all(got[i] == "dec:0:3" for i in (1, 2, 3, 4))
+    assert all(got[i] == "dec:0:4" for i in (5, 6, 7, 8))
+    assert got[9] == "dec:0:5"
+    assert new_state["dec:0"] == [5, 1]
+    assert affected == ["dec:0:2", "dec:0:3", "dec:0:4", "dec:0:5"]
+
+
+def test_upsert_index_epoch_rebuilds_only_open_shards(spark):
+    """Sealed shards pass through byte-identical; the rebuild set is
+    the open shard + spill epochs; per-shard bound holds; membership
+    is the exact union."""
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    seed = base_all.filter(F.col("id") % 3 != 0)
+    arrivals = base_all.filter(F.col("id") % 3 == 0)
+    idx = engine.build_index(seed, shard_plan=splan, alpha=alpha).persist()
+    state = engine._epoch_state_from_plan(splan)
+    up, new_state, affected = engine.upsert_index_epoch(
+        idx, arrivals, splan, alpha, state, max_nodes=64
+    )
+    up = up.persist()
+    # membership: union corpus, each row in every slice it routes to
+    want = {
+        (r["pkey"], r["id"])
+        for r in engine._slice_rows(seed, splan, alpha).collect()
+    } | {
+        (r["pkey"], r["id"])
+        for r, in zip(
+            engine._slice_rows_epoch(arrivals, splan, alpha, state, 64)[0].collect()
+        )
+    }
+    got = {(r["pkey"], r["id"]) for r in up.select("pkey", "id").collect()}
+    assert got == want
+    # sealed (hash-built) shards byte-identical
+    sealed = idx.filter(~F.col("pkey").isin(affected))
+
+    def rows_map(df):
+        return {
+            (r["pkey"], r["id"]): (bytes(r["codes"]), list(r["nbrs"]))
+            for r in df.collect()
+        }
+
+    assert rows_map(up.join(sealed.select("pkey").distinct(), "pkey")) == rows_map(sealed)
+    # epoch shards bounded
+    for r in up.groupBy("pkey").count().collect():
+        if r["pkey"] in affected:
+            assert r["count"] <= 64
+    # state advanced only for touched slices
+    assert all(new_state[p][0] >= state[p][0] for p in state)
+    up.unpersist()
+    idx.unpersist()
+    base_all.unpersist()
+
+
+def test_index_ingest_stream_epoch_manifest_write_floor(spark, tmp_path):
+    """Epoch + manifest ingest: (a) non-first versions write only the
+    touched slices' open/spill shards — strictly fewer than the slice
+    total (the write floor hash routing cannot beat); (b) the final
+    live index is the exact union membership; (c) it serves hybrid
+    search at recall >= 0.9 vs exact."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, knn, routing
+    from sigmod_2024_contest_spark.plans import workload
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+    n_slices = len(splan)
+    total_shards = sum(splan.values())
+
+    src = str(tmp_path / "base_in")
+    os.makedirs(src)
+    for i in range(3):
+        chunk = base_all.filter(F.col("id") % 3 == i)
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"ec{i}"))
+        part = next(
+            f for f in os.listdir(str(tmp_path / f"ec{i}")) if f.endswith(".parquet")
+        )
+        shutil.copy(str(tmp_path / f"ec{i}" / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+
+    index_dir = str(tmp_path / "eidx")
+    os.makedirs(index_dir)
+    q = V.index_ingest_stream(
+        V.stream_base(spark, src), index_dir, splan, alpha,
+        max_nodes=64, incremental=True, epoch_sharding=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # (a) write floor: each non-first version's shard dir holds at most
+    # touched_slices * (1 open + ceil(batch/64)) shards — far below a
+    # full rewrite of every shard of every touched slice
+    batch_n = base_all.count() // 3 + 1
+    per_slice_bound = 1 + (batch_n + 63) // 64
+    for v in ("v1", "v2"):
+        sdir = os.path.join(index_dir, v, "shards")
+        n_written = sum(1 for d in os.listdir(sdir) if d.startswith("pkey="))
+        assert n_written <= n_slices * per_slice_bound
+        assert n_written < total_shards + n_slices  # strictly below full
+
+    # (b) exact union membership
+    idx = V.load_latest_index(spark, index_dir).persist()
+    state = engine._epoch_state_from_plan(splan)
+    got_ids = {
+        (r["pkey"].rsplit(":", 1)[0], r["id"])
+        for r in idx.select("pkey", "id").collect()
+    }
+    want_ids = {
+        (r["prefix"], r["id"])
+        for r in engine._prefix_rows(base_all, splan, alpha).collect()
+    }
+    assert got_ids == want_ids
+    for r in idx.groupBy("pkey").count().collect():
+        assert r["count"] <= 64
+
+    # (c) search quality over the epoch-sharded index
+    queries = workload.queries_df(spark, SF_SMOKE)
+    exact = {}
+    for r in knn.knn_exact_expr(base_all, queries).collect():
+        exact.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in engine.knn_hybrid(spark, base_all, queries, index=idx, alpha=alpha).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+    idx.unpersist()
+    base_all.unpersist()
+
+
+def test_index_ingest_stream_replay_guard(spark, tmp_path):
+    """Crash-between-commit-and-checkpoint replay: re-delivering the
+    SAME batch_id against a snapshot that already committed it must
+    no-op (byte-identical index, LATEST unmoved) — under epoch routing
+    a re-apply would duplicate rows into the now-open shard."""
+    import os
+    import time
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+
+    src = str(tmp_path / "rg_in")
+    os.makedirs(src)
+    for i in range(2):
+        chunk = base_all.filter(F.col("id") % 2 == i)
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"rg{i}"))
+        part = next(
+            f for f in os.listdir(str(tmp_path / f"rg{i}")) if f.endswith(".parquet")
+        )
+        shutil.copy(str(tmp_path / f"rg{i}" / part), os.path.join(src, f"part-{i}.parquet"))
+        time.sleep(1.1)
+
+    index_dir = str(tmp_path / "rg_idx")
+    ckpt = str(tmp_path / "rg_ckpt")
+    os.makedirs(index_dir)
+
+    def run():
+        q = V.index_ingest_stream(
+            V.stream_base(spark, src), index_dir, splan, alpha,
+            max_nodes=64, incremental=True, epoch_sharding=True,
+            checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    latest_before = V.latest_index_path(index_dir)
+    meta_before = V.latest_index_meta(index_dir)
+    members_before = {
+        (r["pkey"], r["id"]): bytes(r["codes"])
+        for r in V.load_latest_index(spark, index_dir).collect()
+    }
+    # simulate the crash: the snapshot committed (LATEST moved) but the
+    # streaming checkpoint did not — delete the last commit marker so
+    # the restarted stream replays batch 1 with the same batch_id
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # local-fs checksum shadow of the commit marker
+    run()
+    assert V.latest_index_path(index_dir) == latest_before
+    assert V.latest_index_meta(index_dir) == meta_before
+    members_after = {
+        (r["pkey"], r["id"]): bytes(r["codes"])
+        for r in V.load_latest_index(spark, index_dir).collect()
+    }
+    assert members_after == members_before
+    base_all.unpersist()

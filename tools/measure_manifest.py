@@ -60,14 +60,18 @@ def main() -> None:
         time.sleep(1.1)  # distinct mtimes -> deterministic pickup order
 
     idx_dirs = {}
-    for mode, inc in (("incremental", True), ("full", False)):
+    for mode, inc, epoch in (
+        ("epoch", True, True),
+        ("incremental", True, False),
+        ("full", False, False),
+    ):
         idx_dir = os.path.join(work, f"idx_{mode}")
         os.makedirs(idx_dir)
         idx_dirs[mode] = idx_dir
         t0 = time.time()
         q = V.index_ingest_stream(
             V.stream_base(spark, src, files_per_trigger=2),
-            idx_dir, splan, alpha, incremental=inc,
+            idx_dir, splan, alpha, incremental=inc, epoch_sharding=epoch,
         )
         q.processAllAvailable()
         q.stop()
@@ -83,7 +87,12 @@ def main() -> None:
 
     na = V.load_latest_index(spark, idx_dirs["incremental"]).count()
     nb = V.load_latest_index(spark, idx_dirs["full"]).count()
-    print(json.dumps({"rows_incremental": na, "rows_full": nb, "equal_counts": na == nb}))
+    ne = V.load_latest_index(spark, idx_dirs["epoch"]).count()
+    # epoch routing changes shard MEMBERSHIP (append-only vs id-hash)
+    # but never the row multiset: each base row lands in each of its
+    # slices exactly once in every mode
+    print(json.dumps({"rows_incremental": na, "rows_full": nb, "rows_epoch": ne,
+                      "equal_counts": na == nb == ne}))
     shutil.rmtree(work, ignore_errors=True)
 
 
