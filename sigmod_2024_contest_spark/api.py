@@ -897,6 +897,11 @@ register(
     lambda s, d: T.bigram_likelihood(_docs(s, d)),
     T.BIGRAM_LIKELIHOOD_SQL,
 )
+register(
+    "dup_ngram_stats",
+    lambda s, d: T.dup_ngram_stats(_docs(s, d)),
+    T.DUP_NGRAM_STATS_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1651,6 +1656,7 @@ _CHECK_FIRST: list[str] = [
     "quality_classifier",
     "source_quality_summary",
     "bigram_likelihood",
+    "dup_ngram_stats",
     "dedup_keep_best",
     "embed_project",
     "knn_pq_rerank",
@@ -1690,7 +1696,6 @@ _CHECK_FIRST: list[str] = [
     "customer_order_distribution",
     "top_supplier",
     "min_cost_supplier",
-    "important_parts",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -1703,6 +1708,7 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
         "waiting_suppliers",
         "copurchase_pairs",
+        "important_parts",
         "small_qty_revenue",
         "market_share",
         "product_type_profit",

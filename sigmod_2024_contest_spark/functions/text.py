@@ -746,3 +746,91 @@ SELECT d.doc_id,
        coalesce(s.ll_ppm_sum // s.n_bigrams, 0)::BIGINT AS avg_ppm
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram duplication — the C4/RefinedWeb corpus-level
+# boilerplate signal (text_repetition is the WITHIN-doc sibling).
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_N = 3
+
+
+def dup_ngram_stats(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """(doc_id, n_3grams, shared_3grams, dup_3gram_ppm): per document,
+    the fraction of its word n-gram occurrences whose gram also appears
+    in at least one OTHER document — the duplicated-n-gram-fraction
+    filter web pipelines use to drop template/boilerplate pages (the
+    cross-document complement of :func:`text_repetition`).
+
+    Distributed shape (the tfidf_topk pattern): one tokenize+explode →
+    map-side-combined (doc, gram) counts; gram doc-frequency as
+    ``groupBy(gram).count()`` over that pair table (one row per gram
+    after combine) joined back on gram — AQE can skew-split a hot
+    boilerplate gram's probe side and broadcast-upgrade the vocab-sized
+    build side; never a window keyed by gram. All-integer output."""
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+                f"transform(sequence(1, size(ws) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(ws, i, {n}))) END"
+            )
+        ).alias("gram"),
+    )
+    pairs = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    dfs = pairs.groupBy("gram").agg(F.count("*").cast("long").alias("gdf"))
+    per_doc = (
+        pairs.join(dfs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_3grams"),
+            F.coalesce("shared", F.lit(0)).cast("long").alias("shared_3grams"),
+            F.coalesce(
+                F.expr("shared * 1000000 DIV n_grams"), F.lit(0)
+            ).cast("long").alias("dup_3gram_ppm"),
+        )
+    )
+
+
+def dup_ngram_stats_sql(n: int = DUP_NGRAM_N) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - {n} + 1, 0) + 1),
+                               i -> array_to_string(ws[i : i + {n} - 1], ' '))) AS gram
+  FROM t
+),
+pairs AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+dfs AS (SELECT gram, count(*)::BIGINT AS gdf FROM pairs GROUP BY 1),
+per_doc AS (
+  SELECT p.doc_id,
+         sum(p.cnt)::BIGINT AS n_grams,
+         sum(CASE WHEN d.gdf >= 2 THEN p.cnt ELSE 0 END)::BIGINT AS shared
+  FROM pairs p JOIN dfs d USING (gram) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(x.n_grams, 0)::BIGINT AS n_3grams,
+       coalesce(x.shared, 0)::BIGINT AS shared_3grams,
+       coalesce(x.shared * 1000000 // x.n_grams, 0)::BIGINT AS dup_3gram_ppm
+FROM documents d LEFT JOIN per_doc x USING (doc_id)
+"""
+
+
+DUP_NGRAM_STATS_SQL = dup_ngram_stats_sql()

@@ -885,3 +885,33 @@ def test_dedup_keep_best_distributed_cc_twin(spark):
     a = rows_set(dedup_keep_best(docs).collect())
     b = rows_set(dedup_keep_best(docs, force_distributed_cc=True).collect())
     assert a == b
+
+
+def test_dup_ngram_stats_oracle(spark):
+    _check(spark, "dup_ngram_stats")
+
+
+def test_dup_ngram_stats_planted(spark):
+    """Hand-computable cross-doc duplication: a shared 3-gram counts
+    toward BOTH docs; a doc-unique gram (even repeated within the doc)
+    does not; short docs zero out."""
+    from sigmod_2024_contest_spark.functions.text import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # grams: tqb, qbf, bfj, fjx(ish)
+            (2, "the quick brown cat"),          # shares 'the quick brown'
+            (3, "zz yy xx zz yy xx zz"),         # self-repeats only
+            (4, "one two"),                       # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_ngram_stats(docs).collect()}
+    # doc 1: 3 grams, only 'the quick brown' shared -> 1/3
+    assert got[1].n_3grams == 3 and got[1].shared_3grams == 1
+    assert got[1].dup_3gram_ppm == 1_000_000 // 3
+    # doc 2: 2 grams, 1 shared
+    assert got[2].n_3grams == 2 and got[2].shared_3grams == 1
+    # doc 3: within-doc repeats are NOT cross-doc duplication
+    assert got[3].n_3grams == 5 and got[3].shared_3grams == 0
+    assert got[4].n_3grams == 0 and got[4].dup_3gram_ppm == 0

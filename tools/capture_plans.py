@@ -167,6 +167,27 @@ PICKS = {
         "shape serves a petabyte media table: per-row work, no data "
         "movement, the feature table is the only output."
     ),
+    "quality_classifier": (
+        "The keep/drop filter of a web pipeline as ONE whole-stage-codegen "
+        "projection over the column-pruned documents scan: every feature "
+        "(token counts, char-class ratios, stopword density) and the "
+        "linear logit fold are JVM expressions — zero exchanges, zero "
+        "Python, so the classifier scores a 100 TB corpus at scan speed."
+    ),
+    "bigram_likelihood": (
+        "Corpus-trained LM scoring: one tokenize+explode feeds both the "
+        "model (two map-side-combined aggregations, distinct-bigram- and "
+        "vocab-sized) and the per-occurrence score join — the join is the "
+        "AQE-skew-splittable/broadcast-upgradeable shape, never a window "
+        "over a Zipf-hot token; the per-doc reduce is map-side combined."
+    ),
+    "dedup_keep_best": (
+        "Keep-best curation: LSH-banded candidate pairs → iterative-join "
+        "connected components → quality join → row_number over CLUSTER "
+        "partitions (bounded near-dup groups — the scalable window axis). "
+        "Nothing all-pairs, nothing corpus-wide-sorted; singletons ride a "
+        "left join, not a union of two corpus scans."
+    ),
 }
 
 
