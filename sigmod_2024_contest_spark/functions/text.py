@@ -40,8 +40,12 @@ def tokens_expr(text: Column | str = "text") -> Column:
 def text_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, n_chars_calc, n_tokens, n_distinct, avg_token_len_ppm,
     stopword_ppm, quality_ppm) — the standard quality-filter features
-    (length, redundancy, stopword density) + a combined score."""
-    ws = tokens_expr("text")
+    (length, redundancy, stopword density) + a combined score. The
+    split is hoisted into its own projection (CollapseProject keeps
+    single-use-or-cheap exprs only) so it runs once per row, not once
+    per feature."""
+    docs = docs.select("doc_id", "text", tokens_expr("text").alias("ws"))
+    ws = F.col("ws")
     n_tokens = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
     tok_chars = F.aggregate(F.transform(ws, F.length), F.lit(0), lambda a, x: a + x)
@@ -83,8 +87,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred, score) — marker-token language heuristic.
     Winner = highest marker count, ties broken by language code asc,
     zero hits → 'und'. (n-gram language ID reduced to its word-level
-    core; the mechanism — not the marker lists — is the operator.)"""
-    ws = tokens_expr("text")
+    core; the mechanism — not the marker lists — is the operator.)
+    Split hoisted: one tokenization per row, not one per language."""
+    docs = docs.select("doc_id", tokens_expr("text").alias("ws"))
+    ws = F.col("ws")
 
     def count_in(markers):
         # single-param lambda: a 2-arg lambda would be read as
@@ -547,8 +553,12 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     so Spark and the DuckDB oracle round bit-identically; an
     ``exp``/``ln`` would vary across libm builds (the repo-wide rule,
     see tfidf_topk). All features are one projection over the doc scan:
-    zero shuffles, zero UDFs, whole-stage codegen end to end."""
-    ws = tokens_expr("text")
+    zero shuffles, zero UDFs, whole-stage codegen end to end. The
+    tokenization is HOISTED into its own projection — CollapseProject
+    keeps single-use-or-cheap expressions only, so the split runs once
+    per row instead of once per feature (the ngram_counts trap)."""
+    t = docs.select("doc_id", "text", tokens_expr("text").alias("ws"))
+    ws = F.col("ws")
     n_tokens = F.size(ws).cast("double")
     f_len = F.least(n_tokens, F.lit(200.0)) / F.lit(200.0)
     f_distinct = F.size(F.array_distinct(ws)).cast("double") / n_tokens
@@ -570,7 +580,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         + F.lit(QC_W_DIGIT) * f_digit
         + F.lit(QC_W_STOP) * f_stop
     )
-    return docs.select(
+    return t.select(
         "doc_id",
         F.floor(z * F.lit(1e6)).cast("long").alias("logit_ppm"),
         (z >= F.lit(0.0)).alias("keep"),
@@ -686,15 +696,16 @@ def bigram_likelihood(docs: DataFrame) -> DataFrame:
     AQE upgrades the score join when they fit); the hot-prefix join is
     the AQE-skew-splittable shape, not a window. Docs with <2 tokens
     surface with zeroed scores via the left join."""
-    ws = tokens_expr("text")
+    toks = docs.select("doc_id", tokens_expr("text").alias("ws"))
+    ws = F.col("ws")
     # slice-zip bigrams: slice(ws, 2, n-1) is [] for 1-token docs, so
-    # no when/otherwise branch is needed
+    # no when/otherwise branch is needed; split hoisted (one per row)
     n = F.size(ws)
     bi = F.arrays_zip(
         F.slice(ws, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
         F.slice(ws, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
     )
-    bg = docs.select("doc_id", F.explode(bi).alias("b")).select(
+    bg = toks.select("doc_id", F.explode(bi).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
