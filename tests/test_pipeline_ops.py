@@ -915,3 +915,29 @@ def test_dup_ngram_stats_planted(spark):
     # doc 3: within-doc repeats are NOT cross-doc duplication
     assert got[3].n_3grams == 5 and got[3].shared_3grams == 0
     assert got[4].n_3grams == 0 and got[4].dup_3gram_ppm == 0
+
+
+def test_quality_classifier_plan_is_zero_exchange_single_split(spark):
+    """Plan-assert the classifier's 100 TB property: one column-pruned
+    scan, NO exchange, NO Python stage, and the hoisted tokenization
+    survives CollapseProject (exactly one split per row — the
+    ngram_counts CSE trap)."""
+    from sigmod_2024_contest_spark.functions.text import quality_classifier
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    df = quality_classifier(load_table(spark, SF_SMOKE, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("split(text") == 1, plan.count("split(text")
+
+
+def test_text_stats_and_lang_id_single_split(spark):
+    """The hoist holds for the other multi-feature projections."""
+    from sigmod_2024_contest_spark.functions.text import lang_id, text_stats
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn in (text_stats, lang_id):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("split(text") == 1, (fn.__name__, plan.count("split(text"))
