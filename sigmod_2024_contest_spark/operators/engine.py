@@ -593,6 +593,7 @@ def compact_index(
     efc: int = 100,
     graph_min_nodes: int = 0,
     hnsw_levels: bool = False,
+    force: bool = False,
 ) -> tuple[DataFrame, dict[str, int], float]:
     """The compact half of the delta + compact split: when
     :func:`compaction_due` fires, re-derive the shard plan AND alpha
@@ -603,8 +604,11 @@ def compact_index(
     categories their cat: slices. Otherwise pass (index, plan, alpha)
     through unchanged — callers loop ``upsert → compact_index`` and the
     trigger decides. Returns the (index, plan, alpha) triple the caller
-    continues upserting under."""
-    if not compaction_due(index, shard_plan, max_nodes, factor, cat_thr):
+    continues upserting under. ``force=True`` skips the internal due
+    check — for callers whose OWN trigger already fired (e.g. the
+    ingest fold's manifest-fragmentation bound, which epoch shards can
+    hit without ever tripping the size trigger)."""
+    if not force and not compaction_due(index, shard_plan, max_nodes, factor, cat_thr):
         return index, shard_plan, alpha
     new_alpha = Q.train_alpha(base)
     new_plan = _shard_plan(base, cat_thr, max_nodes)

@@ -170,6 +170,7 @@ def index_ingest_stream(
     retain_versions: int | None = None,
     epoch_sharding: bool = False,
     checkpoint_dir: str | None = None,
+    max_manifest_versions: int | None = None,
 ):
     """Continuous corpus ingest: each micro-batch of new vectors folds
     into the persisted graph index via ``engine.upsert_index`` —
@@ -235,6 +236,23 @@ def index_ingest_stream(
     compaction resets it against the re-derived plan. Requires
     append-only ids: an update to an existing id needs the hash router
     or a compaction (see the contract note on ``upsert_index_epoch``).
+    With in-loop compaction (``corpus_dir``), epoch mode additionally
+    requires the corpus directory to contain only DELIVERED data (true
+    for a real stream source dir, where files appear as they arrive):
+    a compaction that reads rows the stream has not ingested yet would
+    later re-receive them as arrivals and epoch-route them to a fresh
+    shard, duplicating the compacted copies — hash routing dedupes that
+    case through its deterministic id → shard anti-join; append-only
+    routing cannot.
+
+    ``max_manifest_versions=K`` (manifest mode, needs ``corpus_dir``)
+    bounds manifest FRAGMENTATION: when the batch about to commit would
+    leave live shards owned by more than K distinct versions — every
+    owner is one more branch in every reader's union — a compaction is
+    FORCED even though no size/category trigger fired. Epoch shards
+    never exceed ``max_nodes``, so without this bound epoch-mode
+    fragmentation grows one version per batch forever; with it, reader
+    fan-in is a constant and the compaction doubles as the defrag.
 
     ``retain_versions=N`` enables snapshot GC after each commit: keep
     every version the current manifest references (manifest mode)
@@ -260,6 +278,20 @@ def index_ingest_stream(
 
     mn = engine.MAX_NODES_PER_GRAPH if max_nodes is None else int(max_nodes)
     factor = engine.COMPACT_FACTOR if compact_factor is None else float(compact_factor)
+
+    def _fragmentation_due(
+        prev: dict[str, str], affected: list[str] | None, vtag: str,
+        bound: int | None,
+    ) -> bool:
+        """True when committing this batch would leave live shards
+        owned by more than ``bound`` distinct versions. Pure meta
+        arithmetic (owners is shard-catalog-sized): the candidate owner
+        set is prev minus the affected keys plus this version."""
+        if bound is None or affected is None or not incremental:
+            return False
+        aff = set(affected)
+        versions = {v for p, v in prev.items() if p not in aff} | {vtag}
+        return len(versions) > int(bound)
 
     def _commit(vdir: str, batch_id: int, meta: dict) -> None:
         with open(os.path.join(vdir, "_meta.json"), "w") as f:
@@ -320,12 +352,19 @@ def index_ingest_stream(
                 new_index = engine.upsert_index(
                     cur, batch_df, plan, a, m=m, efc=efc, affected=affected
                 )
-        if corpus_dir is not None and engine.compaction_due(
-            new_index, plan, max_nodes=mn, factor=factor
+        if corpus_dir is not None and (
+            engine.compaction_due(new_index, plan, max_nodes=mn, factor=factor)
+            or _fragmentation_due(
+                prev_owners, affected, f"v{batch_id}", max_manifest_versions
+            )
         ):
             corpus = spark.read.schema(BASE_SCHEMA).parquet(corpus_dir)
+            # force=True: the fragmentation trigger may fire when
+            # compaction_due does not (epoch shards never exceed
+            # max_nodes), so compact_index must not re-check it
             new_index, plan, a = engine.compact_index(
-                new_index, corpus, plan, a, max_nodes=mn, factor=factor, m=m, efc=efc
+                new_index, corpus, plan, a, max_nodes=mn, factor=factor,
+                m=m, efc=efc, force=True,
             )
             affected = None  # full rebuild: this version owns everything
             if epoch_sharding:

@@ -992,3 +992,57 @@ def test_index_ingest_stream_replay_guard(spark, tmp_path):
     }
     assert members_after == members_before
     base_all.unpersist()
+
+
+def test_index_ingest_stream_fragmentation_compaction(spark, tmp_path):
+    """Manifest-fragmentation bound (epoch mode's missing trigger —
+    epoch shards never exceed max_nodes, so the size trigger never
+    fires and owners would grow one version per batch forever):
+    with max_manifest_versions=2, the batch whose commit would leave
+    live shards owned by >2 versions forces a compaction; final owners
+    span at most 2 versions and the earliest ones are gone. Files
+    arrive PROGRESSIVELY so corpus_dir never runs ahead of the stream
+    (the epoch-mode contract)."""
+    import os
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 8)
+
+    src = str(tmp_path / "fr_in")
+    index_dir = str(tmp_path / "fr_idx")
+    os.makedirs(src)
+    os.makedirs(index_dir)
+    q = V.index_ingest_stream(
+        V.stream_base(spark, src), index_dir, splan, alpha,
+        corpus_dir=src, max_nodes=8, incremental=True,
+        epoch_sharding=True, max_manifest_versions=2,
+    )
+    try:
+        for i in range(4):
+            chunk = base_all.filter(F.col("id") % 4 == i)
+            cdir = tmp_path / f"frchunk{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(str(cdir))
+            part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+            shutil.copy(str(cdir / part), os.path.join(src, f"part-{i}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    meta = V.latest_index_meta(index_dir)
+    assert meta is not None and meta.get("owners")
+    versions = set(meta["owners"].values())
+    assert len(versions) <= 2, versions
+    # the forced compaction collapsed ownership: v0/v1 no longer own
+    # anything (without the bound, 4 epoch batches leave 4 owners)
+    assert "v0" not in versions and "v1" not in versions, versions
+    idx = V.load_latest_index(spark, index_dir)
+    assert idx.select("id").distinct().count() == base_all.count()
+    occ = [r["count"] for r in idx.groupBy("pkey").count().collect()]
+    assert max(occ) <= engine.COMPACT_FACTOR * 8
+    base_all.unpersist()
