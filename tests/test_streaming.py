@@ -1046,3 +1046,46 @@ def test_index_ingest_stream_fragmentation_compaction(spark, tmp_path):
     occ = [r["count"] for r in idx.groupBy("pkey").count().collect()]
     assert max(occ) <= engine.COMPACT_FACTOR * 8
     base_all.unpersist()
+
+
+def test_epoch_router_properties(spark):
+    """Property-check the epoch assignment against an independent
+    python fold: random batch sizes / open-state / max_nodes must give
+    (a) the same pkey per row (fill open shard in id order, spill into
+    fresh epochs), (b) per-epoch occupancy <= max_nodes counting the
+    retained open count, (c) state advance consistent with the total,
+    (d) affected = exactly the open..new_open epoch range."""
+    import random
+
+    from sigmod_2024_contest_spark.operators import engine
+
+    rng = random.Random(7)
+    for _ in range(6):
+        max_nodes = rng.choice([2, 3, 5, 8])
+        open_epoch = rng.randint(0, 4)
+        open_count = rng.randint(0, max_nodes)
+        n = rng.randint(1, 40)
+        ids = sorted(rng.sample(range(1000), n))
+        base = spark.createDataFrame(
+            [(i, 3, 0.25, [float(i)]) for i in ids],
+            "id long, category int, ts double, vec array<float>",
+        )
+        state = {"dec:2": [open_epoch, open_count]}
+        rows, new_state, affected = engine._slice_rows_epoch(
+            base, {"dec:2": 1}, 1.0, state, max_nodes=max_nodes
+        )
+        got = {r["id"]: r["pkey"] for r in rows.collect()}
+        # independent fold
+        want = {}
+        occupancy = {open_epoch: open_count}
+        e, c = open_epoch, open_count
+        for i in ids:
+            if c >= max_nodes:
+                e, c = e + 1, 0
+            want[i] = f"dec:2:{e}"
+            c += 1
+            occupancy[e] = occupancy.get(e, 0) + 1
+        assert got == want, (max_nodes, open_epoch, open_count, ids[:5])
+        assert all(v <= max_nodes for v in occupancy.values())
+        assert new_state["dec:2"] == [e, c]
+        assert affected == [f"dec:2:{k}" for k in range(open_epoch, e + 1)]
