@@ -1627,13 +1627,15 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-9 window = the 5 entries new this round (never driver-proven:
-# index_upsert_parity, stream_neardup_parity, media_image/audio/video
-# _stats) followed by the 45 stalest r7-green names in registry order;
-# the 5 r7-green names they displace (rolling_revenue,
+# Round-10 window = the 12 never-driver-proven entries (the r9 five —
+# CORRECTNESS_r09 never landed — plus the seven r10 registrations) in
+# registry order, followed by the 38 stalest r7-green names; the 12
+# r7-green names displaced across r9+r10 (rolling_revenue,
 # revenue_growth_mom, sales_cube, user_order_reconciliation,
-# order_gap_days) wait in _PRIOR_ROUND_GREEN on their CORRECTNESS_r07
-# rows and lead the r10 window.
+# order_gap_days, waiting_suppliers, copurchase_pairs, important_parts,
+# small_qty_revenue, market_share, product_type_profit,
+# promo_suppliers) wait in _PRIOR_ROUND_GREEN on their CORRECTNESS_r07
+# rows and lead the r11 window.
 #
 # STANDING OBLIGATION (every round): run tools/rotate_window.py after
 # the round's CORRECTNESS artifact lands and paste its two literals —
