@@ -920,6 +920,12 @@ register(
     lambda s, d: dedup.winnow_fingerprints(_docs(s, d)),
     dedup.winnow_fingerprints_sql(),
 )
+# r10: the matching half of the winnowing scheme
+register(
+    "winnow_match_pairs",
+    lambda s, d: dedup.winnow_match_pairs(_docs(s, d)),
+    dedup.winnow_match_pairs_sql(),
+)
 register("dedup_jaccard", lambda s, d: dedup.jaccard_pairs(_docs(s, d)), dedup.jaccard_pairs_sql())
 register(
     "dedup_minhash_lsh",
@@ -1659,6 +1665,7 @@ _CHECK_FIRST: list[str] = [
     "source_quality_summary",
     "bigram_likelihood",
     "dup_ngram_stats",
+    "winnow_match_pairs",
     "dedup_keep_best",
     "embed_project",
     "knn_pq_rerank",
@@ -1697,7 +1704,6 @@ _CHECK_FIRST: list[str] = [
     "late_line_priority",
     "customer_order_distribution",
     "top_supplier",
-    "min_cost_supplier",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -1710,6 +1716,7 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
         "waiting_suppliers",
         "copurchase_pairs",
+        "min_cost_supplier",
         "important_parts",
         "small_qty_revenue",
         "market_share",

@@ -1079,3 +1079,104 @@ SELECT doc_id, j::BIGINT AS win_id,
        list_min(list_slice(hs, j, j + {int(window)} - 1))::BIGINT AS fp
 FROM w
 """
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    window: int = WINNOW_WINDOW,
+    min_shared: int = WINNOW_MIN_SHARED,
+    df_cap: int | None = HOT_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """(d1, d2, n_shared): near-copy PAIR detection over winnowing
+    fingerprints — the matching half of the scheme
+    (:func:`winnow_fingerprints` emits the signatures; this is the
+    MOSS-style join that turns them into plagiarism/near-copy pairs).
+    ``n_shared`` counts shared DISTINCT fingerprints; winnowing's
+    guarantee makes any ≥ window+2-token verbatim overlap contribute at
+    least one, so ``min_shared=2`` asks for two independent matching
+    regions (or one long one).
+
+    Same cold/hot candidate discipline as the shingle family
+    (:func:`jaccard_pairs`): pairs are DISCOVERED through fingerprints
+    with df ≤ ``df_cap`` (a boilerplate fingerprint shared by
+    thousands of docs would generate quadratic candidates), then
+    ``n_shared`` is corrected to the EXACT count including hot
+    fingerprints via a candidate-bounded join — pairs sharing only hot
+    fingerprints are not discovered (the documented bound, same as
+    jaccard's). The oracle mirrors the discovery rule exactly."""
+    fps = (
+        winnow_fingerprints(docs, window).select("doc_id", "fp").distinct()
+    )
+    cold, hot_f = fps, None
+    if df_cap is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("fp")
+            .persist()
+        )
+        if hot.count() == 0:
+            hot.unpersist()
+        else:
+            cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+            hot_f = fps.join(F.broadcast(hot), "fp")
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    if hot_f is not None:
+        h1 = hot_f.select(F.col("doc_id").alias("d1"), F.col("fp").alias("hk1"))
+        h2 = hot_f.select(F.col("doc_id").alias("d2b"), F.col("fp").alias("hk2"))
+        hot_cnt = (
+            inter.select("d1", "d2")
+            .join(h1, "d1")
+            .join(h2, (F.col("hk2") == F.col("hk1")) & (F.col("d2b") == F.col("d2")))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("hot_n"))
+        )
+        inter = inter.join(hot_cnt, ["d1", "d2"], "left").withColumn(
+            "n_shared", F.col("n_shared") + F.coalesce(F.col("hot_n"), F.lit(0))
+        )
+    return (
+        inter.filter(F.col("n_shared") >= int(min_shared))
+        .select("d1", "d2", F.col("n_shared").cast("long").alias("n_shared"))
+    )
+
+
+def winnow_match_pairs_sql(
+    window: int = WINNOW_WINDOW,
+    min_shared: int = WINNOW_MIN_SHARED,
+    df_cap: int | None = HOT_SHINGLE_DF_CAP,
+) -> str:
+    cold = (
+        f"""cold AS (
+  SELECT * FROM fps
+  WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {df_cap})
+),"""
+        if df_cap is not None
+        else "cold AS (SELECT * FROM fps),"
+    )
+    return f"""
+WITH fps0 AS ({winnow_fingerprints_sql(window)}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fps0),
+{cold}
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS n_shared
+  FROM cand c
+  JOIN fps fa ON fa.doc_id = c.d1
+  JOIN fps fb ON fb.doc_id = c.d2 AND fb.fp = fa.fp
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_shared::BIGINT AS n_shared
+FROM inter WHERE n_shared >= {int(min_shared)}
+"""

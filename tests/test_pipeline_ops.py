@@ -941,3 +941,29 @@ def test_text_stats_and_lang_id_single_split(spark):
     for fn in (text_stats, lang_id):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("split(text") == 1, (fn.__name__, plan.count("split(text"))
+
+
+def test_winnow_match_pairs_oracle(spark):
+    _check(spark, "winnow_match_pairs")
+
+
+def test_winnow_match_pairs_planted(spark):
+    """Winnowing's cover guarantee carries to the matching join: two
+    docs sharing a >= window+2-token verbatim run MUST pair (each
+    matching region contributes >= 1 shared fingerprint, and the
+    planted run spans two regions => n_shared >= min_shared); disjoint
+    docs never pair."""
+    from sigmod_2024_contest_spark.operators.dedup import winnow_match_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail one"),
+            (2, f"other opening words {shared} different ending"),
+            (3, "completely unrelated tokens nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.d1, r.d2): r.n_shared for r in winnow_match_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in k for k in pairs)

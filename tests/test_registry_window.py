@@ -43,7 +43,7 @@ NEVER_GREEN_ENTRIES = [
     "index_compaction_parity", "stream_index_ingest_parity",
     "media_image_stats", "media_audio_stats", "media_video_stats",
     "quality_classifier", "source_quality_summary", "bigram_likelihood",
-    "dup_ngram_stats", "dedup_keep_best",
+    "dup_ngram_stats", "winnow_match_pairs", "dedup_keep_best",
 ]
 
 DISPLACED = {
@@ -52,20 +52,20 @@ DISPLACED = {
     # next rotation
     "rolling_revenue", "revenue_growth_mom", "sales_cube",
     "user_order_reconciliation", "order_gap_days",
-    # displaced by the seven r10 entries
-    "waiting_suppliers", "copurchase_pairs", "important_parts",
-    "small_qty_revenue", "market_share", "product_type_profit",
-    "promo_suppliers",
+    # displaced by the eight r10 entries
+    "waiting_suppliers", "copurchase_pairs", "min_cost_supplier",
+    "important_parts", "small_qty_revenue", "market_share",
+    "product_type_profit", "promo_suppliers",
 }
 
 
 def test_round10_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the 12 never-green entries + the 38
+    """First 50 registry keys == the 13 never-green entries + the 37
     stalest r7-green names: never-green lead, no r8-green name
     re-occupies a slot, displaced names sit in prior-green."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:12] == NEVER_GREEN_ENTRIES
+    assert first[:13] == NEVER_GREEN_ENTRIES
     assert ROUND8_WINDOW.isdisjoint(first)  # r8-green half fully rotated out
     assert DISPLACED.isdisjoint(first)
     assert DISPLACED <= set(api._PRIOR_ROUND_GREEN)
