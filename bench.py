@@ -113,28 +113,43 @@ def _contest_bench(spark) -> dict[str, float]:
         out["contest_warmup"] = round(_t.time() - t0, 3)
     except Exception as e:
         print(f"bench: contest warmup failed: {e}", file=sys.stderr)
-    _sweep(spark)
-    t0 = _t.time()
-    try:
-        # thread the persisted base through (r4 verdict #3): the warmup
-        # above covers this exact lineage, so the clock measures the
-        # cost-based plan — not a first-call decode+persist of a
-        # separate base lineage (the r4 64 s artifact)
-        contest.contest_run(
-            spark, bp, qp, k=100, mode="exact", base=base, queries=queries
-        ).count()
-        out["contest_run_exact"] = round(_t.time() - t0, 3)
-    except Exception as e:
-        print(f"bench: contest_run_exact failed: {e}", file=sys.stderr)
-        out["contest_run_exact"] = -1.0
-    _sweep(spark)
-    t0 = _t.time()
-    try:
-        knn.knn_exact_arrow(spark, base, queries, k=100, force_query_broadcast=True).count()
-        out["contest_run_exact_scan"] = round(_t.time() - t0, 3)
-    except Exception as e:
-        print(f"bench: contest_run_exact_scan failed: {e}", file=sys.stderr)
-        out["contest_run_exact_scan"] = -1.0
+    # min-of-2 for EVERY contest leg, reps interleaved so each pair is
+    # compared in-run (r10 verdict #3: the single-run r10 artifact
+    # printed 2× on a host whose documented variance is ±50% with a
+    # measured 7× outlier on one leg — the official record must not
+    # depend on one reading). Each rep re-executes the full plan from
+    # scratch; min = best achievable warm wall, taken identically for
+    # every leg.
+    exact_walls: list[float] = []
+    scan_walls: list[float] = []
+    for _rep in range(2):
+        _sweep(spark)
+        t0 = _t.time()
+        try:
+            # thread the persisted base through (r4 verdict #3): the
+            # warmup above covers this exact lineage, so the clock
+            # measures the cost-based plan — not a first-call
+            # decode+persist of a separate base lineage (the r4 64 s
+            # artifact)
+            contest.contest_run(
+                spark, bp, qp, k=100, mode="exact", base=base, queries=queries
+            ).count()
+            exact_walls.append(round(_t.time() - t0, 3))
+        except Exception as e:
+            print(f"bench: contest_run_exact failed: {e}", file=sys.stderr)
+        _sweep(spark)
+        t0 = _t.time()
+        try:
+            knn.knn_exact_arrow(
+                spark, base, queries, k=100, force_query_broadcast=True
+            ).count()
+            scan_walls.append(round(_t.time() - t0, 3))
+        except Exception as e:
+            print(f"bench: contest_run_exact_scan failed: {e}", file=sys.stderr)
+    out["contest_run_exact"] = min(exact_walls) if exact_walls else -1.0
+    out["contest_run_exact_runs"] = exact_walls
+    out["contest_run_exact_scan"] = min(scan_walls) if scan_walls else -1.0
+    out["contest_run_exact_scan_runs"] = scan_walls
     try:
         _sweep(spark)
         t0 = _t.time()
@@ -152,15 +167,25 @@ def _contest_bench(spark) -> dict[str, float]:
             spark, base, warm_q, k=100, index=index, alpha=alpha,
             catalog=catalog, corpus_rows=st[1], dim=100,
         ).count()
-        _sweep(spark)
-        t0 = _t.time()
-        plan = routing.route_plan(base, queries, stats=st, dim=100).persist()
-        res = engine.knn_hybrid(
-            spark, base, queries, k=100, index=index, plan=plan, alpha=alpha,
-            catalog=catalog, corpus_rows=st[1], dim=100,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        res.count()
-        out["contest_run_hybrid"] = round(_t.time() - t0, 3)
+        # min-of-2 like every other leg; the last rep's result feeds
+        # the (un-timed) recall computation below
+        res = plan = None
+        hybrid_walls: list[float] = []
+        for _rep in range(2):
+            if res is not None:
+                res.unpersist()
+                plan.unpersist()
+            _sweep(spark)
+            t0 = _t.time()
+            plan = routing.route_plan(base, queries, stats=st, dim=100).persist()
+            res = engine.knn_hybrid(
+                spark, base, queries, k=100, index=index, plan=plan, alpha=alpha,
+                catalog=catalog, corpus_rows=st[1], dim=100,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            res.count()
+            hybrid_walls.append(round(_t.time() - t0, 3))
+        out["contest_run_hybrid"] = min(hybrid_walls)
+        out["contest_run_hybrid_runs"] = hybrid_walls
         # recall vs exact, outside the clocks (the number only counts
         # if this stays >= 0.95; tests/test_contest_run.py gates it)
         exact = knn.knn_exact_arrow(spark, base, queries, k=100)
@@ -412,17 +437,28 @@ def main() -> None:
             if rid not in keep_rdds:
                 jmap.get(rid).unpersist(False)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        gc.collect()  # one entry's droppable refs are not the next one's pause
-        t0 = time.time()
-        try:
-            n = reg[name](spark, SF_DIR).count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # keep the bench line parseable on partial failure
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        _drop_new_persists()
+    # TWO full passes over the registry, per-entry wall = min of the
+    # two (r10 verdict #3): the r10 driver artifact printed a 2×
+    # headline for unchanged code because a single reading landed in a
+    # slow host window (isolated min-of-3 re-measurement put the same
+    # entries back at ~1.1-1.3×). Whole-loop passes (not back-to-back
+    # per-entry reps) decorrelate the two readings by minutes, so one
+    # multi-minute contention window can no longer set every clock.
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    n_passes = int(os.environ.get("SPARK_GRAFT_REG_PASSES", "2"))
+    for _pass in range(n_passes):
+        for name in names:
+            gc.collect()  # one entry's droppable refs are not the next one's pause
+            t0 = time.time()
+            try:
+                reg[name](spark, SF_DIR).count()
+                runs[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # keep the bench line parseable on partial failure
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+            _drop_new_persists()
+    timings = {
+        name: (min(ws) if ws else -1.0) for name, ws in runs.items()
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -477,6 +513,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_detail",
                 "queries": timings,
+                "queries_runs": runs,  # raw per-pass walls behind each min
                 "prep": prep,
                 "contest": contest_timings,
                 "stress": stress_timings,

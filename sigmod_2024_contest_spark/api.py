@@ -714,15 +714,10 @@ INGEST_PARITY_MAX_NODES = 128
 
 
 def _stream_index_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from .operators import engine as _e
     from .session import ship_package
-    from .streaming import vector as V
 
     ship_package(spark)
     base = base_vectors(spark, sf_dir)
@@ -731,6 +726,27 @@ def _stream_index_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, routing.CAT_GRAPH_THR, INGEST_PARITY_MAX_NODES
     )
     work = tempfile.mkdtemp(prefix="sg_ingest_parity_")
+    try:
+        return _ingest_parity_body(spark, base, alpha, plan, work)
+    finally:
+        # the result is collected (shard-catalog-sized) before this
+        # runs, so the staged batches + versioned store never outlive
+        # the call (r10 advice: each harness run leaked a /tmp tree)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _ingest_parity_body(
+    spark: SparkSession, base: DataFrame, alpha: float,
+    plan: dict[str, int], work: str,
+) -> DataFrame:
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import engine as _e
+    from .streaming import vector as V
+
     stage = os.path.join(work, "arrivals")
     index_dir = os.path.join(work, "index")
     os.makedirs(stage)
@@ -803,7 +819,7 @@ def _stream_index_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dg").cast("long").alias("code_digest"),
         )
     )
-    return stats_df.join(eq, "pkey").select(
+    out = stats_df.join(eq, "pkey").select(
         "pkey",
         "n_members",
         "sum_id",
@@ -811,6 +827,9 @@ def _stream_index_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph_equal",
         F.lit(bool(store_bounded)).alias("store_bounded"),
     )
+    # materialize before the caller's finally deletes the store the
+    # lazy plan reads from; the result is one row per shard
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 _STREAM_INDEX_INGEST_PARITY_SQL = f"""
@@ -860,6 +879,237 @@ register(
     "stream_index_ingest_parity",
     _stream_index_ingest_parity,
     _STREAM_INDEX_INGEST_PARITY_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Epoch-mode ingest parity (r10 flagship capability, first driver row):
+# the APPEND-ONLY epoch router (engine.upsert_index_epoch) run through
+# a real multi-batch stream to completion under the manifest store.
+# The oracle re-derives the exact epoch shard assignment from the raw
+# table: batch 0 flows through build_index's hash path (pkey =
+# prefix:(id % ns)); every later row's epoch is ns + p // max_nodes
+# where p is the row's 0-based arrival position within its slice
+# (ordered by (batch, id) — the fold's per-batch id-asc window chained
+# through the persisted epoch state). Per-shard digests prove the
+# membership AND the codes; three flags certify what SQL cannot see:
+# `graph_equal` — every live shard's adjacency equals a deterministic
+# from-scratch _build_group over its members (the incremental fold
+# converges to the batch build per shard); `sealed_immutable` — no
+# version directory ever rewrites a shard that an earlier version
+# committed full (the write-amplification claim, including the
+# batch-ends-on-boundary edge the eager seal closes);
+# `owners_bounded` — live shards are owned by ≤ n_batches versions.
+# ---------------------------------------------------------------------------
+
+EPOCH_PARITY_BATCHES = 3
+
+
+def _stream_index_ingest_epoch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .session import ship_package
+
+    ship_package(spark)
+    base = base_vectors(spark, sf_dir)
+    alpha = Q.train_alpha(base)
+    plan = engine._shard_plan(
+        base, routing.CAT_GRAPH_THR, INGEST_PARITY_MAX_NODES
+    )
+    work = tempfile.mkdtemp(prefix="sg_ingest_epoch_parity_")
+    try:
+        return _epoch_parity_body(spark, base, alpha, plan, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _epoch_parity_body(
+    spark: SparkSession, base: DataFrame, alpha: float,
+    plan: dict[str, int], work: str,
+) -> DataFrame:
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import engine as _e
+    from .streaming import vector as V
+
+    stage = os.path.join(work, "arrivals")
+    index_dir = os.path.join(work, "index")
+    os.makedirs(stage)
+    os.makedirs(index_dir)
+    nb = EPOCH_PARITY_BATCHES
+    mn = INGEST_PARITY_MAX_NODES
+    for i in range(nb):
+        part_dir = os.path.join(work, f"p{i}")
+        (
+            base.filter(F.pmod(F.col("id"), F.lit(nb)) == i)
+            .select("id", "category", "ts", "vec")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch{i}.parquet")
+        shutil.move(src, dst)
+        # epoch routing is arrival-order-dependent (unlike the hash
+        # fold): pin the file-source delivery order via mtime so the
+        # oracle's (batch, id) arrival ordering is the stream's
+        os.utime(dst, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+    q = V.index_ingest_stream(
+        V.stream_base(spark, stage),
+        index_dir,
+        plan,
+        alpha,
+        max_nodes=mn,
+        incremental=True,
+        epoch_sharding=True,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # store audit (file listing + version-sized reads, all bounded):
+    # a shard committed FULL by one version must never reappear in a
+    # later version's shard dir — sealed bytes are immutable
+    meta = V.latest_index_meta(index_dir) or {}
+    owners = meta.get("owners") or {}
+    owners_bounded = len(set(owners.values())) <= nb
+    vdirs = sorted(
+        (d for d in os.listdir(index_dir) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda s: int(s[1:]),
+    )
+    sealed_immutable = True
+    committed_full: set[str] = set()
+    for v in vdirs:
+        sdir = os.path.join(index_dir, v, "shards")
+        counts = {
+            r["pkey"]: r["n"]
+            for r in spark.read.parquet(sdir)
+            .groupBy("pkey").agg(F.count("*").alias("n")).collect()
+        }
+        if committed_full & set(counts):
+            sealed_immutable = False
+        committed_full |= {p for p, n in counts.items() if n >= mn}
+
+    idx = V.load_latest_index(spark, index_dir)
+    a = float(meta.get("alpha", alpha))
+    bin_to_codes = F.pandas_udf(_e._bin_to_codes_batch, "array<tinyint>")
+    rebuilt = (
+        idx.select(
+            "pkey", "id", "category", "ts",
+            bin_to_codes(F.col("codes")).alias("codes"),
+        )
+        .groupBy("pkey")
+        .applyInPandas(
+            lambda pdf: _e._build_group(pdf, 16, 100, 0, a, False),
+            _e.INDEX_SCHEMA,
+        )
+    )
+    joined = (
+        idx.select("pkey", "id", "nbrs", "nbr_ts", "level").alias("u")
+        .join(
+            rebuilt.select("pkey", "id", "nbrs", "nbr_ts", "level").alias("s"),
+            ["pkey", "id"],
+            "full_outer",
+        )
+    )
+    match = F.coalesce(
+        (F.col("u.nbrs") == F.col("s.nbrs"))
+        & (F.col("u.nbr_ts") == F.col("s.nbr_ts"))
+        & (F.col("u.level") == F.col("s.level")),
+        F.lit(False),
+    )
+    eq = (
+        joined.select("pkey", match.alias("m"))
+        .groupBy("pkey")
+        .agg(F.min("m").alias("graph_equal"))
+    )
+    digest = F.pandas_udf(_e._codes_weighted_digest_batch, "long")
+    stats_df = (
+        idx.select("pkey", "id", digest(F.col("codes")).alias("dg"))
+        .groupBy("pkey")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("dg").cast("long").alias("code_digest"),
+        )
+    )
+    out = stats_df.join(eq, "pkey").select(
+        "pkey",
+        "n_members",
+        "sum_id",
+        "code_digest",
+        "graph_equal",
+        F.lit(bool(sealed_immutable)).alias("sealed_immutable"),
+        F.lit(bool(owners_bounded)).alias("owners_bounded"),
+    )
+    # materialize before the caller's finally deletes the store the
+    # lazy plan reads from; the result is one row per shard
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_STREAM_INDEX_INGEST_EPOCH_PARITY_SQL = f"""
+WITH alpha AS ({Q.ALPHA_SQL}),
+b AS ({workload.base_cte_sql()}),
+tot AS (SELECT count(*) AS total FROM b),
+cat_counts AS (SELECT category::BIGINT AS key, count(*) AS c FROM b GROUP BY 1),
+dec_counts AS (
+  SELECT least(floor(ts * 10)::INT, 9)::BIGINT AS key, count(*) AS c
+  FROM b GROUP BY 1
+),
+plan AS (
+  SELECT 'cat:' || key AS prefix, c FROM cat_counts, tot
+  WHERE c >= {routing.CAT_GRAPH_THR} * total
+  UNION ALL
+  SELECT 'dec:' || key, c FROM dec_counts
+),
+plan2 AS (
+  SELECT prefix,
+         ((c + {INGEST_PARITY_MAX_NODES} - 1) // {INGEST_PARITY_MAX_NODES}) AS ns
+  FROM plan
+),
+sliced AS (
+  SELECT b.id, b.id % {EPOCH_PARITY_BATCHES} AS batch, p.prefix, p.ns,
+         {Q.encode_sql('b.vec')} AS codes
+  FROM b, alpha
+  JOIN plan2 p
+    ON p.prefix = 'dec:' || least(floor(b.ts * 10)::INT, 9)::BIGINT
+    OR p.prefix = 'cat:' || b.category::BIGINT
+),
+routed AS (
+  SELECT id, prefix, codes,
+         CASE WHEN batch = 0 THEN id % ns
+              ELSE ns + (row_number() OVER (
+                           PARTITION BY prefix, (batch = 0)
+                           ORDER BY batch, id
+                         ) - 1) // {INGEST_PARITY_MAX_NODES}
+         END AS shard
+  FROM sliced
+),
+rows_ AS (
+  SELECT prefix || ':' || shard AS pkey, id,
+         list_sum(list_transform(range(1, len(codes) + 1),
+                                 j -> j * codes[j]))::BIGINT AS dg
+  FROM routed
+)
+SELECT pkey,
+       count(*)::BIGINT AS n_members,
+       sum(id)::BIGINT AS sum_id,
+       sum(dg)::BIGINT AS code_digest,
+       TRUE AS graph_equal,
+       TRUE AS sealed_immutable,
+       TRUE AS owners_bounded
+FROM rows_ GROUP BY pkey
+"""
+
+register(
+    "stream_index_ingest_epoch_parity",
+    _stream_index_ingest_epoch_parity,
+    _STREAM_INDEX_INGEST_EPOCH_PARITY_SQL,
 )
 
 
@@ -1633,77 +1883,79 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-10 window = the 12 never-driver-proven entries (the r9 five —
-# CORRECTNESS_r09 never landed — plus the seven r10 registrations) in
-# registry order, followed by the 38 stalest r7-green names; the 12
-# r7-green names displaced across r9+r10 (rolling_revenue,
+# Round-11 window (rotate_window.py plan, verbatim) = the one
+# never-driver-proven entry (stream_index_ingest_epoch_parity, new
+# this round) first, then the 13 names whose latest green row is
+# CORRECTNESS_r07 — three driver rounds stale because r9's driver
+# never ran (min_cost_supplier, important_parts, small_qty_revenue,
+# market_share, product_type_profit, promo_suppliers,
+# waiting_suppliers, copurchase_pairs, rolling_revenue,
 # revenue_growth_mom, sales_cube, user_order_reconciliation,
-# order_gap_days, waiting_suppliers, copurchase_pairs, important_parts,
-# small_qty_revenue, market_share, product_type_profit,
-# promo_suppliers) wait in _PRIOR_ROUND_GREEN on their CORRECTNESS_r07
-# rows and lead the r11 window.
+# order_gap_days), then the 36 stalest r8-green names. Everything
+# displaced waits in _PRIOR_ROUND_GREEN on its r8/r10 row.
 #
 # STANDING OBLIGATION (every round): run tools/rotate_window.py after
 # the round's CORRECTNESS artifact lands and paste its two literals —
 # stalest-first (never-green entries always first), window = 50.
 # _PRIOR_ROUND_GREEN = every entry with a driver-green row in SOME
-# round that the cut left outside the window; with the registry at 105
-# the proof cadence is ~2 rounds (worst case 3 for a just-displaced
-# name). A NEW entry MUST land in _CHECK_FIRST (it has no green row)
-# or the assert below fails at import.
+# round that the cut left outside the window; with the registry at 114
+# the proof cadence is ⌈114/50⌉ = 3 driver rounds worst case
+# (test-pinned in tests/test_registry_window.py). A NEW entry MUST
+# land in _CHECK_FIRST (it has no green row) or the assert below
+# fails at import.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
-    "index_upsert_parity",
-    "stream_neardup_parity",
-    "index_compaction_parity",
-    "stream_index_ingest_parity",
-    "media_image_stats",
-    "media_audio_stats",
-    "media_video_stats",
-    "quality_classifier",
-    "source_quality_summary",
-    "bigram_likelihood",
-    "dup_ngram_stats",
-    "winnow_match_pairs",
-    "dedup_keep_best",
-    "embed_project",
-    "knn_pq_rerank",
-    "recall_pq_vs_exact",
-    "knn_ivfpq_rerank",
-    "recall_ivfpq_vs_exact",
-    "user_totals",
-    "events_daily_dedup",
-    "media_byte_stats",
-    "media_frame_sample",
-    "media_resize",
-    "pricing_summary",
-    "top_customers",
-    "events_json_stats",
-    "asof_last_error",
-    "event_funnel",
-    "retention_cohorts",
-    "events_value_quantiles",
-    "shipping_priority",
-    "local_supplier_volume",
-    "brand_revenue",
-    "order_priority_check",
-    "returned_items",
-    "promo_revenue",
-    "large_orders",
-    "discounted_revenue",
-    "sales_opportunity",
-    "volume_shipping",
-    "parts_supplier_counts",
-    "tfidf_topk",
-    "salted_user_join",
-    "events_daily_pivot",
-    "sales_rollup",
-    "events_user_reach",
-    "forecast_revenue",
-    "late_line_priority",
-    "customer_order_distribution",
-    "top_supplier",
+    "stream_index_ingest_epoch_parity",
+    "min_cost_supplier",
+    "important_parts",
+    "small_qty_revenue",
+    "market_share",
+    "product_type_profit",
+    "promo_suppliers",
+    "waiting_suppliers",
+    "copurchase_pairs",
+    "rolling_revenue",
+    "revenue_growth_mom",
+    "sales_cube",
+    "user_order_reconciliation",
+    "order_gap_days",
+    "knn_bruteforce",
+    "knn_declarative",
+    "stats_category_counts",
+    "selectivity",
+    "route_plan",
+    "split_interval",
+    "sq8_encode",
+    "sq8_asym_encode",
+    "sq4_encode",
+    "knn_sq8_rerank",
+    "knn_asym_rerank",
+    "knn_sq4_rerank",
+    "knn_hybrid",
+    "knn_hybrid_bf_exact",
+    "text_stats",
+    "text_repetition",
+    "lang_id",
+    "doc_fingerprint",
+    "redact_pii",
+    "ngram_counts",
+    "token_counts",
+    "dedup_exact",
+    "dedup_containment",
+    "winnow_fingerprints",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "sample_balanced_splits",
+    "curate_corpus",
+    "pack_sequences",
+    "chunk_documents",
+    "mixture_sample",
+    "vocab_counts",
+    "decontaminate",
+    "dedup_embedding_cosine",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -1714,68 +1966,69 @@ _CHECK_FIRST: list[str] = [
 # silently landing outside every driver window (r7 verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
-        "waiting_suppliers",
-        "copurchase_pairs",
-        "min_cost_supplier",
-        "important_parts",
-        "small_qty_revenue",
-        "market_share",
-        "product_type_profit",
-        "promo_suppliers",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "ann_lsh_topk",
-        "chunk_documents",
-        "curate_corpus",
-        "decontaminate",
-        "dedup_clusters",
-        "dedup_containment",
+        "asof_last_error",
+        "bigram_likelihood",
+        "brand_revenue",
+        "customer_order_distribution",
         "dedup_cosine_lsh",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "doc_fingerprint",
+        "dedup_keep_best",
+        "discounted_revenue",
+        "dup_ngram_stats",
+        "embed_project",
+        "event_funnel",
         "events_click_attribution",
+        "events_daily_dedup",
+        "events_daily_pivot",
+        "events_json_stats",
         "events_sessionized",
+        "events_user_reach",
+        "events_value_quantiles",
         "events_windowed_counts",
-        "knn_asym_rerank",
+        "forecast_revenue",
+        "index_compaction_parity",
+        "index_upsert_parity",
         "knn_auto",
-        "knn_bruteforce",
-        "knn_declarative",
-        "knn_hybrid",
-        "knn_hybrid_bf_exact",
-        "knn_sq4_rerank",
-        "knn_sq8_rerank",
-        "lang_id",
-        "mixture_sample",
-        "ngram_counts",
-        "order_gap_days",
-        "pack_sequences",
+        "knn_ivfpq_rerank",
+        "knn_pq_rerank",
+        "large_orders",
+        "late_line_priority",
+        "local_supplier_volume",
+        "media_audio_stats",
+        "media_byte_stats",
+        "media_frame_sample",
+        "media_image_stats",
+        "media_resize",
+        "media_video_stats",
+        "order_priority_check",
+        "parts_supplier_counts",
         "power_users_daily_coverage",
+        "pricing_summary",
+        "promo_revenue",
+        "quality_classifier",
         "recall_hybrid_vs_exact",
         "recall_ivf_vs_exact",
+        "recall_ivfpq_vs_exact",
         "recall_lsh_vs_exact",
         "recall_nndescent_vs_exact",
-        "redact_pii",
-        "revenue_growth_mom",
-        "rolling_revenue",
-        "route_plan",
-        "sales_cube",
-        "sample_balanced_splits",
-        "selectivity",
-        "split_interval",
-        "sq4_encode",
-        "sq8_asym_encode",
-        "sq8_encode",
-        "stats_category_counts",
-        "text_repetition",
-        "text_stats",
-        "token_counts",
-        "user_order_reconciliation",
-        "vocab_counts",
-        "winnow_fingerprints",
+        "recall_pq_vs_exact",
+        "retention_cohorts",
+        "returned_items",
+        "sales_opportunity",
+        "sales_rollup",
+        "salted_user_join",
+        "shipping_priority",
+        "source_quality_summary",
+        "stream_index_ingest_parity",
+        "stream_neardup_parity",
+        "tfidf_topk",
+        "top_customers",
+        "top_supplier",
+        "user_totals",
+        "volume_shipping",
+        "winnow_match_pairs",
         "workload_stats",
     }
 )

@@ -37,15 +37,23 @@ def tokens_expr(text: Column | str = "text") -> Column:
     return F.split(text, " ")
 
 
-def text_stats(docs: DataFrame) -> DataFrame:
+def text_stats(docs: DataFrame, hoist: bool = False) -> DataFrame:
     """(doc_id, n_chars_calc, n_tokens, n_distinct, avg_token_len_ppm,
     stopword_ppm, quality_ppm) — the standard quality-filter features
-    (length, redundancy, stopword density) + a combined score. The
-    split is hoisted into its own projection (CollapseProject keeps
-    single-use-or-cheap exprs only) so it runs once per row, not once
-    per feature."""
-    docs = docs.select("doc_id", "text", tokens_expr("text").alias("ws"))
-    ws = F.col("ws")
+    (length, redundancy, stopword density) + a combined score.
+
+    ``hoist``: evaluate the split in its own projection vs inline per
+    feature. Values are bit-identical either way; the r11 A/B
+    (min-of-3 at sf0.1, tools/ab_hoist.py) picked INLINE as the
+    default — whole-stage codegen's subexpression elimination already
+    evaluates the repeated split once within one ProjectExec, so the
+    hoist's extra projection only adds a row-materialization boundary
+    (the r10 text_stats 2× wall drift)."""
+    if hoist:
+        docs = docs.select("doc_id", "text", tokens_expr("text").alias("ws"))
+        ws = F.col("ws")
+    else:
+        ws = tokens_expr("text")
     n_tokens = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
     tok_chars = F.aggregate(F.transform(ws, F.length), F.lit(0), lambda a, x: a + x)
@@ -83,14 +91,17 @@ FROM t
 """
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, hoist: bool = False) -> DataFrame:
     """(doc_id, lang_pred, score) — marker-token language heuristic.
     Winner = highest marker count, ties broken by language code asc,
     zero hits → 'und'. (n-gram language ID reduced to its word-level
     core; the mechanism — not the marker lists — is the operator.)
-    Split hoisted: one tokenization per row, not one per language."""
-    docs = docs.select("doc_id", tokens_expr("text").alias("ws"))
-    ws = F.col("ws")
+    ``hoist``: see :func:`text_stats` — the r11 A/B picked inline."""
+    if hoist:
+        docs = docs.select("doc_id", tokens_expr("text").alias("ws"))
+        ws = F.col("ws")
+    else:
+        ws = tokens_expr("text")
 
     def count_in(markers):
         # single-param lambda: a 2-arg lambda would be read as
@@ -544,7 +555,7 @@ QC_W_DIGIT = -2.5    # digit character fraction (boilerplate/tables)
 QC_W_STOP = 0.8      # stopword fraction (natural-language prose signal)
 
 
-def quality_classifier(docs: DataFrame) -> DataFrame:
+def quality_classifier(docs: DataFrame, hoist: bool = False) -> DataFrame:
     """(doc_id, logit_ppm, keep): linear quality classifier over exact
     text-feature ratios — keep = (w·x + b >= 0).
 
@@ -553,12 +564,15 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     so Spark and the DuckDB oracle round bit-identically; an
     ``exp``/``ln`` would vary across libm builds (the repo-wide rule,
     see tfidf_topk). All features are one projection over the doc scan:
-    zero shuffles, zero UDFs, whole-stage codegen end to end. The
-    tokenization is HOISTED into its own projection — CollapseProject
-    keeps single-use-or-cheap expressions only, so the split runs once
-    per row instead of once per feature (the ngram_counts trap)."""
-    t = docs.select("doc_id", "text", tokens_expr("text").alias("ws"))
-    ws = F.col("ws")
+    zero shuffles, zero UDFs, whole-stage codegen end to end.
+    ``hoist``: see :func:`text_stats` — the r11 A/B picked inline
+    (codegen subexpression elimination already runs the split once)."""
+    if hoist:
+        t = docs.select("doc_id", "text", tokens_expr("text").alias("ws"))
+        ws = F.col("ws")
+    else:
+        t = docs
+        ws = tokens_expr("text")
     n_tokens = F.size(ws).cast("double")
     f_len = F.least(n_tokens, F.lit(200.0)) / F.lit(200.0)
     f_distinct = F.size(F.array_distinct(ws)).cast("double") / n_tokens

@@ -291,6 +291,40 @@ def _jaccard_candidates(sh: DataFrame, df_cap: int | None) -> DataFrame:
     )
 
 
+# Hot-key sets (keys crossing the df cap) are boilerplate by definition
+# — a handful of shingles/fingerprints shared by thousands of docs — so
+# they almost always fit on the driver. Below this cap the key set is
+# collected once and rebuilt as a local relation (no persisted RDD
+# outlives the operator — the r10-flagged session-lifetime cache leak);
+# above it the uncached plan is reused, trading one recompute per
+# consuming join for bounded driver memory.
+_HOT_KEYS_COLLECT_CAP = 1_000_000
+
+
+def _split_hot(
+    items: DataFrame, key: str, df_cap: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """(cold, hot_rows) split of ``items`` on per-``key`` document
+    frequency vs ``df_cap``, leak-free. ``hot_rows`` is None when no
+    key crosses the cap (the common case on clean corpora) — the cold
+    plan then IS the full plan and callers skip the correction join."""
+    if df_cap is None:
+        return items, None
+    hot = (
+        items.groupBy(key)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select(key)
+    )
+    head = hot.limit(_HOT_KEYS_COLLECT_CAP + 1).collect()
+    if not head:
+        return items, None
+    if len(head) <= _HOT_KEYS_COLLECT_CAP:
+        hot = items.sparkSession.createDataFrame(head, hot.schema)
+    cold = items.join(F.broadcast(hot), key, "left_anti")
+    return cold, items.join(F.broadcast(hot), key)
+
+
 def _pair_intersections(
     docs: DataFrame, df_cap: int | None
 ) -> tuple[DataFrame, DataFrame]:
@@ -301,23 +335,7 @@ def _pair_intersections(
     cold/hot split rationale."""
     sh = _doc_shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cold, hot_sh = sh, None
-    if df_cap is not None:
-        hot = (
-            sh.groupBy("skey")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("skey")
-            .persist()
-        )
-        # bounded driver scalar: when no shingle crosses the cap (the
-        # common case on clean corpora) the cold plan IS the full plan
-        # — skip the anti-join and the correction join entirely
-        if hot.count() == 0:
-            hot.unpersist()
-        else:
-            cold = sh.join(F.broadcast(hot), "skey", "left_anti")
-            hot_sh = sh.join(F.broadcast(hot), "skey")
+    cold, hot_sh = _split_hot(sh, "skey", df_cap)
     a = cold.alias("a")
     b = cold.alias("b")
     inter = (
@@ -1110,20 +1128,7 @@ def winnow_match_pairs(
     fps = (
         winnow_fingerprints(docs, window).select("doc_id", "fp").distinct()
     )
-    cold, hot_f = fps, None
-    if df_cap is not None:
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("fp")
-            .persist()
-        )
-        if hot.count() == 0:
-            hot.unpersist()
-        else:
-            cold = fps.join(F.broadcast(hot), "fp", "left_anti")
-            hot_f = fps.join(F.broadcast(hot), "fp")
+    cold, hot_f = _split_hot(fps, "fp", df_cap)
     a, b = cold.alias("a"), cold.alias("b")
     inter = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))

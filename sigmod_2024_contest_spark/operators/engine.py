@@ -471,8 +471,17 @@ def _slice_rows_epoch(
         last = c + n - 1
         new_e = e + last // max_nodes
         new_c = last % max_nodes + 1
+        if new_c == max_nodes:
+            # Seal eagerly: a batch ending exactly on the shard
+            # boundary leaves the open shard full — advancing the
+            # state past it keeps the next batch's affected range off
+            # the sealed shard (otherwise a zero-row "open" shard gets
+            # rebuilt and its manifest owner churns every epoch-sized
+            # batch, re-adding the write amplification the design
+            # exists to remove).
+            new_e, new_c = new_e + 1, 0
         new_state[prefix] = [new_e, new_c]
-        affected += [f"{prefix}:{k}" for k in range(e, new_e + 1)]
+        affected += [f"{prefix}:{k}" for k in range(e, e + last // max_nodes + 1)]
         pairs += [F.lit(prefix), F.array(F.lit(e), F.lit(c))]
     base_map = F.create_map(*pairs)
     w = Window.partitionBy("prefix").orderBy("id")

@@ -243,7 +243,12 @@ def index_ingest_stream(
     later re-receive them as arrivals and epoch-route them to a fresh
     shard, duplicating the compacted copies — hash routing dedupes that
     case through its deterministic id → shard anti-join; append-only
-    routing cannot.
+    routing cannot. For the same reason epoch mode needs a DURABLE
+    ``checkpoint_dir`` (same durability class as ``index_dir``): the
+    batch-id replay guard no-ops the one trailing batch a crash can
+    replay, and a restart from a rewound/fresh checkpoint — which
+    would re-deliver deeper history the guard cannot dedupe — fails
+    loudly in the fold instead of silently duplicating rows.
 
     ``max_manifest_versions=K`` (manifest mode, needs ``corpus_dir``)
     bounds manifest FRAGMENTATION: when the batch about to commit would
@@ -329,6 +334,32 @@ def index_ingest_stream(
                 # cannot see sealed shards)
                 if meta.get("batch_id") == batch_id:
                     return
+                # rewound-checkpoint guard (epoch mode only): batch
+                # ids ascend within one checkpoint lineage, so an
+                # arriving id BELOW the committed one means the stream
+                # restarted from a fresh/rewound checkpoint and is
+                # re-delivering history — the trailing-batch no-op
+                # above cannot dedupe that, and append-only routing
+                # would silently duplicate every replayed row into
+                # fresh epochs. Fail loudly instead (epoch_sharding's
+                # durability contract: keep checkpoint_dir on storage
+                # as durable as index_dir).
+                committed = meta.get("batch_id")
+                if (
+                    epoch_sharding
+                    and committed is not None
+                    and batch_id < committed
+                ):
+                    raise RuntimeError(
+                        f"index_ingest_stream(epoch_sharding=True): "
+                        f"micro-batch {batch_id} arrived after batch "
+                        f"{committed} committed — the stream restarted "
+                        "from a rewound or fresh checkpoint. Append-only "
+                        "epoch routing cannot dedupe replayed history; "
+                        "restore the original checkpoint_dir (it must be "
+                        "as durable as index_dir) or rebuild the index "
+                        "from the corpus."
+                    )
                 # resume under the LIVE plan/alpha
                 plan, a = meta["shard_plan"], meta["alpha"]
                 prev_owners = meta.get("owners") or {}

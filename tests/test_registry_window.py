@@ -36,55 +36,94 @@ ROUND8_WINDOW = {
 
 
 NEVER_GREEN_ENTRIES = [
-    # r9 + r10 registrations — never driver-proven (CORRECTNESS_r09
-    # never landed, so the r9 five still lack rows); stalest-first puts
-    # all of them at the head of the window, in registry order
-    "index_upsert_parity", "stream_neardup_parity",
-    "index_compaction_parity", "stream_index_ingest_parity",
-    "media_image_stats", "media_audio_stats", "media_video_stats",
-    "quality_classifier", "source_quality_summary", "bigram_likelihood",
-    "dup_ngram_stats", "winnow_match_pairs", "dedup_keep_best",
+    # the one r11 registration — never driver-proven; stalest-first
+    # puts it at the head of the window
+    "stream_index_ingest_epoch_parity",
 ]
 
-DISPLACED = {
-    # r7-green names the new entries pushed out; they wait in
-    # _PRIOR_ROUND_GREEN on their CORRECTNESS_r07 rows and lead the
-    # next rotation
-    "rolling_revenue", "revenue_growth_mom", "sales_cube",
-    "user_order_reconciliation", "order_gap_days",
-    # displaced by the eight r10 entries
-    "waiting_suppliers", "copurchase_pairs", "min_cost_supplier",
-    "important_parts", "small_qty_revenue", "market_share",
-    "product_type_profit", "promo_suppliers",
-}
+R7_STALE = [
+    # latest green row is CORRECTNESS_r07 — three driver rounds stale
+    # (r9's driver never ran); the r10 verdict requires these to lead
+    # the r11 window right after the never-green entries
+    "min_cost_supplier", "important_parts", "small_qty_revenue",
+    "market_share", "product_type_profit", "promo_suppliers",
+    "waiting_suppliers", "copurchase_pairs", "rolling_revenue",
+    "revenue_growth_mom", "sales_cube", "user_order_reconciliation",
+    "order_gap_days",
+]
 
 
-def test_round10_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the 13 never-green entries + the 37
-    stalest r7-green names: never-green lead, no r8-green name
-    re-occupies a slot, displaced names sit in prior-green."""
+def test_round11_window_is_exactly_the_planned_set():
+    """First 50 registry keys == the never-green epoch entry + the 13
+    r7-stale names + the 36 stalest r8-green names: never-green lead,
+    no r10-green name re-occupies a slot."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:13] == NEVER_GREEN_ENTRIES
-    assert ROUND8_WINDOW.isdisjoint(first)  # r8-green half fully rotated out
-    assert DISPLACED.isdisjoint(first)
-    assert DISPLACED <= set(api._PRIOR_ROUND_GREEN)
+    assert first[:1] == NEVER_GREEN_ENTRIES
+    assert set(first[1:14]) == set(R7_STALE)
+    # the 36 remaining slots rotate r8-green names back in; every
+    # r10-green entry waits in prior-green
+    import json
+
+    r10 = set(json.load(open("/root/repo/CORRECTNESS_r10.json")))
+    assert r10.isdisjoint(first)
+    assert r10 <= set(api._PRIOR_ROUND_GREEN)
 
 
-def test_rotate_window_tool_reproduces_r10_window():
-    """On the real r1-r8 artifacts (no r9 artifact ever landed) and the
-    live registry the tool must propose exactly the committed r10
-    lists — the rotation stays mechanical, not hand-curated."""
+def test_rotate_window_tool_reproduces_r11_window():
+    """On the real r1-r10 artifacts and the live registry the tool
+    must propose exactly the committed r11 lists — the rotation stays
+    mechanical, not hand-curated."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from rotate_window import load_green_rounds, plan_next_window
 
-    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 8}
-    assert max(rounds) == 8
+    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 10}
+    assert max(rounds) == 10
     nxt, prior = plan_next_window(list(api._REGISTRY), rounds, window=50)
     assert nxt == api._CHECK_FIRST
     assert prior == set(api._PRIOR_ROUND_GREEN)
+
+
+def test_rotation_cadence_bound():
+    """The arithmetic staleness bound, pinned (r10 verdict #5): with N
+    registry entries and a 50-slot window, mechanical stalest-first
+    rotation must (a) always preempt never-green entries and (b) never
+    let any entry go more than ceil(N/50) driver rounds without a
+    green row once the cycle is warm. A 4-round-stale entry becoming
+    possible fails here before it happens in production."""
+    import math
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from rotate_window import load_green_rounds, plan_next_window
+
+    names = list(api._REGISTRY)
+    window = api._DRIVER_WINDOW
+    bound = math.ceil(len(names) / window)
+    assert bound == 3  # 114 entries / 50 slots — update alongside the registry
+    rounds = {k: set(v) for k, v in load_green_rounds("/root/repo").items()}
+    cur = max(rounds)
+    latest: dict[str, int] = {}
+    for rnd, g in rounds.items():
+        for n in g:
+            if n in set(names):
+                latest[n] = max(latest.get(n, 0), rnd)
+    # simulate 2*bound future driver rounds of mechanical rotation,
+    # each greening exactly the planned window
+    for step in range(1, 2 * bound + 1):
+        rnd = cur + step
+        nxt, prior = plan_next_window(names, rounds, window)
+        never = [n for n in names if n not in latest]
+        assert all(n in nxt for n in never), "never-green must preempt"
+        assert set(names) <= set(nxt) | prior
+        rounds[rnd] = set(nxt)
+        for n in nxt:
+            latest[n] = rnd
+        if step >= bound:  # cycle warm: every entry visited once
+            stale = [n for n in names if rnd - latest[n] >= bound]
+            assert not stale, (rnd, stale[:5])
 
 
 def test_window_plus_prior_green_covers_registry():

@@ -791,6 +791,93 @@ def test_epoch_router_state_math(spark):
     assert affected == ["dec:0:2", "dec:0:3", "dec:0:4", "dec:0:5"]
 
 
+def test_epoch_router_seals_eagerly_on_boundary(spark):
+    """A batch ending exactly on the shard boundary must seal the full
+    shard in-state ([e+1, 0], not [e, max_nodes]) so the NEXT batch's
+    affected range starts past it — otherwise a sealed-full shard is
+    rebuilt and rewritten (manifest owner churn) despite receiving
+    zero rows (r10 advice)."""
+    from sigmod_2024_contest_spark.operators import engine
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, 3, 0.25, [float(i)]) for i in ids],
+            "id long, category int, ts double, vec array<float>",
+        )
+
+    # batch 1: exactly fills epoch 0 (4 rows, max_nodes=4)
+    rows, state, affected = engine._slice_rows_epoch(
+        mk(range(4)), {"dec:2": 1}, 1.0, {"dec:2": [0, 0]}, max_nodes=4
+    )
+    assert {r["pkey"] for r in rows.collect()} == {"dec:2:0"}
+    assert state["dec:2"] == [1, 0]  # sealed: open shard is the EMPTY epoch 1
+    assert affected == ["dec:2:0"]
+    # batch 2: must not touch the sealed epoch 0
+    rows2, state2, affected2 = engine._slice_rows_epoch(
+        mk(range(10, 13)), {"dec:2": 1}, 1.0, state, max_nodes=4
+    )
+    assert {r["pkey"] for r in rows2.collect()} == {"dec:2:1"}
+    assert affected2 == ["dec:2:1"]
+    assert state2["dec:2"] == [1, 3]
+    # legacy persisted state ([e, max_nodes], written before the eager
+    # seal) still routes past the full shard — only the affected range
+    # conservatively includes it
+    rows3, state3, affected3 = engine._slice_rows_epoch(
+        mk(range(20, 22)), {"dec:2": 1}, 1.0, {"dec:2": [5, 4]}, max_nodes=4
+    )
+    assert {r["pkey"] for r in rows3.collect()} == {"dec:2:6"}
+    assert state3["dec:2"] == [6, 2]
+
+
+def test_index_ingest_stream_epoch_rewound_checkpoint_fails_loudly(
+    spark, tmp_path
+):
+    """Epoch mode + a FRESH checkpoint against an existing index:
+    batch ids restart below the committed one, and replayed history
+    would silently duplicate rows into fresh epochs (append-only
+    routing has no id-based dedup). The fold must raise instead."""
+    import os
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import engine, routing
+    from sigmod_2024_contest_spark.sources.tables import base_vectors
+    from sigmod_2024_contest_spark.streaming import vector as V
+
+    base_all = base_vectors(spark, SF_SMOKE).persist()
+    alpha = Q.train_alpha(base_all)
+    splan = engine._shard_plan(base_all, routing.CAT_GRAPH_THR, 64)
+
+    src = str(tmp_path / "rw_in")
+    os.makedirs(src)
+    for i in range(2):
+        chunk = base_all.filter(F.col("id") % 2 == i)
+        cdir = tmp_path / f"rw{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(cdir))
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(str(cdir / part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    index_dir = str(tmp_path / "rw_idx")
+    os.makedirs(index_dir)
+
+    def run(ckpt):
+        q = V.index_ingest_stream(
+            V.stream_base(spark, src), index_dir, splan, alpha,
+            max_nodes=64, incremental=True, epoch_sharding=True,
+            checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "rw_ckpt"))
+    with pytest.raises(Exception, match="rewound or fresh checkpoint"):
+        run(str(tmp_path / "rw_ckpt_fresh"))  # lost checkpoint: replay from 0
+    base_all.unpersist()
+
+
 def test_upsert_index_epoch_rebuilds_only_open_shards(spark):
     """Sealed shards pass through byte-identical; the rebuild set is
     the open shard + spill epochs; per-shard bound holds; membership
@@ -1085,7 +1172,21 @@ def test_epoch_router_properties(spark):
             want[i] = f"dec:2:{e}"
             c += 1
             occupancy[e] = occupancy.get(e, 0) + 1
+        last_epoch = e
+        if c == max_nodes:
+            # eager seal: a fold ending exactly on the shard boundary
+            # advances the state past the full shard so the next batch
+            # never rewrites it
+            e, c = e + 1, 0
         assert got == want, (max_nodes, open_epoch, open_count, ids[:5])
         assert all(v <= max_nodes for v in occupancy.values())
         assert new_state["dec:2"] == [e, c]
-        assert affected == [f"dec:2:{k}" for k in range(open_epoch, e + 1)]
+        assert affected == [
+            f"dec:2:{k}"
+            for k in range(
+                open_epoch,
+                open_epoch + (open_count + n - 1) // max_nodes + 1,
+            )
+        ]
+        # every epoch that actually received rows is in affected
+        assert f"dec:2:{last_epoch}" in affected
