@@ -919,28 +919,40 @@ def test_dup_ngram_stats_planted(spark):
 
 def test_quality_classifier_plan_is_zero_exchange_single_split(spark):
     """Plan-assert the classifier's 100 TB property: one column-pruned
-    scan, NO exchange, NO Python stage, and the hoisted tokenization
-    survives CollapseProject (exactly one split per row — the
-    ngram_counts CSE trap)."""
+    scan, NO exchange, NO Python stage. The default (inline) shape
+    repeats split(text) per feature in the PLAN text but whole-stage
+    codegen's subexpression elimination evaluates it once at runtime
+    (the r11 A/B showed the shapes within noise of each other); the
+    hoist=True shape keeps the textual single-split property, pinned
+    here so the A/B alternative stays available and correct."""
     from sigmod_2024_contest_spark.functions.text import quality_classifier
     from sigmod_2024_contest_spark.sources.tables import load_table
 
-    df = quality_classifier(load_table(spark, SF_SMOKE, "documents"))
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Python" not in plan and "ArrowEval" not in plan
-    assert plan.count("split(text") == 1, plan.count("split(text")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for hoist in (False, True):
+        df = quality_classifier(docs, hoist=hoist)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+        if hoist:
+            assert plan.count("split(text") == 1, plan.count("split(text")
 
 
 def test_text_stats_and_lang_id_single_split(spark):
-    """The hoist holds for the other multi-feature projections."""
+    """The hoisted shape of the other multi-feature projections keeps
+    exactly one split in the plan (CollapseProject does not re-inline
+    it); the inline default relies on codegen CSE instead — both
+    shapes are value-identical (asserted in tools/ab_hoist.py and by
+    every oracle row)."""
     from sigmod_2024_contest_spark.functions.text import lang_id, text_stats
     from sigmod_2024_contest_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_SMOKE, "documents")
     for fn in (text_stats, lang_id):
-        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        plan = fn(docs, hoist=True)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("split(text") == 1, (fn.__name__, plan.count("split(text"))
+        inline = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in inline  # zero-exchange either way
 
 
 def test_winnow_match_pairs_oracle(spark):

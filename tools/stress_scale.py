@@ -8,7 +8,12 @@ index, answers a mixed 4-type query batch with the full routed engine,
 and reports recall@k against the exact oracle on a subsample — one
 JSON line, same spirit as bench.py.
 
-Usage: python tools/stress_scale.py [N_ROWS] [N_QUERIES]
+Usage: python tools/stress_scale.py [N_ROWS] [N_QUERIES] [REPS]
+
+REPS > 1 (r10 verdict #6): build AND search run REPS times in one
+session (index fully unpersisted and rebuilt per rep) and the line
+reports min + raw walls — the warm min-of-N protocol, because a single
+cold reading on this host carries a documented ~2× spread.
 """
 
 from __future__ import annotations
@@ -61,6 +66,7 @@ def synth_queries(spark, n_queries: int, dim: int = 64, seed: int = 7):
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     dim = 64
 
     from pyspark.sql import functions as F
@@ -76,19 +82,31 @@ def main() -> None:
     queries = synth_queries(spark, n_queries, dim).persist()
     queries.count()
 
-    t0 = time.time()
-    splan = engine._shard_plan(base, routing.CAT_GRAPH_THR, engine.MAX_NODES_PER_GRAPH)
-    idx = engine.partition_index_for_search(
-        engine.build_index(base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan)
-    ).persist()
-    idx_rows = idx.count()
-    build_s = round(time.time() - t0, 2)
-    nshards = sum(splan.values())
+    idx = res = None
+    build_walls: list[float] = []
+    search_walls: list[float] = []
+    for _rep in range(reps):
+        if idx is not None:
+            res.unpersist()
+            idx.unpersist()
+        t0 = time.time()
+        splan = engine._shard_plan(
+            base, routing.CAT_GRAPH_THR, engine.MAX_NODES_PER_GRAPH
+        )
+        idx = engine.partition_index_for_search(
+            engine.build_index(
+                base, graph_min_nodes=engine.GEMM_SHARD_THR, shard_plan=splan
+            )
+        ).persist()
+        idx_rows = idx.count()
+        build_walls.append(round(time.time() - t0, 2))
 
-    t0 = time.time()
-    res = engine.knn_hybrid(spark, base, queries, index=idx).persist()
-    out_rows = res.count()
-    search_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        res = engine.knn_hybrid(spark, base, queries, index=idx).persist()
+        out_rows = res.count()
+        search_walls.append(round(time.time() - t0, 2))
+    build_s, search_s = min(build_walls), min(search_walls)
+    nshards = sum(splan.values())
 
     # recall on a query subsample vs the exact oracle (corpus-broadcast
     # path at this size — itself a timed datapoint)
@@ -115,6 +133,8 @@ def main() -> None:
                 "n_shards": nshards,
                 "build_sec": build_s,
                 "search_sec": search_s,
+                "build_runs": build_walls,
+                "search_runs": search_walls,
                 "oracle_sec": oracle_s,
                 "result_rows": out_rows,
                 "recall": round(sum(recalls) / len(recalls), 4) if recalls else None,
