@@ -15,7 +15,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import multimodal as MM
+from .functions import bpe as BPE
 from .functions import quantization as Q
+from .functions import retrieval as RET
 from .functions import text as T
 from .operators import (
     bruteforce_quant,
@@ -1717,6 +1719,46 @@ register(
     lambda s, d: T.tfidf_topk(_docs(s, d)),
     T.tfidf_topk_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# r11: lexical retrieval + reciprocal-rank fusion (functions/retrieval.py)
+# ---------------------------------------------------------------------------
+
+register(
+    "bm25_topk",
+    lambda s, d: RET.bm25_topk(_docs(s, d)),
+    RET.bm25_topk_sql(),
+)
+register(
+    "retrieval_rrf",
+    lambda s, d: RET.retrieval_rrf(_docs(s, d)),
+    RET.retrieval_rrf_sql(),
+)
+register(
+    "dup_span_extract",
+    lambda s, d: dedup.dup_span_extract(_docs(s, d)),
+    dedup.dup_span_extract_sql(),
+)
+# BPE tokenizer: rows-only driver checks (the merge loop is iterative
+# and data-dependent — not expressible as one ANSI-SQL statement; the
+# algorithm is instead pinned by hand-computed-merge tests and the
+# local ≡ forced-distributed parity test in tests/test_bpe.py)
+register(
+    "bpe_train",
+    lambda s, d: BPE.bpe_train(_docs(s, d)),
+    None,
+)
+register(
+    "bpe_encode_counts",
+    lambda s, d: BPE.bpe_encode_counts(_docs(s, d), BPE.bpe_train(_docs(s, d))),
+    None,
+)
+register(
+    "remove_dup_spans",
+    lambda s, d: dedup.remove_dup_spans(_docs(s, d)),
+    dedup.remove_dup_spans_sql(),
+)
 register(
     "salted_user_join",
     lambda s, d: skew.salted_user_join(load_table(s, d, "events")),
@@ -1883,23 +1925,28 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-11 window (rotate_window.py plan, verbatim) = the one
-# never-driver-proven entry (stream_index_ingest_epoch_parity, new
-# this round) first, then the 13 names whose latest green row is
-# CORRECTNESS_r07 — three driver rounds stale because r9's driver
-# never ran (min_cost_supplier, important_parts, small_qty_revenue,
-# market_share, product_type_profit, promo_suppliers,
-# waiting_suppliers, copurchase_pairs, rolling_revenue,
-# revenue_growth_mom, sales_cube, user_order_reconciliation,
-# order_gap_days), then the 36 stalest r8-green names. Everything
-# displaced waits in _PRIOR_ROUND_GREEN on its r8/r10 row.
+# Round-11 window (rotate_window.py plan, verbatim) = the seven
+# never-driver-proven entries first (stream_index_ingest_epoch_parity,
+# bm25_topk, retrieval_rrf, dup_span_extract, remove_dup_spans,
+# bpe_train, bpe_encode_counts — all new this round), then the 13
+# names
+# whose latest green row is CORRECTNESS_r07 — three driver rounds
+# stale because r9's driver never ran (min_cost_supplier,
+# important_parts, small_qty_revenue, market_share,
+# product_type_profit, promo_suppliers, waiting_suppliers,
+# copurchase_pairs, rolling_revenue, revenue_growth_mom, sales_cube,
+# user_order_reconciliation, order_gap_days), then the 30 stalest
+# r8-green names. Everything displaced (decontaminate,
+# dedup_embedding_cosine, mixture_sample, vocab_counts, pack_sequences
+# and chunk_documents, bumped by the six new registrations) waits in
+# _PRIOR_ROUND_GREEN on its r8/r10 row.
 #
 # STANDING OBLIGATION (every round): run tools/rotate_window.py after
 # the round's CORRECTNESS artifact lands and paste its two literals —
 # stalest-first (never-green entries always first), window = 50.
 # _PRIOR_ROUND_GREEN = every entry with a driver-green row in SOME
-# round that the cut left outside the window; with the registry at 114
-# the proof cadence is ⌈114/50⌉ = 3 driver rounds worst case
+# round that the cut left outside the window; with the registry at 120
+# the proof cadence is ⌈120/50⌉ = 3 driver rounds worst case
 # (test-pinned in tests/test_registry_window.py). A NEW entry MUST
 # land in _CHECK_FIRST (it has no green row) or the assert below
 # fails at import.
@@ -1907,6 +1954,12 @@ register(
 
 _CHECK_FIRST: list[str] = [
     "stream_index_ingest_epoch_parity",
+    "bm25_topk",
+    "retrieval_rrf",
+    "dup_span_extract",
+    "remove_dup_spans",
+    "bpe_train",
+    "bpe_encode_counts",
     "min_cost_supplier",
     "important_parts",
     "small_qty_revenue",
@@ -1950,12 +2003,6 @@ _CHECK_FIRST: list[str] = [
     "dedup_clusters",
     "sample_balanced_splits",
     "curate_corpus",
-    "pack_sequences",
-    "chunk_documents",
-    "mixture_sample",
-    "vocab_counts",
-    "decontaminate",
-    "dedup_embedding_cosine",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -1972,8 +2019,11 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
         "asof_last_error",
         "bigram_likelihood",
         "brand_revenue",
+        "chunk_documents",
         "customer_order_distribution",
+        "decontaminate",
         "dedup_cosine_lsh",
+        "dedup_embedding_cosine",
         "dedup_keep_best",
         "discounted_revenue",
         "dup_ngram_stats",
@@ -2002,7 +2052,9 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
         "media_image_stats",
         "media_resize",
         "media_video_stats",
+        "mixture_sample",
         "order_priority_check",
+        "pack_sequences",
         "parts_supplier_counts",
         "power_users_daily_coverage",
         "pricing_summary",
@@ -2027,6 +2079,7 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
         "top_customers",
         "top_supplier",
         "user_totals",
+        "vocab_counts",
         "volume_shipping",
         "winnow_match_pairs",
         "workload_stats",

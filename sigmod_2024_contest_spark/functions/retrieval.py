@@ -1,0 +1,311 @@
+"""Lexical retrieval + rank fusion over the documents corpus.
+
+The retrieval side of a training-data pipeline: given a query set
+(derived deterministically from the corpus itself — every
+``BM25_QUERY_STRIDE``-th document's most characteristic terms), rank
+the whole corpus per query by
+
+- **BM25** (Robertson/Spärck Jones Okapi weighting: term-frequency
+  saturation + document-length normalization), and
+- a plain **term-frequency** ranking (the "sparse baseline"),
+
+then fuse rankings with **reciprocal-rank fusion** (Cormack, Clarke &
+Büttcher, SIGIR'09): ``score(d) = Σ_lists 1/(K + rank_list(d))`` —
+the standard way hybrid search combines lexical and dense lists
+without score calibration.
+
+Numeric convention (repo-wide): every hashed score is exact int64.
+BM25's ``k1 = 1.2`` and ``b = 0.75`` are rational (6/5, 3/4), so the
+per-term contribution
+
+    idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+clears denominators exactly:
+
+    contrib_ppm = (idf_ppm · 22 · avgdl · tf)
+                  DIV (10·avgdl·tf + 3·avgdl + 9·dl)
+
+and the classic log-idf (libm-unstable across engines) is replaced by
+the bounded rational surrogate ``idf_ppm = 1e6·(N − df + 1) DIV
+(N + df + 1)`` — monotone decreasing in df, ≤ 1e6 for ANY corpus size
+(so the int64 product above cannot overflow at 100 TB scale), and
+identical under Spark ``DIV`` and DuckDB ``//``. No transcendentals
+anywhere in the hashed output.
+
+Distributed shape (no collects, no persists):
+1. tokenize once per document, explode, map-side-combined
+   ``groupBy(doc_id, term)`` → one (doc, term, tf) row per distinct
+   pair enters the shuffle; document length rides along as a
+   functionally-dependent grouping column.
+2. corpus constants (N, avgdl) are ONE aggregate row, cross-joined
+   (Catalyst broadcasts a single-row side).
+3. df per term is a vocab-sized aggregate joined back on ``term`` —
+   the AQE-skew-splittable shape (same rationale as tfidf_topk).
+4. query terms are a per-query-document window (partitions bounded by
+   one document's vocabulary), then the qterms⋈pairs join probes the
+   corpus pair table — build side is queries×terms, broadcastable
+   when the query set is small, AQE-splittable when it is not.
+5. per-(query, doc) scores are a map-side-combined sum of ≤
+   ``BM25_QUERY_TERMS`` int64 contributions; top-k is a row_number
+   window per query_id (millions of small partitions — the scalable
+   window axis). Ties break (score desc, doc_id asc) so the cut is
+   total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import STOPWORDS, _sql_list, tokens_expr
+
+BM25_TOPK = 10
+BM25_QUERY_STRIDE = 20
+BM25_QUERY_TERMS = 3
+RRF_K = 60
+
+# Okapi BM25 with k1 = 6/5, b = 3/4, denominators cleared (see module
+# docstring). Pure int64 end-to-end.
+_IDF_PPM = "CAST((n_docs - df + 1) * 1000000 DIV (n_docs + df + 1) AS BIGINT)"
+_CONTRIB_PPM = (
+    "CAST((idf_ppm * 22 * avgdl * tf)"
+    " DIV (10 * avgdl * tf + 3 * avgdl + 9 * dl) AS BIGINT)"
+)
+
+
+def _term_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf): per-document term frequencies with the
+    document token length riding along (functionally dependent on
+    doc_id, so adding it to the grouping key changes nothing)."""
+    toks = docs.select(
+        "doc_id", F.filter(tokens_expr("text"), lambda w: w != "").alias("ws")
+    )
+    return (
+        toks.select(
+            "doc_id", F.size("ws").cast("long").alias("dl"), F.explode("ws").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _corpus_totals(docs: DataFrame) -> DataFrame:
+    """One row: (n_docs, avgdl) — integer average document length.
+    ``greatest(avgdl, 1)`` guards the all-empty-corpus denominator."""
+    toks = docs.select(F.size(F.filter(tokens_expr("text"), lambda w: w != "")).alias("dl"))
+    return toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.greatest(F.expr("CAST(sum(dl) DIV count(*) AS BIGINT)"), F.lit(1).cast("long")).alias(
+            "avgdl"
+        ),
+    )
+
+
+def _query_terms(
+    pairs: DataFrame, stride: int = BM25_QUERY_STRIDE, nterms: int = BM25_QUERY_TERMS
+) -> DataFrame:
+    """(query_id, term): every stride-th document contributes its
+    nterms most frequent non-stopword terms — a deterministic
+    more-like-this query set derived from the corpus itself (the same
+    self-deriving convention as similarity.ann_cosine_topk's
+    QUERY_STRIDE)."""
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        pairs.filter((F.col("doc_id") % stride == 0) & ~F.col("term").isin(*STOPWORDS))
+        .withColumn("qrnk", F.row_number().over(w))
+        .filter(F.col("qrnk") <= nterms)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = BM25_TOPK,
+    stride: int = BM25_QUERY_STRIDE,
+    nterms: int = BM25_QUERY_TERMS,
+) -> DataFrame:
+    """(query_id, doc_id, score_ppm, rnk): top-k documents per derived
+    query by exact-integer Okapi BM25 (self excluded).
+
+    Physical plan (verified .explain): the pairs diamond resolves to
+    THREE differently-pruned corpus scans rather than one reused
+    exchange — deliberate. The qterms branch pushes the stride filter
+    BELOW the tf aggregate (20× smaller partial agg), the dfs branch
+    prunes ``dl`` and ``doc_id`` before its shuffle, and the probe
+    branch keeps the full pair row; letting Catalyst prune each
+    consumer beats forcing one fat reused shuffle because the pair
+    exchange, not the tokenize scan, dominates at corpus scale.
+    qterms/dfs/totals all arrive at the probe join as broadcasts
+    (queries×terms, vocab, and 1 row respectively)."""
+    pairs = _term_pairs(docs)
+    totals = _corpus_totals(docs)
+    dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = _query_terms(pairs, stride, nterms)
+    hits = (
+        qterms.join(pairs, "term")
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("idf_ppm", F.expr(_IDF_PPM))
+        .withColumn("contrib", F.expr(_CONTRIB_PPM))
+    )
+    scores = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_ppm", "rnk")
+    )
+
+
+def tf_match_topk(
+    docs: DataFrame,
+    k: int = BM25_TOPK,
+    stride: int = BM25_QUERY_STRIDE,
+    nterms: int = BM25_QUERY_TERMS,
+) -> DataFrame:
+    """(query_id, doc_id, tf_sum, rnk): the no-idf, no-length-norm
+    sparse baseline — rank by summed raw term frequency of the query
+    terms. Deliberately a DIFFERENT ranking than BM25 (a long spammy
+    document wins here and loses under BM25), which is what makes the
+    RRF fusion non-trivial."""
+    pairs = _term_pairs(docs)
+    qterms = _query_terms(pairs, stride, nterms)
+    scores = (
+        qterms.join(pairs, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf_sum"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "tf_sum", "rnk")
+    )
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = BM25_TOPK, kconst: int = RRF_K) -> DataFrame:
+    """(query_id, doc_id, rrf_ppm, rnk): reciprocal-rank fusion of two
+    (query_id, doc_id, ..., rnk) rankings —
+
+        rrf_ppm = Σ_lists 1_000_000 DIV (kconst + rnk_list)
+
+    (int64-exact; a document absent from a list contributes 0). The
+    join is a full outer on (query_id, doc_id) — each side is already
+    top-k-bounded (≤ k rows per query), so the fusion input is
+    queries×2k rows no matter the corpus size."""
+    ra = a.select("query_id", "doc_id", F.col("rnk").alias("rnk_a"))
+    rb = b.select("query_id", "doc_id", F.col("rnk").alias("rnk_b"))
+    fused = ra.join(rb, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_ppm",
+        (
+            F.coalesce(F.expr(f"CAST(1000000 DIV ({kconst} + rnk_a) AS BIGINT)"), F.lit(0))
+            + F.coalesce(F.expr(f"CAST(1000000 DIV ({kconst} + rnk_b) AS BIGINT)"), F.lit(0))
+        ).cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf_ppm", "rnk")
+    )
+
+
+def retrieval_rrf(docs: DataFrame, k: int = BM25_TOPK) -> DataFrame:
+    """(query_id, doc_id, rrf_ppm, rnk): the hybrid-retrieval headline
+    — RRF of the BM25 list and the raw-tf list for the derived query
+    set."""
+    return rrf_fuse(bm25_topk(docs, k), tf_match_topk(docs, k), k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+_PAIRS_CTES = f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM toks
+  ) GROUP BY doc_id, dl, term
+),
+totals AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         greatest((sum(len(ws)) // count(*))::BIGINT, 1) AS avgdl
+  FROM toks
+),
+qterms AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS qrnk
+    FROM pairs
+    WHERE doc_id % {BM25_QUERY_STRIDE} = 0 AND term NOT IN ({_sql_list(STOPWORDS)})
+  ) WHERE qrnk <= {BM25_QUERY_TERMS}
+)"""
+
+_BM25_CTES = f"""{_PAIRS_CTES},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM pairs GROUP BY term),
+bm25_scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum((((t.n_docs - d.df + 1) * 1000000 // (t.n_docs + d.df + 1))
+              * 22 * t.avgdl * p.tf)
+             // (10 * t.avgdl * p.tf + 3 * t.avgdl + 9 * p.dl))::BIGINT AS score_ppm
+  FROM qterms q
+  JOIN pairs p USING (term)
+  JOIN dfs d USING (term)
+  CROSS JOIN totals t
+  WHERE p.doc_id <> q.query_id
+  GROUP BY q.query_id, p.doc_id
+),
+bm25_ranked AS (
+  SELECT query_id, doc_id, score_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ppm DESC, doc_id ASC)::BIGINT AS rnk
+  FROM bm25_scores
+),
+tf_scores AS (
+  SELECT q.query_id, p.doc_id, sum(p.tf)::BIGINT AS tf_sum
+  FROM qterms q JOIN pairs p USING (term)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY q.query_id, p.doc_id
+),
+tf_ranked AS (
+  SELECT query_id, doc_id, tf_sum,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tf_sum DESC, doc_id ASC)::BIGINT AS rnk
+  FROM tf_scores
+)"""
+
+
+def bm25_topk_sql(k: int = BM25_TOPK) -> str:
+    return f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, score_ppm, rnk FROM bm25_ranked WHERE rnk <= {k}
+"""
+
+
+def retrieval_rrf_sql(k: int = BM25_TOPK, kconst: int = RRF_K) -> str:
+    return f"""
+WITH {_BM25_CTES},
+la AS (SELECT query_id, doc_id, rnk FROM bm25_ranked WHERE rnk <= {k}),
+lb AS (SELECT query_id, doc_id, rnk FROM tf_ranked WHERE rnk <= {k}),
+fused AS (
+  SELECT coalesce(la.query_id, lb.query_id) AS query_id,
+         coalesce(la.doc_id, lb.doc_id) AS doc_id,
+         (coalesce(1000000 // ({kconst} + la.rnk), 0)
+          + coalesce(1000000 // ({kconst} + lb.rnk), 0))::BIGINT AS rrf_ppm
+  FROM la FULL OUTER JOIN lb
+    ON la.query_id = lb.query_id AND la.doc_id = lb.doc_id
+)
+SELECT query_id, doc_id, rrf_ppm, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_ppm DESC, doc_id ASC) AS rnk
+  FROM fused
+) WHERE rnk <= {k}
+"""

@@ -1185,3 +1185,183 @@ inter AS (
 SELECT d1, d2, n_shared::BIGINT AS n_shared
 FROM inter WHERE n_shared >= {int(min_shared)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) dedup — "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., ACL 2022): remove duplicated
+# token SPANS across documents, not whole near-duplicate documents.
+# A span is duplicated when its constituent word n-grams also occur in
+# at least one other document; maximal runs of duplicated n-gram start
+# positions are the spans.
+# ---------------------------------------------------------------------------
+
+SPAN_NGRAM_N = 5
+
+# Global occurrence order is encoded as one int64 so the "first
+# occurrence" winner is a plain MIN aggregate (map-side combinable,
+# skew-safe on hot boilerplate grams) instead of a rank window keyed
+# by gram (one giant partition per hot gram — the skew trap
+# dup_ngram_stats documents). Valid for doc_id < 2^31, pos < 2^32.
+_OCC_KEY = "CAST(doc_id AS BIGINT) * 4294967296 + pos"
+
+
+def _gram_occurrences(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, gram): every word n-gram occurrence with its
+    1-based start position. One row per token position — the linear
+    working set every downstream shuffle is sized by."""
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = F.expr(
+        f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(ws) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(ws, i, {n}))) END"
+    )
+    return ws.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+
+
+def _gram_meta(occ: DataFrame) -> DataFrame:
+    """(gram, gdf, leader_key): document frequency and the globally
+    first occurrence per gram. Both are aggregates on the gram key —
+    map-side combine collapses hot grams before the shuffle; no
+    windows keyed by gram anywhere in the family."""
+    gdf = (
+        occ.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("gdf"))
+    )
+    leaders = occ.groupBy("gram").agg(F.expr(f"min({_OCC_KEY})").alias("leader_key"))
+    return gdf.join(leaders, "gram")
+
+
+def dup_span_extract(docs: DataFrame, n: int = SPAN_NGRAM_N) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_shared_grams):
+    maximal token spans whose every n-gram also appears in ≥1 other
+    document — the extraction half of span-level dedup. Positions are
+    1-based inclusive token indices.
+
+    Shape: the occurrence table (one row per token position) flows
+    through one gram-keyed aggregate + one join back (AQE-splittable
+    probe side, exactly the dup_ngram_stats discipline); the
+    gaps-and-islands merge is a row_number window partitioned by
+    doc_id — bounded by document length, the scalable window axis."""
+    occ = _gram_occurrences(docs, n)
+    meta = _gram_meta(occ)
+    dup_pos = occ.join(meta, "gram").filter(F.col("gdf") >= 2).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("span_tokens"),
+        F.count("*").cast("long").alias("n_shared_grams"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens", "n_shared_grams")
+
+
+def remove_dup_spans(docs: DataFrame, n: int = SPAN_NGRAM_N) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): drop every token
+    covered by a cross-document-duplicated n-gram occurrence EXCEPT
+    the gram's globally first occurrence (min (doc_id, pos) — the
+    keep-exactly-one-copy policy of Lee et al.'s ExactSubstr dedup,
+    deterministic and order-free).
+
+    The removable start positions per document are collected into one
+    array (bounded by document length) and the surviving text is
+    rebuilt with array lambdas in a single projection — no per-token
+    rows ever shuffle."""
+    occ = _gram_occurrences(docs, n)
+    meta = _gram_meta(occ)
+    rem = (
+        occ.join(meta, "gram")
+        .filter((F.col("gdf") >= 2) & (F.expr(_OCC_KEY) != F.col("leader_key")))
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("sl"))
+    )
+    kept = (
+        f"filter(sequence(1, size(ws)), t -> "
+        f"NOT exists(sl, s -> s <= t AND t <= s + {n} - 1))"
+    )
+    return (
+        docs.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("ws"),
+            F.coalesce("sl", F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias("sl"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(ws) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST(size(ws) - size({kept}) AS BIGINT)").alias("n_removed"),
+            F.expr(
+                f"concat_ws(' ', transform({kept}, t -> element_at(ws, t)))"
+            ).alias("clean_text"),
+        )
+    )
+
+
+def _span_ctes(n: int) -> str:
+    """Shared DuckDB CTEs: positioned n-gram occurrences + per-gram
+    document frequency and first-occurrence key (the Spark plan's
+    _gram_occurrences/_gram_meta, re-derived from the raw table)."""
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - {n} + 1, 0) + 1),
+                  i -> struct_pack(pos := i,
+                                   gram := array_to_string(ws[i : i + {n} - 1], ' ')))) AS s
+    FROM t)
+),
+gmeta AS (
+  SELECT g.gram, g.gdf, l.leader_key
+  FROM (SELECT gram, count(*)::BIGINT AS gdf
+        FROM (SELECT DISTINCT doc_id, gram FROM occ) GROUP BY gram) g
+  JOIN (SELECT gram, min(doc_id * 4294967296 + pos) AS leader_key
+        FROM occ GROUP BY gram) l USING (gram)
+)"""
+
+
+def dup_span_extract_sql(n: int = SPAN_NGRAM_N) -> str:
+    return f"""
+WITH {_span_ctes(n)},
+dup_pos AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN gmeta m USING (gram) WHERE m.gdf >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup_pos
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {n} - 1)::BIGINT AS span_end,
+       (max(pos) - min(pos) + {n})::BIGINT AS span_tokens,
+       count(*)::BIGINT AS n_shared_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def remove_dup_spans_sql(n: int = SPAN_NGRAM_N) -> str:
+    return f"""
+WITH {_span_ctes(n)},
+rem AS (
+  SELECT o.doc_id, list(o.pos) AS sl
+  FROM occ o JOIN gmeta m USING (gram)
+  WHERE m.gdf >= 2 AND o.doc_id * 4294967296 + o.pos <> m.leader_key
+  GROUP BY o.doc_id
+)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_tokens,
+       (len(ws) - len(kept))::BIGINT AS n_removed,
+       coalesce(array_to_string(list_transform(kept, tt -> ws[tt]), ' '), '') AS clean_text
+FROM (
+  SELECT t.doc_id, t.ws,
+         list_filter(range(1, len(t.ws) + 1),
+                     tt -> len(list_filter(coalesce(r.sl, []),
+                                           s -> s <= tt AND tt <= s + {n} - 1)) = 0) AS kept
+  FROM t LEFT JOIN rem r USING (doc_id)
+)
+"""

@@ -36,9 +36,15 @@ ROUND8_WINDOW = {
 
 
 NEVER_GREEN_ENTRIES = [
-    # the one r11 registration — never driver-proven; stalest-first
-    # puts it at the head of the window
+    # the three r11 registrations — never driver-proven; stalest-first
+    # puts them at the head of the window
     "stream_index_ingest_epoch_parity",
+    "bm25_topk",
+    "retrieval_rrf",
+    "dup_span_extract",
+    "remove_dup_spans",
+    "bpe_train",
+    "bpe_encode_counts",
 ]
 
 R7_STALE = [
@@ -54,14 +60,14 @@ R7_STALE = [
 
 
 def test_round11_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the never-green epoch entry + the 13
-    r7-stale names + the 36 stalest r8-green names: never-green lead,
-    no r10-green name re-occupies a slot."""
+    """First 50 registry keys == the seven never-green r11 entries +
+    the 13 r7-stale names + the 30 stalest r8-green names: never-green
+    lead, no r10-green name re-occupies a slot."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:1] == NEVER_GREEN_ENTRIES
-    assert set(first[1:14]) == set(R7_STALE)
-    # the 36 remaining slots rotate r8-green names back in; every
+    assert first[:7] == NEVER_GREEN_ENTRIES
+    assert set(first[7:20]) == set(R7_STALE)
+    # the 30 remaining slots rotate r8-green names back in; every
     # r10-green entry waits in prior-green
     import json
 
@@ -102,7 +108,7 @@ def test_rotation_cadence_bound():
     names = list(api._REGISTRY)
     window = api._DRIVER_WINDOW
     bound = math.ceil(len(names) / window)
-    assert bound == 3  # 114 entries / 50 slots — update alongside the registry
+    assert bound == 3  # 120 entries / 50 slots — update alongside the registry
     rounds = {k: set(v) for k, v in load_green_rounds("/root/repo").items()}
     cur = max(rounds)
     latest: dict[str, int] = {}

@@ -1,0 +1,116 @@
+"""BM25 + reciprocal-rank-fusion retrieval (functions/retrieval.py).
+
+A planted corpus where every ranking decision is hand-checkable, plus
+an independent pure-Python reference of the exact integer BM25 so the
+Spark plan is compared against a second implementation, not itself.
+"""
+
+from collections import Counter
+
+from sigmod_2024_contest_spark.functions import retrieval as R
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# Planted corpus (stride 20 → doc 0 is the only query doc).
+# Query terms of doc 0 by (tf desc, term asc): zebra(3), common(2),
+# quark(1) — all non-stopwords.
+PLANTED = [
+    (0, "zebra zebra zebra common common quark"),
+    # idf discrimination: doc 1 hits the rare term, doc 2 the common
+    # term, identical tf and identical length.
+    (1, "zebra pad1a pad1b pad1c pad1d pad1e"),
+    (2, "common pad2a pad2b pad2c pad2d pad2e"),
+    # length normalization: same single quark hit, doc 4 shorter.
+    (3, "quark p3a p3b p3c p3d p3e p3f p3g p3h p3i p3j p3k p3l p3m p3n"),
+    (4, "quark p4a p4b"),
+    # df inflation for "common": several docs containing it.
+    (5, "common c5"),
+    (6, "common c6"),
+    (7, "common c7"),
+]
+
+
+def _reference_bm25(rows, k=10, stride=20, nterms=3, stop=R.STOPWORDS):
+    """Independent int64 BM25: same formula, plain Python."""
+    toks = {d: [w for w in t.split(" ") if w != ""] for d, t in rows}
+    tf = {d: Counter(ws) for d, ws in toks.items()}
+    n_docs = len(toks)
+    avgdl = max(sum(len(ws) for ws in toks.values()) // n_docs, 1)
+    df = Counter(term for c in tf.values() for term in c)
+    out = {}
+    for qd in sorted(toks):
+        if qd % stride != 0:
+            continue
+        cand = sorted(
+            ((t, c) for t, c in tf[qd].items() if t not in stop),
+            key=lambda tc: (-tc[1], tc[0]),
+        )[:nterms]
+        scores = {}
+        for term, _ in cand:
+            idf = (n_docs - df[term] + 1) * 1_000_000 // (n_docs + df[term] + 1)
+            for d, c in tf.items():
+                if d == qd or term not in c:
+                    continue
+                dl, t = len(toks[d]), c[term]
+                contrib = (idf * 22 * avgdl * t) // (10 * avgdl * t + 3 * avgdl + 9 * dl)
+                scores[d] = scores.get(d, 0) + contrib
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qd] = [(d, s, i + 1) for i, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_independent_reference(spark):
+    rows = R.bm25_topk(_docs(spark, PLANTED)).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score_ppm"], r["rnk"]))
+    for q in by_q:
+        by_q[q].sort(key=lambda x: x[2])
+    assert by_q == _reference_bm25(PLANTED)
+    assert set(by_q) == {0}
+
+
+def test_bm25_idf_discrimination_and_length_norm(spark):
+    rows = {r["doc_id"]: r["score_ppm"] for r in R.bm25_topk(_docs(spark, PLANTED)).collect()}
+    # rare-term hit outranks common-term hit at equal tf and length
+    assert rows[1] > rows[2]
+    # shorter document outranks longer at equal tf
+    assert rows[4] > rows[3]
+    # self is excluded
+    assert 0 not in rows
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(1, 40, 1), (1, 20, 2)], "query_id long, doc_id long, rnk long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_ppm"], r["rnk"]) for r in R.rrf_fuse(a, b).collect()
+    }
+    # doc 20 is rank 2 in BOTH lists: 2 * (1e6 // 62) = 32258 — beats
+    # both single-list rank-1 docs (1e6 // 61 = 16393): the consensus
+    # property that motivates RRF.
+    assert got[20] == (32258, 1)
+    assert got[10] == (16393, 2)  # ties with 40 → doc_id asc
+    assert got[40] == (16393, 3)
+    assert got[30] == (1_000_000 // 63, 4)
+
+
+def test_retrieval_rrf_shape(spark):
+    out = R.retrieval_rrf(_docs(spark, PLANTED)).collect()
+    assert [f.name for f in R.retrieval_rrf(_docs(spark, PLANTED)).schema] == [
+        "query_id",
+        "doc_id",
+        "rrf_ppm",
+        "rnk",
+    ]
+    assert all(r["query_id"] == 0 and r["doc_id"] != 0 for r in out)
+    ranks = sorted(r["rnk"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    assert len(out) <= R.BM25_TOPK
