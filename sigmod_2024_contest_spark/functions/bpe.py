@@ -90,29 +90,35 @@ def bpe_train(
     each whitespace word (no end-of-word marker — documented
     simplification; the FORM of the operator is the deliverable)."""
     spark = docs.sparkSession
-    wc = _word_counts(docs)
     schema = "rank long, left string, right string, pair_count long"
-    if local_vocab is None or local_vocab > 0:
-        n_vocab = wc.count()  # vocab-sized job, metadata-sized result
-        if local_vocab is None or n_vocab <= local_vocab:
-            rows = wc.collect()  # bounded: n_vocab ≤ local_vocab
+    # persist-count-act-unpersist (the dedup_clusters convention): the
+    # corpus-sized tokenize+aggregate runs ONCE; the gate's count, the
+    # local collect, and the distributed path's symbol materialization
+    # all read the cached vocabulary table
+    owned = _word_counts(docs).persist()
+    try:
+        if local_vocab is None or (local_vocab > 0 and owned.count() <= local_vocab):
+            rows = owned.collect()  # bounded: n_vocab ≤ local_vocab
             merges = _train_local([(list(r["word"]), r["cnt"]) for r in rows], n_merges)
             return spark.createDataFrame(
                 [(int(r), l, rt, int(c)) for r, l, rt, c in merges], schema
             )
-    return _train_distributed(wc, n_merges, schema)
+        syms_tbl = owned.select(
+            F.expr("filter(split(word, ''), ch -> ch <> '')").alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
+    finally:
+        owned.unpersist()
+    return _train_distributed(syms_tbl, n_merges, schema)
 
 
-def _train_distributed(wc: DataFrame, n_merges: int, schema: str) -> DataFrame:
+def _train_distributed(syms_tbl: DataFrame, n_merges: int, schema: str) -> DataFrame:
     """Same loop, never collecting the vocabulary: per iteration one
     adjacent-pair aggregate (map-side combined; result is pair-space
     sized, only the argmax row reaches the driver) and one
     Arrow-batched merge application over the symbol table. O(n_merges)
-    vocabulary-sized jobs, zero corpus re-reads."""
-    spark = wc.sparkSession
-    syms_tbl = wc.select(
-        F.expr("filter(split(word, ''), ch -> ch <> '')").alias("syms"), "cnt"
-    )
+    vocabulary-sized jobs, zero corpus re-reads (the caller
+    checkpointed the symbol table off the corpus lineage)."""
+    spark = syms_tbl.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (

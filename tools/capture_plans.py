@@ -188,6 +188,34 @@ PICKS = {
         "Nothing all-pairs, nothing corpus-wide-sorted; singletons ride a "
         "left join, not a union of two corpus scans."
     ),
+    "bm25_topk": (
+        "Exact-int64 BM25: the pairs diamond resolves to per-consumer-pruned "
+        "scans (qterms aggregates a stride-filtered slice — filter pushed "
+        "BELOW the tf aggregate; dfs prunes to (term) before its shuffle); "
+        "qterms/dfs/totals all reach the probe join as broadcasts, scores "
+        "are a map-side-combined int64 sum, top-k per query is a "
+        "WindowGroupLimit-pruned row_number over query_id partitions."
+    ),
+    "retrieval_rrf": (
+        "Reciprocal-rank fusion: both input rankings are top-k-bounded "
+        "(queries×k rows) BEFORE the full-outer join, so the fusion stage "
+        "is constant-width per query no matter the corpus size; rrf_ppm is "
+        "pure int64 arithmetic on the two rank columns."
+    ),
+    "dup_span_extract": (
+        "Span-level dedup, extraction half: positioned n-gram occurrences "
+        "(one row per token position) → gram-keyed df aggregate joined back "
+        "(AQE-splittable probe, never a window keyed by a hot gram) → "
+        "gaps-and-islands row_number partitioned by doc_id (bounded by "
+        "document length)."
+    ),
+    "remove_dup_spans": (
+        "Span-level dedup, removal half: the keep-exactly-one-copy winner "
+        "is a MIN over the int64 key doc_id*2^32+pos (map-side-combinable "
+        "aggregate); removable starts collect into ONE per-doc array and "
+        "the cleaned text is rebuilt in a single array-lambda projection — "
+        "no per-token rows on the rebuild side."
+    ),
 }
 
 
