@@ -114,3 +114,32 @@ def test_retrieval_rrf_shape(spark):
     ranks = sorted(r["rnk"] for r in out)
     assert ranks == list(range(1, len(out) + 1))
     assert len(out) <= R.BM25_TOPK
+
+
+def test_bm25_plan_properties(spark):
+    """Plan-assert the 100 TB shape: per-query top-k is pruned before
+    the final window (WindowGroupLimit), every small side (query
+    terms, vocab df, 1-row totals) reaches the probe join as a
+    broadcast — no sort-merge join at broadcastable sizes — and no
+    Python stage exists anywhere (pure JVM expressions)."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = R.bm25_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_retrieval_rrf_plan_properties(spark):
+    """The fusion join is a FULL OUTER over two top-k-bounded inputs
+    and the whole plan stays JVM-side."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = R.retrieval_rrf(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

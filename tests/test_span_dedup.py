@@ -71,3 +71,32 @@ def test_exactly_one_copy_survives(spark):
     after = Counter(g for r in cleaned for g in grams(r["clean_text"]))
     for g in cross_dup:
         assert after[g] == 1, g
+
+
+def test_dup_span_extract_no_window_keyed_by_gram(spark):
+    """Plan-assert the skew discipline: the only Window in the plan
+    partitions by doc_id (bounded by document length); hot boilerplate
+    grams flow through map-side-combinable aggregates, never through a
+    single window partition."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = dedup.dup_span_extract(docs)._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected the gaps-and-islands window"
+    for l in win_lines:
+        assert "doc_id" in l and "gram" not in l, l
+
+
+def test_remove_dup_spans_plan_is_window_free(spark):
+    """The keep-exactly-one-copy winner is a MIN aggregate on an int64
+    key, NOT a rank window — plan-assert no Window node exists at all
+    (and no Python stage: the rebuild is array lambdas)."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = dedup.remove_dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
