@@ -1740,19 +1740,40 @@ register(
     lambda s, d: dedup.dup_span_extract(_docs(s, d)),
     dedup.dup_span_extract_sql(),
 )
-# BPE tokenizer: rows-only driver checks (the merge loop is iterative
-# and data-dependent — not expressible as one ANSI-SQL statement; the
-# algorithm is instead pinned by hand-computed-merge tests and the
-# local ≡ forced-distributed parity test in tests/test_bpe.py)
+# BPE tokenizer. The DuckDB twin unrolls the fixed-n_merges loop into
+# a static materialized-CTE chain (bpe.py `_merge_loop_ctes` — argmax
+# pair + bracketed-string replace per iteration); the encode oracle
+# reuses the chain's final vocabulary state (sequential ≡ priority
+# encode, premise pinned by tests/test_bpe.py). Hand-computed-merge
+# and local ≡ forced-distributed parity tests still pin the algorithm
+# independently of the oracle.
+_BPE_MERGE_ROWS: dict[str, list[tuple]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once cache so bpe_encode_counts doesn't re-run the corpus
+    word-count aggregate + merge loop bpe_train's own entry already
+    paid for in the same process. Plain rows (not a DataFrame) so the
+    cache is session-agnostic; n_merges rows, trivially small."""
+    if sf_dir not in _BPE_MERGE_ROWS:
+        _BPE_MERGE_ROWS[sf_dir] = [
+            (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+            for r in BPE.bpe_train(_docs(spark, sf_dir)).collect()
+        ]
+    return spark.createDataFrame(
+        _BPE_MERGE_ROWS[sf_dir], "rank long, left string, right string, pair_count long"
+    )
+
+
 register(
     "bpe_train",
-    lambda s, d: BPE.bpe_train(_docs(s, d)),
-    None,
+    lambda s, d: _bpe_merges(s, d),
+    BPE.bpe_train_sql(),
 )
 register(
     "bpe_encode_counts",
-    lambda s, d: BPE.bpe_encode_counts(_docs(s, d), BPE.bpe_train(_docs(s, d))),
-    None,
+    lambda s, d: BPE.bpe_encode_counts(_docs(s, d), _bpe_merges(s, d)),
+    BPE.bpe_encode_counts_sql(),
 )
 register(
     "remove_dup_spans",
@@ -1925,21 +1946,15 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-11 window (rotate_window.py plan, verbatim) = the seven
-# never-driver-proven entries first (stream_index_ingest_epoch_parity,
-# bm25_topk, retrieval_rrf, dup_span_extract, remove_dup_spans,
-# bpe_train, bpe_encode_counts — all new this round), then the 13
-# names
-# whose latest green row is CORRECTNESS_r07 — three driver rounds
-# stale because r9's driver never ran (min_cost_supplier,
-# important_parts, small_qty_revenue, market_share,
-# product_type_profit, promo_suppliers, waiting_suppliers,
-# copurchase_pairs, rolling_revenue, revenue_growth_mom, sales_cube,
-# user_order_reconciliation, order_gap_days), then the 30 stalest
-# r8-green names. Everything displaced (decontaminate,
-# dedup_embedding_cosine, mixture_sample, vocab_counts, pack_sequences
-# and chunk_documents, bumped by the six new registrations) waits in
-# _PRIOR_ROUND_GREEN on its r8/r10 row.
+# Round-12 window (rotate_window.py plan, verbatim): bpe_train /
+# bpe_encode_counts first — their r11 rows were rows-only
+# (`no_oracle`); this round they carry the new unrolled DuckDB twin
+# and must earn their first hash row — then the 20 names whose latest
+# green row is CORRECTNESS_r08 (exactly at the pinned 3-round
+# staleness bound: pack_sequences … power_users_daily_coverage), then
+# the 28 stalest r10-green names. Everything displaced (the 48
+# hash-green r11 names plus the rest of the r10 block) waits in
+# _PRIOR_ROUND_GREEN on its newest green row.
 #
 # STANDING OBLIGATION (every round): run tools/rotate_window.py after
 # the round's CORRECTNESS artifact lands and paste its two literals —
@@ -1953,56 +1968,56 @@ register(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
-    "stream_index_ingest_epoch_parity",
-    "bm25_topk",
-    "retrieval_rrf",
-    "dup_span_extract",
-    "remove_dup_spans",
     "bpe_train",
     "bpe_encode_counts",
-    "min_cost_supplier",
-    "important_parts",
-    "small_qty_revenue",
-    "market_share",
-    "product_type_profit",
-    "promo_suppliers",
-    "waiting_suppliers",
-    "copurchase_pairs",
-    "rolling_revenue",
-    "revenue_growth_mom",
-    "sales_cube",
-    "user_order_reconciliation",
-    "order_gap_days",
-    "knn_bruteforce",
-    "knn_declarative",
-    "stats_category_counts",
-    "selectivity",
-    "route_plan",
-    "split_interval",
-    "sq8_encode",
-    "sq8_asym_encode",
-    "sq4_encode",
-    "knn_sq8_rerank",
-    "knn_asym_rerank",
-    "knn_sq4_rerank",
-    "knn_hybrid",
-    "knn_hybrid_bf_exact",
-    "text_stats",
-    "text_repetition",
-    "lang_id",
-    "doc_fingerprint",
-    "redact_pii",
-    "ngram_counts",
-    "token_counts",
-    "dedup_exact",
-    "dedup_containment",
-    "winnow_fingerprints",
-    "dedup_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "sample_balanced_splits",
-    "curate_corpus",
+    "pack_sequences",
+    "chunk_documents",
+    "mixture_sample",
+    "vocab_counts",
+    "decontaminate",
+    "dedup_embedding_cosine",
+    "dedup_cosine_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "recall_lsh_vs_exact",
+    "recall_hybrid_vs_exact",
+    "recall_ivf_vs_exact",
+    "knn_auto",
+    "recall_nndescent_vs_exact",
+    "workload_stats",
+    "events_windowed_counts",
+    "events_sessionized",
+    "events_click_attribution",
+    "power_users_daily_coverage",
+    "index_upsert_parity",
+    "stream_neardup_parity",
+    "index_compaction_parity",
+    "stream_index_ingest_parity",
+    "quality_classifier",
+    "source_quality_summary",
+    "bigram_likelihood",
+    "dup_ngram_stats",
+    "winnow_match_pairs",
+    "dedup_keep_best",
+    "embed_project",
+    "knn_pq_rerank",
+    "recall_pq_vs_exact",
+    "knn_ivfpq_rerank",
+    "recall_ivfpq_vs_exact",
+    "user_totals",
+    "events_daily_dedup",
+    "media_byte_stats",
+    "media_frame_sample",
+    "media_resize",
+    "media_image_stats",
+    "media_audio_stats",
+    "media_video_stats",
+    "pricing_summary",
+    "top_customers",
+    "events_json_stats",
+    "asof_last_error",
+    "event_funnel",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -2013,76 +2028,76 @@ _CHECK_FIRST: list[str] = [
 # silently landing outside every driver window (r7 verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
-        "ann_cosine_topk",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "asof_last_error",
-        "bigram_likelihood",
+        "bm25_topk",
         "brand_revenue",
-        "chunk_documents",
+        "copurchase_pairs",
+        "curate_corpus",
         "customer_order_distribution",
-        "decontaminate",
-        "dedup_cosine_lsh",
-        "dedup_embedding_cosine",
-        "dedup_keep_best",
+        "dedup_clusters",
+        "dedup_containment",
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
         "discounted_revenue",
-        "dup_ngram_stats",
-        "embed_project",
-        "event_funnel",
-        "events_click_attribution",
-        "events_daily_dedup",
+        "doc_fingerprint",
+        "dup_span_extract",
         "events_daily_pivot",
-        "events_json_stats",
-        "events_sessionized",
         "events_user_reach",
         "events_value_quantiles",
-        "events_windowed_counts",
         "forecast_revenue",
-        "index_compaction_parity",
-        "index_upsert_parity",
-        "knn_auto",
-        "knn_ivfpq_rerank",
-        "knn_pq_rerank",
+        "important_parts",
+        "knn_asym_rerank",
+        "knn_bruteforce",
+        "knn_declarative",
+        "knn_hybrid",
+        "knn_hybrid_bf_exact",
+        "knn_sq4_rerank",
+        "knn_sq8_rerank",
+        "lang_id",
         "large_orders",
         "late_line_priority",
         "local_supplier_volume",
-        "media_audio_stats",
-        "media_byte_stats",
-        "media_frame_sample",
-        "media_image_stats",
-        "media_resize",
-        "media_video_stats",
-        "mixture_sample",
+        "market_share",
+        "min_cost_supplier",
+        "ngram_counts",
+        "order_gap_days",
         "order_priority_check",
-        "pack_sequences",
         "parts_supplier_counts",
-        "power_users_daily_coverage",
-        "pricing_summary",
+        "product_type_profit",
         "promo_revenue",
-        "quality_classifier",
-        "recall_hybrid_vs_exact",
-        "recall_ivf_vs_exact",
-        "recall_ivfpq_vs_exact",
-        "recall_lsh_vs_exact",
-        "recall_nndescent_vs_exact",
-        "recall_pq_vs_exact",
+        "promo_suppliers",
+        "redact_pii",
+        "remove_dup_spans",
         "retention_cohorts",
+        "retrieval_rrf",
         "returned_items",
+        "revenue_growth_mom",
+        "rolling_revenue",
+        "route_plan",
+        "sales_cube",
         "sales_opportunity",
         "sales_rollup",
         "salted_user_join",
+        "sample_balanced_splits",
+        "selectivity",
         "shipping_priority",
-        "source_quality_summary",
-        "stream_index_ingest_parity",
-        "stream_neardup_parity",
+        "small_qty_revenue",
+        "split_interval",
+        "sq4_encode",
+        "sq8_asym_encode",
+        "sq8_encode",
+        "stats_category_counts",
+        "stream_index_ingest_epoch_parity",
+        "text_repetition",
+        "text_stats",
         "tfidf_topk",
-        "top_customers",
+        "token_counts",
         "top_supplier",
-        "user_totals",
-        "vocab_counts",
+        "user_order_reconciliation",
         "volume_shipping",
-        "winnow_match_pairs",
-        "workload_stats",
+        "waiting_suppliers",
+        "winnow_fingerprints",
     }
 )
 

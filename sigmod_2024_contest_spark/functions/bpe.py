@@ -161,6 +161,106 @@ def _train_distributed(syms_tbl: DataFrame, n_merges: int, schema: str) -> DataF
     )
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins. The merge loop is deterministic with a FIXED
+# n_merges (BPE_MERGES), so it unrolls into a static CTE chain: per
+# iteration one adjacent-pair aggregate over the vocabulary, one argmax
+# row ((count DESC, left ASC, right ASC) — exactly `_train_local`'s
+# key; DuckDB's binary collation ≡ Python's code-point compare), and
+# one merge application. The merge application uses a bracketed-string
+# encoding: a word's symbol list [s1..sn] is stored as
+# \x01s1\x02\x01s2\x02…, so SQL `replace(s, \x01L\x02\x01R\x02,
+# \x01LR\x02)` is EXACTLY `_merge_word`'s leftmost-non-overlapping
+# scan — the full brackets make boundary sharing impossible ([a,a,a]
+# merges to [aa,a], never [aa,aa] shifted) and a symbol can never
+# match inside another symbol (\x01 only ever precedes a symbol
+# start). Requires \x01\x02\x03 absent from the corpus (true for the
+# test tables; a mismatch would fail the driver's hash loudly, not
+# silently).
+#
+# The encode oracle rides the same chain: training applies every
+# selected merge to every vocabulary word (rank order, leftmost
+# non-overlapping), and that sequential application equals
+# `_encode_word`'s priority encode whenever no two merges produce the
+# same output string — a higher-rank merge can only enable an
+# earlier-rank one if its output string collides with a component
+# symbol of the earlier merge, and component symbols are themselves
+# single chars (length 1 < 2) or outputs of still-earlier merges.
+# `tests/test_bpe.py::test_priority_encode_equals_final_train_state`
+# pins both the distinctness premise and the equivalence on the test
+# corpus. So per-word BPE token count = symbol count (\x01 count) of
+# the word's final training-state string.
+# ---------------------------------------------------------------------------
+
+_BL, _BR, _SEP = "chr(1)", "chr(2)", "chr(3)"  # bracket-left/right, pair joiner
+
+
+def _merge_loop_ctes(n_merges: int) -> str:
+    """The shared unrolled CTE chain: w0 (vocab as bracketed strings)
+    through w{n}, with per-iteration pair aggregate p{i} and argmax
+    b{i}. Every CTE is MATERIALIZED — w{i} is referenced twice (pair
+    scan + next state) and inlining would re-expand the whole chain
+    per reference. An exhausted corpus (no pair repeats) makes b{i}
+    empty and w{i+1} pass through unchanged — same early-stop rows as
+    `_train_local`'s `best < 2` break."""
+    L, R, J = _BL, _BR, _SEP
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, {L} || array_to_string(string_split(word, ''), {R}||{L}) || {R} AS s,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT string_split(pr, {J})[1] AS l, string_split(pr, {J})[2] AS r, sum(cnt)::BIGINT AS c
+  FROM (SELECT unnest(CASE WHEN len(syms) < 2 THEN [] ELSE
+           list_transform(generate_series(1, len(syms)-1), i -> syms[i] || {J} || syms[i+1]) END) AS pr, cnt
+        FROM (SELECT string_split(substr(s, 2, length(s)-2), {R}||{L}) AS syms, cnt FROM w{i}))
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT l, r, c FROM p{i} WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS MATERIALIZED (
+  SELECT w.word, CASE WHEN b.l IS NULL THEN w.s
+    ELSE replace(w.s, {L}||b.l||{R}||{L}||b.r||{R}, {L}||b.l||b.r||{R}) END AS s, w.cnt
+  FROM w{i} w LEFT JOIN b{i} b ON TRUE)"""
+        )
+    return ",\n".join(ctes)
+
+
+def bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of `bpe_train` on the `documents` view."""
+    union = "\nUNION ALL\n".join(
+        f'SELECT {i}::BIGINT AS rank, l AS "left", r AS "right", c AS pair_count FROM b{i}'
+        for i in range(n_merges)
+    )
+    return f"WITH {_merge_loop_ctes(n_merges)}\n{union}"
+
+
+def bpe_encode_counts_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of `bpe_encode_counts(docs, bpe_train(docs))`:
+    per-word token count = \\x01 count of the final training-state
+    string (sequential ≡ priority encode; see module comment), then
+    one per-doc aggregation. Zero-word docs still emit a (0, 0) row."""
+    L = _BL
+    return f"""WITH {_merge_loop_ctes(n_merges)},
+per_word AS MATERIALIZED (
+  SELECT word, (length(s) - length(replace(s, {L}, '')))::BIGINT AS n_syms FROM w{n_merges}),
+dw AS (
+  SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''),
+agg AS (
+  SELECT dw.doc_id, count(*)::BIGINT AS nw, sum(per_word.n_syms)::BIGINT AS nb
+  FROM dw JOIN per_word USING (word) GROUP BY dw.doc_id)
+SELECT d.doc_id, coalesce(agg.nw, 0)::BIGINT AS n_ws_tokens, coalesce(agg.nb, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
 def _encode_word(word: str, rank_of: dict[tuple[str, str], int]) -> list[str]:
     """Standard BPE encode: repeatedly apply the lowest-rank applicable
     merge until none applies."""

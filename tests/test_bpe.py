@@ -71,6 +71,55 @@ def test_bpe_encode_counts(spark):
     assert rows[9] == (1, 3)
 
 
+def test_bpe_oracle_matches_spark_smoke(spark):
+    """The unrolled DuckDB merge-loop twin (bpe_train_sql /
+    bpe_encode_counts_sql) reproduces the Spark results exactly on the
+    sf0.001 corpus — the same comparison the driver runs at sf0.01."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle, duck_con
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    con = duck_con(SF_SMOKE)
+    merges = bpe.bpe_train(docs)
+    assert_matches_oracle(merges, con, bpe.bpe_train_sql())
+    assert_matches_oracle(
+        bpe.bpe_encode_counts(docs, merges), con, bpe.bpe_encode_counts_sql()
+    )
+
+
+def test_priority_encode_equals_final_train_state(spark):
+    """The encode oracle's premise: (a) the learned merge outputs are
+    pairwise-distinct strings, and — therefore — (b) priority encode
+    (`_encode_word`, lowest rank first) of every corpus word equals its
+    final training state (merges applied in rank order, leftmost
+    non-overlapping). A duplicate output string is the ONLY way a
+    later merge can re-enable an earlier one; if the corpus ever
+    learns one, this test (and the driver hash) fails loudly."""
+    from tests.conftest import SF_SMOKE
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = [
+        (r["rank"], r["left"], r["right"])
+        for r in bpe.bpe_train(docs).orderBy("rank").collect()
+    ]
+    outputs = [l + r for _, l, r in merges]
+    assert len(set(outputs)) == len(outputs), "duplicate merge output strings"
+
+    words = {
+        w
+        for (text,) in docs.select("text").collect()
+        for w in text.split(" ")
+        if w
+    }
+    rank_of = {(l, r): k for k, l, r in merges}
+    state = {w: list(w) for w in words}
+    for _, l, r in merges:
+        state = {w: bpe._merge_word(s, l, r) for w, s in state.items()}
+    for w in words:
+        assert bpe._encode_word(w, rank_of) == state[w], w
+
+
 def test_encode_word_lowest_rank_first():
     rank_of = {(l, r): k for k, l, r, _ in EXPECTED}
     assert bpe._encode_word("bananas", rank_of) == ["banana", "s"]

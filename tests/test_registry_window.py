@@ -36,57 +36,59 @@ ROUND8_WINDOW = {
 
 
 NEVER_GREEN_ENTRIES = [
-    # the three r11 registrations — never driver-proven; stalest-first
-    # puts them at the head of the window
-    "stream_index_ingest_epoch_parity",
-    "bm25_topk",
-    "retrieval_rrf",
-    "dup_span_extract",
-    "remove_dup_spans",
+    # the only two entries without a driver hash row: their r11 rows
+    # were rows-only (`err: no_oracle`); this round they carry the
+    # unrolled DuckDB twin and stalest-first puts them at the head
     "bpe_train",
     "bpe_encode_counts",
 ]
 
-R7_STALE = [
-    # latest green row is CORRECTNESS_r07 — three driver rounds stale
-    # (r9's driver never ran); the r10 verdict requires these to lead
-    # the r11 window right after the never-green entries
-    "min_cost_supplier", "important_parts", "small_qty_revenue",
-    "market_share", "product_type_profit", "promo_suppliers",
-    "waiting_suppliers", "copurchase_pairs", "rolling_revenue",
-    "revenue_growth_mom", "sales_cube", "user_order_reconciliation",
-    "order_gap_days",
+R8_STALE = [
+    # latest green row is CORRECTNESS_r08 — exactly at the pinned
+    # 3-round staleness bound; the r11 verdict requires these to lead
+    # the r12 window right after the never-hash-green BPE pair
+    "pack_sequences", "chunk_documents", "mixture_sample",
+    "vocab_counts", "decontaminate", "dedup_embedding_cosine",
+    "dedup_cosine_lsh", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "recall_lsh_vs_exact", "recall_hybrid_vs_exact",
+    "recall_ivf_vs_exact", "knn_auto", "recall_nndescent_vs_exact",
+    "workload_stats", "events_windowed_counts", "events_sessionized",
+    "events_click_attribution", "power_users_daily_coverage",
 ]
 
 
-def test_round11_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the seven never-green r11 entries +
-    the 13 r7-stale names + the 30 stalest r8-green names: never-green
-    lead, no r10-green name re-occupies a slot."""
+def test_round12_window_is_exactly_the_planned_set():
+    """First 50 registry keys == the two no-oracle BPE entries + the
+    20 r8-stale names + the 28 stalest r10-green names: never-hash-
+    green lead, no r11-green name re-occupies a slot."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:7] == NEVER_GREEN_ENTRIES
-    assert set(first[7:20]) == set(R7_STALE)
-    # the 30 remaining slots rotate r8-green names back in; every
-    # r10-green entry waits in prior-green
+    assert first[:2] == NEVER_GREEN_ENTRIES
+    assert set(first[2:22]) == set(R8_STALE)
+    # the 28 remaining slots rotate r10-green names back in; every
+    # hash-green r11 entry waits in prior-green
     import json
 
-    r10 = set(json.load(open("/root/repo/CORRECTNESS_r10.json")))
-    assert r10.isdisjoint(first)
-    assert r10 <= set(api._PRIOR_ROUND_GREEN)
+    r11 = {
+        k
+        for k, v in json.load(open("/root/repo/CORRECTNESS_r11.json")).items()
+        if v.get("err") is None
+    }
+    assert r11.isdisjoint(first)
+    assert r11 <= set(api._PRIOR_ROUND_GREEN)
 
 
-def test_rotate_window_tool_reproduces_r11_window():
-    """On the real r1-r10 artifacts and the live registry the tool
-    must propose exactly the committed r11 lists — the rotation stays
+def test_rotate_window_tool_reproduces_r12_window():
+    """On the real r1-r11 artifacts and the live registry the tool
+    must propose exactly the committed r12 lists — the rotation stays
     mechanical, not hand-curated."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from rotate_window import load_green_rounds, plan_next_window
 
-    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 10}
-    assert max(rounds) == 10
+    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 11}
+    assert max(rounds) == 11
     nxt, prior = plan_next_window(list(api._REGISTRY), rounds, window=50)
     assert nxt == api._CHECK_FIRST
     assert prior == set(api._PRIOR_ROUND_GREEN)
