@@ -212,6 +212,12 @@ def _contest_bench(spark) -> dict[str, float]:
 # beam at scale). 500k rows → 107 shards of ~7-8k nodes.
 STRESS_NB = int(os.environ.get("SPARK_GRAFT_STRESS_NB", "500000"))
 STRESS_NQ = int(os.environ.get("SPARK_GRAFT_STRESS_NQ", "2048"))
+# r11 verdict #5: the stress legs were the last single-context readings
+# (a 19-134 s cross-session band on identical code). Three fully
+# interleaved reps per leg — each rep is an in-run (hybrid, scan, auto)
+# TRIPLE, so the paired hybrid/scan ratio is host-window-free the way
+# the contest pair is.
+STRESS_REPS = int(os.environ.get("SPARK_GRAFT_STRESS_REPS", "3"))
 
 
 def _stress_bench(spark) -> dict[str, float]:
@@ -220,9 +226,10 @@ def _stress_bench(spark) -> dict[str, float]:
     all above GEMM_SHARD_THR → graph branches genuinely walk beams),
     answer a mixed 4-type 2048-query batch with the routed engine, and
     run the forced exact scan (query-broadcast over the float corpus —
-    the no-index plan) at IDENTICAL inputs, min-of-2 each. Recall is
-    computed over ALL queries against the scan result (exact), outside
-    the clocks.
+    the no-index plan) at IDENTICAL inputs — STRESS_REPS interleaved
+    (hybrid, scan, auto) triples, min per leg plus the median paired
+    hybrid/scan ratio. Recall is computed over ALL queries against the
+    scan result (exact), outside the clocks.
 
     What this pair claims, precisely: the cost-based engine answers the
     batch at recall ≥ 0.95 with the graph branches serving the
@@ -278,15 +285,29 @@ def _stress_bench(spark) -> dict[str, float]:
         knn.knn_exact_arrow(
             spark, base, warm_q, corpus_rows=nb, force_query_broadcast=True
         ).count()
-        # min-of-2 for BOTH clocks: this host shows ±50% per-entry
-        # wall-clock variance with no external load (THP compaction
-        # stalls); a single paired run can flip the comparison's sign
-        # either way. Each rep re-executes the full plan (route plan
-        # included) from scratch; min = best achievable warm wall,
-        # taken identically for both sides.
-        res = plan = None
-        walls = []
-        for _rep in range(2):
+        # STRESS_REPS fully interleaved (hybrid, scan, auto) triples
+        # (r11 verdict #5): this host shows ±50% per-entry wall-clock
+        # variance with multi-minute slow windows (THP compaction
+        # stalls), so two separated loops could land the two sides of
+        # the comparison in different host regimes — a rep is now an
+        # in-run TRIPLE and the hybrid/scan ratio is computed per rep,
+        # the same defense the contest pair uses. Each rep re-executes
+        # the full plan (route plan included) from scratch; per-leg
+        # headline = min across reps (best achievable warm wall, taken
+        # identically for every leg); ratio headline = median of the
+        # per-rep paired ratios (robust to one bad window on either
+        # side of one rep). The auto claim: 2048×500k×64 = 6.6e10
+        # FLOPs sits below SCAN_FLOPS_BOUND, so the batch router must
+        # take the exact branch; inside it, nq=2048 <
+        # CORPUS_BC_EXT_MIN_NQ keeps the 256 MB float-corpus broadcast
+        # OFF (measured r6: 47.4 s vs the 5.6 s query-broadcast scan)
+        # — expect the auto wall in the forced scan's family, NOT
+        # stress_hybrid_search's (at 2048 queries the scan wins; the
+        # engine-beats-scan evidence at amortizing query volume is the
+        # contest pair).
+        res = plan = exact = auto = None
+        walls, scan_walls, auto_walls = [], [], []
+        for _rep in range(max(STRESS_REPS, 1)):
             if res is not None:
                 res.unpersist()
                 plan.unpersist()
@@ -299,25 +320,6 @@ def _stress_bench(spark) -> dict[str, float]:
             ).persist(StorageLevel.MEMORY_AND_DISK)
             res.count()
             walls.append(round(_t.time() - t0, 3))
-        out["stress_hybrid_search"] = min(walls)
-        out["stress_hybrid_search_runs"] = walls  # raw min-of-2 inputs
-        # route mix, outside the clocks: documents that the graph
-        # branches genuinely served queries (the beam path is live)
-        for r in plan.groupBy("route").count().collect():
-            out[f"stress_routed_{r['route']}"] = float(r["count"])
-        # Forced exact scan AND knn_auto at the same inputs, reps
-        # INTERLEAVED so the pair is compared in-run (the section's
-        # wall drifts upward with JVM lifetime — back-to-back loops
-        # made the later clock look ~2× slower on identical plans).
-        # The auto claim: 2048×500k×64 = 6.6e10 FLOPs sits below
-        # SCAN_FLOPS_BOUND, so the batch router must take the exact
-        # branch; inside it, nq=2048 < CORPUS_BC_EXT_MIN_NQ keeps the
-        # 256 MB float-corpus broadcast OFF (measured r6: 47.4 s vs
-        # the 5.6 s query-broadcast scan) — expect the auto wall in
-        # the forced scan's family, NOT stress_hybrid_search's.
-        exact = auto = None
-        scan_walls, auto_walls = [], []
-        for _rep in range(2):
             if exact is not None:
                 exact.unpersist()
             _sweep(spark)
@@ -337,10 +339,22 @@ def _stress_bench(spark) -> dict[str, float]:
             ).persist(StorageLevel.MEMORY_AND_DISK)
             auto.count()
             auto_walls.append(round(_t.time() - t0, 3))
+        out["stress_hybrid_search"] = min(walls)
+        out["stress_hybrid_search_runs"] = walls
         out["stress_exact_scan"] = min(scan_walls)
         out["stress_exact_scan_runs"] = scan_walls
         out["stress_auto_route"] = min(auto_walls)
         out["stress_auto_route_runs"] = auto_walls
+        ratios = sorted(
+            round(h / s, 3) for h, s in zip(walls, scan_walls) if s > 0
+        )
+        if ratios:
+            out["stress_ratio_runs"] = ratios  # per-rep paired hybrid/scan
+            out["stress_hybrid_vs_scan_ratio"] = ratios[len(ratios) // 2]
+        # route mix, outside the clocks: documents that the graph
+        # branches genuinely served queries (the beam path is live)
+        for r in plan.groupBy("route").count().collect():
+            out[f"stress_routed_{r['route']}"] = float(r["count"])
         mean_ppm = (
             evaluate.recall_at_k(res, exact).agg({"recall_ppm": "avg"}).collect()[0][0]
         )
@@ -535,6 +549,7 @@ def main() -> None:
         "stress_hybrid_search": stress_timings.get("stress_hybrid_search"),
         "stress_exact_scan": stress_timings.get("stress_exact_scan"),
         "stress_auto_route": stress_timings.get("stress_auto_route"),
+        "stress_hybrid_vs_scan_ratio": stress_timings.get("stress_hybrid_vs_scan_ratio"),
         "stress_recall": stress_timings.get("stress_recall"),
     }
     print(json.dumps({k: v for k, v in compact.items() if v is not None}))

@@ -27,10 +27,13 @@ clears denominators exactly:
 
 and the classic log-idf (libm-unstable across engines) is replaced by
 the bounded rational surrogate ``idf_ppm = 1e6·(N − df + 1) DIV
-(N + df + 1)`` — monotone decreasing in df, ≤ 1e6 for ANY corpus size
-(so the int64 product above cannot overflow at 100 TB scale), and
-identical under Spark ``DIV`` and DuckDB ``//``. No transcendentals
-anywhere in the hashed output.
+(N + df + 1)`` — monotone decreasing in df, ≤ 1e6 for ANY corpus
+size, and identical under Spark ``DIV`` and DuckDB ``//``. The other
+numerator factors are saturated (tf at 4e6, avgdl at 1e5 — both
+unreachable on real documents, clamped identically on both engine
+sides) so the int64 product provably cannot overflow for any input,
+corpus-sized or pathological. No transcendentals anywhere in the
+hashed output.
 
 Distributed shape (no collects, no persists):
 1. tokenize once per document, explode, map-side-combined
@@ -65,11 +68,24 @@ BM25_QUERY_TERMS = 3
 RRF_K = 60
 
 # Okapi BM25 with k1 = 6/5, b = 3/4, denominators cleared (see module
-# docstring). Pure int64 end-to-end.
+# docstring). Pure int64 end-to-end. idf_ppm ≤ 1e6 bounds one factor
+# of the contribution numerator; the OTHER two are saturated so the
+# full product provably fits int64 for ANY input (r11 advice: an
+# unclamped avgdl·tf > ~4.2e11 — a pathologically long document —
+# would wrap silently): tf saturates at 4e6 and avgdl at 1e5, giving
+# 1e6 · 22 · 1e5 · 4e6 = 8.8e18 < 2^63−1. Both appear clamped in
+# numerator AND denominator, so the ratio is the exact formula with
+# saturated inputs — BM25's tf term is asymptotically flat in tf
+# anyway (saturation is the point of k1), and the clamps are
+# unreachable on any real document (4e6 occurrences of one term,
+# 100k-token corpus-average length).
+_TF_SAT = 4_000_000
+_AVGDL_SAT = 100_000
 _IDF_PPM = "CAST((n_docs - df + 1) * 1000000 DIV (n_docs + df + 1) AS BIGINT)"
 _CONTRIB_PPM = (
-    "CAST((idf_ppm * 22 * avgdl * tf)"
-    " DIV (10 * avgdl * tf + 3 * avgdl + 9 * dl) AS BIGINT)"
+    f"CAST((idf_ppm * 22 * least(avgdl, {_AVGDL_SAT}) * least(tf, {_TF_SAT}))"
+    f" DIV (10 * least(avgdl, {_AVGDL_SAT}) * least(tf, {_TF_SAT})"
+    f" + 3 * least(avgdl, {_AVGDL_SAT}) + 9 * dl) AS BIGINT)"
 )
 
 
@@ -214,11 +230,66 @@ def rrf_fuse(a: DataFrame, b: DataFrame, k: int = BM25_TOPK, kconst: int = RRF_K
     )
 
 
-def retrieval_rrf(docs: DataFrame, k: int = BM25_TOPK) -> DataFrame:
+def retrieval_rrf(docs: DataFrame, k: int = BM25_TOPK, kconst: int = RRF_K) -> DataFrame:
     """(query_id, doc_id, rrf_ppm, rnk): the hybrid-retrieval headline
     — RRF of the BM25 list and the raw-tf list for the derived query
-    set."""
-    return rrf_fuse(bm25_topk(docs, k), tf_match_topk(docs, k), k)
+    set.
+
+    SHARED pipeline (r11 verdict #3): calling ``bm25_topk`` +
+    ``tf_match_topk`` would tokenize the corpus and pay the dominant
+    pair exchange twice. The two rankings differ only in the score
+    expression, so this builds ONE probe join (qterms ⋈ pairs ⋈ dfs ×
+    totals) and ONE map-side-combined (query_id, doc_id) aggregate
+    carrying BOTH sums, then ranks twice with windows over the same
+    scores table — a single query_id exchange feeds both rank sorts
+    (same partitioning → Catalyst plans one Exchange, two Sorts).
+    Fusion needs no join at all: each (query_id, doc_id) row already
+    holds both ranks, and the FULL OUTER of two top-k lists over the
+    SAME candidate set is exactly ``rnk_a ≤ k OR rnk_b ≤ k`` (the df
+    join is a no-op for the row set — every pair term has a df row —
+    so both rankings see identical candidates). The deliberate trade:
+    the rank windows lose WindowGroupLimit pruning (the disjunctive
+    filter spans two windows), but the pruned quantity is the
+    already-aggregated candidate table — orders smaller than the
+    corpus pair exchange this shape halves. Plan-asserted by
+    ``test_retrieval_rrf_shares_one_pair_aggregate``."""
+    pairs = _term_pairs(docs)
+    totals = _corpus_totals(docs)
+    dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = _query_terms(pairs)
+    scores = (
+        qterms.join(pairs, "term")
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("idf_ppm", F.expr(_IDF_PPM))
+        .withColumn("contrib", F.expr(_CONTRIB_PPM))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("score_ppm"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
+    wb = Window.partitionBy("query_id").orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc())
+    fused = (
+        scores.withColumn("rnk_a", F.row_number().over(wa).cast("long"))
+        .withColumn("rnk_b", F.row_number().over(wb).cast("long"))
+        .filter((F.col("rnk_a") <= k) | (F.col("rnk_b") <= k))
+        .withColumn(
+            "rrf_ppm",
+            (
+                F.expr(f"IF(rnk_a <= {k}, CAST(1000000 DIV ({kconst} + rnk_a) AS BIGINT), 0)")
+                + F.expr(f"IF(rnk_b <= {k}, CAST(1000000 DIV ({kconst} + rnk_b) AS BIGINT), 0)")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf_ppm", "rnk")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -254,8 +325,9 @@ dfs AS (SELECT term, count(*)::BIGINT AS df FROM pairs GROUP BY term),
 bm25_scores AS (
   SELECT q.query_id, p.doc_id,
          sum((((t.n_docs - d.df + 1) * 1000000 // (t.n_docs + d.df + 1))
-              * 22 * t.avgdl * p.tf)
-             // (10 * t.avgdl * p.tf + 3 * t.avgdl + 9 * p.dl))::BIGINT AS score_ppm
+              * 22 * least(t.avgdl, {_AVGDL_SAT}) * least(p.tf, {_TF_SAT}))
+             // (10 * least(t.avgdl, {_AVGDL_SAT}) * least(p.tf, {_TF_SAT})
+                 + 3 * least(t.avgdl, {_AVGDL_SAT}) + 9 * p.dl))::BIGINT AS score_ppm
   FROM qterms q
   JOIN pairs p USING (term)
   JOIN dfs d USING (term)

@@ -1260,35 +1260,81 @@ def dup_span_extract(docs: DataFrame, n: int = SPAN_NGRAM_N) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_tokens", "n_shared_grams")
 
 
+# Merge sorted 1-based start positions of length-n runs into disjoint
+# covered intervals (struct<lo,hi>, adjacency-merged): the fold is
+# O(|starts| · |intervals|) and |intervals| ≤ |spans| ≪ L, so the
+# per-token coverage test below is O(L · |intervals|) instead of the
+# r11 shape's O(L · |starts|) — boilerplate-heavy long documents whose
+# removable starts approach L no longer pay a quadratic projection.
+def _intervals_expr(starts_col: str, n: int) -> str:
+    new_iv = f"array(struct(s AS lo, s + {n} - 1 AS hi))"
+    last = "element_at(acc, -1)"
+    return (
+        f"aggregate(array_sort({starts_col}), "
+        f"CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>), "
+        f"(acc, s) -> CASE WHEN size(acc) > 0 AND s <= {last}.hi + 1 "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(struct({last}.lo AS lo, greatest({last}.hi, s + {n} - 1) AS hi))) "
+        f"ELSE concat(acc, {new_iv}) END)"
+    )
+
+
 def remove_dup_spans(docs: DataFrame, n: int = SPAN_NGRAM_N) -> DataFrame:
     """(doc_id, n_tokens, n_removed, clean_text): drop every token
     covered by a cross-document-duplicated n-gram occurrence EXCEPT
-    the gram's globally first occurrence (min (doc_id, pos) — the
-    keep-exactly-one-copy policy of Lee et al.'s ExactSubstr dedup,
-    deterministic and order-free).
+    tokens belonging to a gram's globally first occurrence (min
+    (doc_id, pos) — the keep-one policy of Lee et al.'s ExactSubstr
+    dedup, deterministic and order-free).
 
-    The removable start positions per document are collected into one
-    array (bounded by document length) and the surviving text is
-    rebuilt with array lambdas in a single projection — no per-token
-    rows ever shuffle."""
+    Leader occurrences are PROTECTED: a token covered by both a
+    non-leader occurrence (of one gram) and a leader occurrence (of
+    another) survives — otherwise removing a non-leader run could
+    destroy the only kept copy of an overlapping gram whose leader
+    lives in the same document (r11 advice: doc A holds gram g1's
+    leader, doc B holds g1's copy AND g2's leader one token over —
+    unprotected removal of g1's copy would delete g2 everywhere).
+    Consequence: every duplicated gram survives AT LEAST once;
+    "exactly once" holds when duplicated runs don't overlap leader
+    runs of other grams (the common case, pinned by the planted
+    corpus test; the overlap case is pinned by
+    test_leader_occurrence_is_protected).
+
+    The removable and protected start positions per document are
+    collected into arrays (bounded by document length), folded into
+    disjoint covered intervals, and the surviving text is rebuilt
+    with array lambdas in a single projection — no per-token rows
+    ever shuffle, and the rebuild is O(L · |intervals|)."""
     occ = _gram_occurrences(docs, n)
     meta = _gram_meta(occ)
+    is_leader = F.expr(_OCC_KEY) == F.col("leader_key")
     rem = (
         occ.join(meta, "gram")
-        .filter((F.col("gdf") >= 2) & (F.expr(_OCC_KEY) != F.col("leader_key")))
+        .filter(F.col("gdf") >= 2)
         .groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("sl"))
+        .agg(
+            F.collect_list(F.when(~is_leader, F.col("pos"))).alias("sl"),
+            F.collect_list(F.when(is_leader, F.col("pos"))).alias("ll"),
+        )
     )
     kept = (
-        f"filter(sequence(1, size(ws)), t -> "
-        f"NOT exists(sl, s -> s <= t AND t <= s + {n} - 1))"
+        "filter(sequence(1, size(ws)), t -> "
+        "NOT (exists(riv, v -> v.lo <= t AND t <= v.hi) "
+        "AND NOT exists(liv, v -> v.lo <= t AND t <= v.hi)))"
     )
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
     return (
         docs.join(rem, "doc_id", "left")
         .select(
             "doc_id",
             F.split("text", " ").alias("ws"),
-            F.coalesce("sl", F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias("sl"),
+            F.coalesce("sl", F.expr(empty)).alias("sl"),
+            F.coalesce("ll", F.expr(empty)).alias("ll"),
+        )
+        .select(
+            "doc_id",
+            "ws",
+            F.expr(_intervals_expr("sl", n)).alias("riv"),
+            F.expr(_intervals_expr("ll", n)).alias("liv"),
         )
         .select(
             "doc_id",
@@ -1345,12 +1391,19 @@ FROM isl GROUP BY doc_id, grp
 
 
 def remove_dup_spans_sql(n: int = SPAN_NGRAM_N) -> str:
+    # sl = non-leader duplicated-gram starts (removable), ll = leader
+    # starts in the same doc (protected) — a token is dropped iff some
+    # removable run covers it AND no leader run does (the Spark plan's
+    # riv/liv interval semantics, stated per-token here: the oracle
+    # trades the interval fold for clarity, not speed).
     return f"""
 WITH {_span_ctes(n)},
 rem AS (
-  SELECT o.doc_id, list(o.pos) AS sl
+  SELECT o.doc_id,
+         list(o.pos) FILTER (WHERE o.doc_id * 4294967296 + o.pos <> m.leader_key) AS sl,
+         list(o.pos) FILTER (WHERE o.doc_id * 4294967296 + o.pos = m.leader_key) AS ll
   FROM occ o JOIN gmeta m USING (gram)
-  WHERE m.gdf >= 2 AND o.doc_id * 4294967296 + o.pos <> m.leader_key
+  WHERE m.gdf >= 2
   GROUP BY o.doc_id
 )
 SELECT doc_id,
@@ -1361,7 +1414,9 @@ FROM (
   SELECT t.doc_id, t.ws,
          list_filter(range(1, len(t.ws) + 1),
                      tt -> len(list_filter(coalesce(r.sl, []),
-                                           s -> s <= tt AND tt <= s + {n} - 1)) = 0) AS kept
+                                           s -> s <= tt AND tt <= s + {n} - 1)) = 0
+                           OR len(list_filter(coalesce(r.ll, []),
+                                              s -> s <= tt AND tt <= s + {n} - 1)) > 0) AS kept
   FROM t LEFT JOIN rem r USING (doc_id)
 )
 """

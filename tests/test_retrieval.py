@@ -133,13 +133,43 @@ def test_bm25_plan_properties(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
-def test_retrieval_rrf_plan_properties(spark):
-    """The fusion join is a FULL OUTER over two top-k-bounded inputs
-    and the whole plan stays JVM-side."""
+def test_retrieval_rrf_equals_fused_separate_rankings(spark):
+    """The shared-pipeline retrieval_rrf must return exactly what
+    fusing the two standalone rankings returns — the r12 refactor
+    changed the physical shape, never the values."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    for docs in (_docs(spark, PLANTED), load_table(spark, SF_SMOKE, "documents")):
+        got = {tuple(r) for r in R.retrieval_rrf(docs).collect()}
+        want = {
+            tuple(r)
+            for r in R.rrf_fuse(R.bm25_topk(docs), R.tf_match_topk(docs)).collect()
+        }
+        assert got == want and got
+
+
+def test_retrieval_rrf_shares_one_pair_aggregate(spark):
+    """Plan-assert the r11 verdict #3 fix: the fusion entry pays the
+    corpus tokenize → explode → pair-aggregate pipeline ONCE — exactly
+    one (query_id, doc_id) score aggregate exchange feeds both
+    rankings (the old two-pipeline shape had two), both rank windows
+    ride a single query_id exchange (same partitioning → one Exchange,
+    two Sorts, no fusion join at all), the corpus is scanned 4× (the
+    argued qterms/dfs/probe pruning split + the 1-row totals scan —
+    the old two-pipeline shape paid 6), and the whole plan stays
+    JVM-side."""
+    import re
+
     from sigmod_2024_contest_spark.sources.tables import load_table
     from conftest import SF_SMOKE
 
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = R.retrieval_rrf(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "FullOuter" in plan
+    score_aggs = re.findall(r"hashpartitioning\(query_id#\d+L?, doc_id#\d+L?", plan)
+    assert len(score_aggs) == 1, plan
+    window_exchanges = re.findall(r"hashpartitioning\(query_id#\d+L?,? ?\d*\)", plan)
+    assert len(window_exchanges) == 1, plan
+    assert plan.count("Scan parquet") == 4, plan
+    assert "Join FullOuter" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan

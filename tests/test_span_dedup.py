@@ -73,6 +73,58 @@ def test_exactly_one_copy_survives(spark):
         assert after[g] == 1, g
 
 
+def test_leader_occurrence_is_protected(spark):
+    """The r11 advice counter-example: doc 20 holds gram g1's leader;
+    doc 21 holds g1's copy (removable) AND g2's leader one token over;
+    doc 22 holds g2's copy. Unprotected removal of g1's run in doc 21
+    would destroy g2's leader — g2 would survive NOWHERE. With leader
+    protection only the non-overlapping prefix of g1's run is removed
+    and every duplicated gram still has ≥1 surviving copy."""
+    docs = spark.createDataFrame(
+        [
+            (20, "A B C D E"),          # g1 = 'A B C D E' leader (pos 1)
+            (21, "A B C D E F"),        # g1 copy (pos 1), g2 = 'B C D E F' leader (pos 2)
+            (22, "B C D E F x"),        # g2 copy (pos 1)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in dedup.remove_dup_spans(docs).collect()
+    }
+    assert rows[20] == (0, "A B C D E")          # leader intact
+    assert rows[21] == (1, "B C D E F")          # only token 'A' removable
+    assert rows[22] == (5, "x")                  # g2's copy fully removed
+    n = dedup.SPAN_NGRAM_N
+
+    def grams(text):
+        ws = [w for w in text.split(" ") if w]
+        return [" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))]
+
+    from collections import Counter
+
+    after = Counter(g for t in rows.values() for g in grams(t[1]))
+    assert after["A B C D E"] == 1 and after["B C D E F"] == 1
+
+
+def test_long_boilerplate_doc_interval_rebuild(spark):
+    """A boilerplate-heavy long document (every token covered by
+    removable starts — the |starts| → L regime the r11 verdict flagged
+    as quadratic) folds into ONE covered interval and rebuilds
+    correctly: the duplicated run survives only in the leader doc."""
+    run = " ".join(f"s{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(30, run + " tail0 tail1"), (31, "head0 head1 " + run)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.remove_dup_spans(docs).collect()
+    }
+    assert rows[30] == (402, 0, run + " tail0 tail1")
+    assert rows[31] == (402, 400, "head0 head1")
+
+
 def test_dup_span_extract_no_window_keyed_by_gram(spark):
     """Plan-assert the skew discipline: the only Window in the plan
     partitions by doc_id (bounded by document length); hot boilerplate

@@ -34,6 +34,13 @@ ENTRIES = [
     "dup_ngram_stats",
     "bigram_likelihood",
     "dedup_keep_best",
+    # r12: the retrieval + span-dedup families (r11 verdict #7) — the
+    # pair exchange (retrieval) and the interval rebuild
+    # (remove_dup_spans) are the quantities to watch off-fixture
+    "bm25_topk",
+    "retrieval_rrf",
+    "dup_span_extract",
+    "remove_dup_spans",
 ]
 
 BOILERPLATE = "subscribe to our newsletter for updates and follow the daily digest"
