@@ -45,9 +45,12 @@ Distributed shape (no collects, no persists):
 3. df per term is a vocab-sized aggregate joined back on ``term`` —
    the AQE-skew-splittable shape (same rationale as tfidf_topk).
 4. query terms are a per-query-document window (partitions bounded by
-   one document's vocabulary), then the qterms⋈pairs join probes the
-   corpus pair table — build side is queries×terms, broadcastable
-   when the query set is small, AQE-splittable when it is not.
+   one document's vocabulary) ranked by tf·idf — discriminative-term
+   selection bounds the probe's candidate volume at Σ df(rare terms)
+   per query instead of hot-term df ≈ corpus — then the qterms⋈pairs
+   join probes the corpus pair table: build side is queries×terms,
+   broadcastable when the query set is small, AQE-splittable when it
+   is not.
 5. per-(query, doc) scores are a map-side-combined sum of ≤
    ``BM25_QUERY_TERMS`` int64 contributions; top-k is a row_number
    window per query_id (millions of small partitions — the scalable
@@ -118,16 +121,36 @@ def _corpus_totals(docs: DataFrame) -> DataFrame:
 
 
 def _query_terms(
-    pairs: DataFrame, stride: int = BM25_QUERY_STRIDE, nterms: int = BM25_QUERY_TERMS
+    pairs: DataFrame,
+    dfs: DataFrame,
+    totals: DataFrame,
+    stride: int = BM25_QUERY_STRIDE,
+    nterms: int = BM25_QUERY_TERMS,
 ) -> DataFrame:
     """(query_id, term): every stride-th document contributes its
-    nterms most frequent non-stopword terms — a deterministic
+    nterms most CHARACTERISTIC non-stopword terms — ranked by
+    tf · idf_ppm (int64-exact), not raw tf — a deterministic
     more-like-this query set derived from the corpus itself (the same
     self-deriving convention as similarity.ann_cosine_topk's
-    QUERY_STRIDE)."""
-    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    QUERY_STRIDE).
+
+    The idf factor is load-bearing at scale, not cosmetic (r12, found
+    by the sf1 probe): raw-tf selection picks whatever hot head terms
+    a document repeats, and exact BM25 scoring of a hot term costs
+    df(term) candidate rows — on a Zipf-headed corpus that degenerates
+    to queries × corpus (the probe's 50k-doc corpus drove a ~125M-row
+    score aggregate and a driver GC storm). tf·idf selection picks
+    rare discriminative terms, bounding candidates at Σ df(rare) per
+    query — the behavior a real more-like-this query generator has.
+    The dfs/totals sides are vocab-sized and 1-row — broadcast."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("qscore").desc(), F.col("term").asc()
+    )
     return (
         pairs.filter((F.col("doc_id") % stride == 0) & ~F.col("term").isin(*STOPWORDS))
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("qscore", F.expr(f"tf * {_IDF_PPM}"))
         .withColumn("qrnk", F.row_number().over(w))
         .filter(F.col("qrnk") <= nterms)
         .select(F.col("doc_id").alias("query_id"), "term")
@@ -156,7 +179,7 @@ def bm25_topk(
     pairs = _term_pairs(docs)
     totals = _corpus_totals(docs)
     dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    qterms = _query_terms(pairs, stride, nterms)
+    qterms = _query_terms(pairs, dfs, totals, stride, nterms)
     hits = (
         qterms.join(pairs, "term")
         .join(dfs, "term")
@@ -188,7 +211,9 @@ def tf_match_topk(
     document wins here and loses under BM25), which is what makes the
     RRF fusion non-trivial."""
     pairs = _term_pairs(docs)
-    qterms = _query_terms(pairs, stride, nterms)
+    totals = _corpus_totals(docs)
+    dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = _query_terms(pairs, dfs, totals, stride, nterms)
     scores = (
         qterms.join(pairs, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
@@ -256,7 +281,7 @@ def retrieval_rrf(docs: DataFrame, k: int = BM25_TOPK, kconst: int = RRF_K) -> D
     pairs = _term_pairs(docs)
     totals = _corpus_totals(docs)
     dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    qterms = _query_terms(pairs)
+    qterms = _query_terms(pairs, dfs, totals)
     scores = (
         qterms.join(pairs, "term")
         .join(dfs, "term")
@@ -311,17 +336,20 @@ totals AS (
          greatest((sum(len(ws)) // count(*))::BIGINT, 1) AS avgdl
   FROM toks
 ),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM pairs GROUP BY term),
 qterms AS (
   SELECT doc_id AS query_id, term FROM (
-    SELECT doc_id, term,
-           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS qrnk
-    FROM pairs
-    WHERE doc_id % {BM25_QUERY_STRIDE} = 0 AND term NOT IN ({_sql_list(STOPWORDS)})
+    SELECT p.doc_id, p.term,
+           row_number() OVER (
+             PARTITION BY p.doc_id
+             ORDER BY p.tf * ((t.n_docs - d.df + 1) * 1000000 // (t.n_docs + d.df + 1)) DESC,
+                      p.term ASC) AS qrnk
+    FROM pairs p JOIN dfs d USING (term) CROSS JOIN totals t
+    WHERE p.doc_id % {BM25_QUERY_STRIDE} = 0 AND p.term NOT IN ({_sql_list(STOPWORDS)})
   ) WHERE qrnk <= {BM25_QUERY_TERMS}
 )"""
 
 _BM25_CTES = f"""{_PAIRS_CTES},
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM pairs GROUP BY term),
 bm25_scores AS (
   SELECT q.query_id, p.doc_id,
          sum((((t.n_docs - d.df + 1) * 1000000 // (t.n_docs + d.df + 1))

@@ -74,6 +74,7 @@ def route_plan(
     ts_bins: int | None = ROUTING_TS_BINS,
     stats: tuple[DataFrame, int] | None = None,
     dim: int | None = None,
+    t0_bf_bound: int | None = None,
 ) -> DataFrame:
     """(query_id, query_type, sel_num, n_total, route).
 
@@ -81,16 +82,21 @@ def route_plan(
     type 1/3 above threshold → that category's graph;
     type 2 above threshold → decile graphs (SplitInterval downstream);
     type 0 → global/decile graphs.
+
+    ``t0_bf_bound`` overrides the type-0 bf corpus bound (default:
+    fused-plan applicability, ``bc_rows_bound(dim)``) — the
+    measurement knob behind tools/sweep_router_crossover.py.
     """
     from .knn import bc_rows_bound
 
     sel = selectivity(base, queries, ts_bins=ts_bins, stats=stats)
     frac = F.col("sel_num").cast("double") / F.col("n_total").cast("double")
     thr = F.when(F.col("query_type") == 3, F.lit(BF_THR_T3)).otherwise(F.lit(BF_THR))
+    bound = bc_rows_bound(dim) if t0_bf_bound is None else t0_bf_bound
     route = (
         F.when(frac < thr, F.lit(ROUTE_BF))
         .when(
-            (F.col("query_type") == 0) & (F.col("n_total") <= bc_rows_bound(dim)),
+            (F.col("query_type") == 0) & (F.col("n_total") <= bound),
             F.lit(ROUTE_BF),
         )
         .when(F.col("query_type").isin(1, 3), F.lit(ROUTE_CAT_GRAPH))

@@ -34,19 +34,25 @@ PLANTED = [
 
 
 def _reference_bm25(rows, k=10, stride=20, nterms=3, stop=R.STOPWORDS):
-    """Independent int64 BM25: same formula, plain Python."""
+    """Independent int64 BM25: same formula, plain Python. Query terms
+    rank by tf·idf (r12: discriminative-term selection), like the
+    Spark plan."""
     toks = {d: [w for w in t.split(" ") if w != ""] for d, t in rows}
     tf = {d: Counter(ws) for d, ws in toks.items()}
     n_docs = len(toks)
     avgdl = max(sum(len(ws) for ws in toks.values()) // n_docs, 1)
     df = Counter(term for c in tf.values() for term in c)
+
+    def _idf(term):
+        return (n_docs - df[term] + 1) * 1_000_000 // (n_docs + df[term] + 1)
+
     out = {}
     for qd in sorted(toks):
         if qd % stride != 0:
             continue
         cand = sorted(
             ((t, c) for t, c in tf[qd].items() if t not in stop),
-            key=lambda tc: (-tc[1], tc[0]),
+            key=lambda tc: (-tc[1] * _idf(tc[0]), tc[0]),
         )[:nterms]
         scores = {}
         for term, _ in cand:
@@ -150,26 +156,27 @@ def test_retrieval_rrf_equals_fused_separate_rankings(spark):
 
 
 def test_retrieval_rrf_shares_one_pair_aggregate(spark):
-    """Plan-assert the r11 verdict #3 fix: the fusion entry pays the
-    corpus tokenize → explode → pair-aggregate pipeline ONCE — exactly
-    one (query_id, doc_id) score aggregate exchange feeds both
-    rankings (the old two-pipeline shape had two), both rank windows
-    ride a single query_id exchange (same partitioning → one Exchange,
-    two Sorts, no fusion join at all), the corpus is scanned 4× (the
-    argued qterms/dfs/probe pruning split + the 1-row totals scan —
-    the old two-pipeline shape paid 6), and the whole plan stays
-    JVM-side."""
-    import re
-
+    """Plan-assert the r11 verdict #3 fix, on invariants that hold at
+    any corpus size (exchange/broadcast choices legitimately flip with
+    scale — at sf0.001 Catalyst broadcasts the pair table and both
+    rank windows inherit the qterms exchange's partitioning, zero
+    extra exchanges): exactly ONE (query_id, doc_id) aggregate
+    computes BOTH score sums in the same node (the old two-pipeline
+    shape had two disjoint aggregates, one per ranking — the doubled
+    pair pipeline), the fusion has no join at all, and the whole plan
+    stays JVM-side."""
     from sigmod_2024_contest_spark.sources.tables import load_table
     from conftest import SF_SMOKE
 
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = R.retrieval_rrf(docs)._jdf.queryExecution().executedPlan().toString()
-    score_aggs = re.findall(r"hashpartitioning\(query_id#\d+L?, doc_id#\d+L?", plan)
-    assert len(score_aggs) == 1, plan
-    window_exchanges = re.findall(r"hashpartitioning\(query_id#\d+L?,? ?\d*\)", plan)
-    assert len(window_exchanges) == 1, plan
-    assert plan.count("Scan parquet") == 4, plan
+    # one partial aggregate carrying both sums — the shared-pipeline witness
+    assert plan.count("partial_sum(contrib") == 1, plan
+    both = [
+        l
+        for l in plan.splitlines()
+        if "partial_sum(contrib" in l and "partial_sum(tf" in l
+    ]
+    assert len(both) == 1, plan
     assert "Join FullOuter" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan

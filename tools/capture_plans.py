@@ -197,10 +197,13 @@ PICKS = {
         "WindowGroupLimit-pruned row_number over query_id partitions."
     ),
     "retrieval_rrf": (
-        "Reciprocal-rank fusion: both input rankings are top-k-bounded "
-        "(queries×k rows) BEFORE the full-outer join, so the fusion stage "
-        "is constant-width per query no matter the corpus size; rrf_ppm is "
-        "pure int64 arithmetic on the two rank columns."
+        "Reciprocal-rank fusion over ONE shared corpus pipeline (r12): a "
+        "single probe join + a single map-side-combined (query_id, doc_id) "
+        "aggregate carries BOTH score sums; the two rankings are two "
+        "row_number windows riding one query_id exchange (one Exchange, "
+        "two Sorts) and fusion is join-free — each candidate row holds "
+        "both ranks, so rnk_a<=k OR rnk_b<=k IS the full-outer of the two "
+        "top-k lists; rrf_ppm is pure int64 arithmetic on the rank columns."
     ),
     "dup_span_extract": (
         "Span-level dedup, extraction half: positioned n-gram occurrences "
@@ -210,11 +213,13 @@ PICKS = {
         "document length)."
     ),
     "remove_dup_spans": (
-        "Span-level dedup, removal half: the keep-exactly-one-copy winner "
-        "is a MIN over the int64 key doc_id*2^32+pos (map-side-combinable "
-        "aggregate); removable starts collect into ONE per-doc array and "
-        "the cleaned text is rebuilt in a single array-lambda projection — "
-        "no per-token rows on the rebuild side."
+        "Span-level dedup, removal half: the keep-one winner is a MIN over "
+        "the int64 key doc_id*2^32+pos (map-side-combinable aggregate); "
+        "removable AND leader-protected starts collect into per-doc arrays, "
+        "fold into disjoint covered intervals (r12: O(L·|intervals|), and "
+        "leader runs are exempt from removal so every duplicated gram "
+        "survives ≥1 time), and the cleaned text is rebuilt in a single "
+        "array-lambda projection — no per-token rows on the rebuild side."
     ),
 }
 
