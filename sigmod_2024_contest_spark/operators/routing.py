@@ -61,6 +61,33 @@ ROUTE_GLOBAL_GRAPH = "global_graph"
 # branch agree on which plan serves the route.
 from .knn import CORPUS_BC_MAX_ROWS as BF_ALL_MAX_ROWS
 
+# r12 re-calibration (r11 verdict #6: the 500k warm probe searched
+# SLOWER than 1M because type-0 queries routed to the fused bf at
+# 500k×dim64 = 32M cells). Fused-plan applicability (bc_rows_bound =
+# 40M cells) is necessary but NOT sufficient: the fused kernel must
+# also BEAT the decile-graph fan-out, and that crossover is lower.
+# Measured (tools/sweep_router_crossover.py, nq=2048, in-run
+# interleaved pairs, min-of-2, idle host):
+#   250k×64 = 16M cells: bf 52.4 s vs graph 66.2 s  → bf wins
+#   500k×64 = 32M cells: bf 90.9 s vs graph 54.9 s  → graph wins
+#   1M×64   = 64M cells: bf 88.6 s vs graph 54.0 s  → graph wins
+# 24M cells splits the measured win/loss points; BF_ALL_MAX_ROWS
+# stays the floor (at ≤200k rows the fused kernel won at every dim
+# measured) and bc_rows_bound stays the ceiling (above it the bf
+# route would run the SCAN plan for type-0 — strictly dominated).
+T0_BF_MAX_CELLS = 24_000_000
+
+
+def t0_bf_rows_bound(dim: int | None) -> int:
+    """Max corpus rows below which a type-0 (no-predicate) query
+    routes to the fused corpus-broadcast bf instead of the
+    decile-graph fan-out."""
+    from .knn import bc_rows_bound
+
+    if dim is None:
+        return BF_ALL_MAX_ROWS
+    return max(BF_ALL_MAX_ROWS, min(bc_rows_bound(dim), T0_BF_MAX_CELLS // int(dim)))
+
 # ts histogram resolution for routing selectivity: bin mass ≈ 0.1 % of
 # the corpus — far below every routing threshold — while keeping the
 # stats table bounded at |cats|×1000 rows for any corpus size (the
@@ -84,15 +111,13 @@ def route_plan(
     type 0 → global/decile graphs.
 
     ``t0_bf_bound`` overrides the type-0 bf corpus bound (default:
-    fused-plan applicability, ``bc_rows_bound(dim)``) — the
+    the measured crossover, ``t0_bf_rows_bound(dim)``) — the
     measurement knob behind tools/sweep_router_crossover.py.
     """
-    from .knn import bc_rows_bound
-
     sel = selectivity(base, queries, ts_bins=ts_bins, stats=stats)
     frac = F.col("sel_num").cast("double") / F.col("n_total").cast("double")
     thr = F.when(F.col("query_type") == 3, F.lit(BF_THR_T3)).otherwise(F.lit(BF_THR))
-    bound = bc_rows_bound(dim) if t0_bf_bound is None else t0_bf_bound
+    bound = t0_bf_rows_bound(dim) if t0_bf_bound is None else t0_bf_bound
     route = (
         F.when(frac < thr, F.lit(ROUTE_BF))
         .when(
@@ -107,7 +132,6 @@ def route_plan(
 
 
 def route_plan_sql(ts_bins: int | None = ROUTING_TS_BINS, dim: int | None = None) -> str:
-    from .knn import bc_rows_bound
     from .stats import selectivity_sql
 
     return f"""
@@ -116,7 +140,7 @@ SELECT query_id, query_type, sel_num, n_total,
        CASE
          WHEN sel_num::DOUBLE / n_total::DOUBLE <
               (CASE WHEN query_type = 3 THEN {BF_THR_T3} ELSE {BF_THR} END) THEN '{ROUTE_BF}'
-         WHEN query_type = 0 AND n_total <= {bc_rows_bound(dim)} THEN '{ROUTE_BF}'
+         WHEN query_type = 0 AND n_total <= {t0_bf_rows_bound(dim)} THEN '{ROUTE_BF}'
          WHEN query_type IN (1, 3) THEN '{ROUTE_CAT_GRAPH}'
          WHEN query_type = 2 THEN '{ROUTE_TIME_GRAPH}'
          ELSE '{ROUTE_GLOBAL_GRAPH}'
