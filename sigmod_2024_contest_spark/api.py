@@ -1735,6 +1735,39 @@ register(
     lambda s, d: RET.retrieval_rrf(_docs(s, d)),
     RET.retrieval_rrf_sql(),
 )
+# r12: the persisted lexical inverted index (build → save → load →
+# serve; the vector lifecycle's S8/S9 posture on the lexical side).
+# lexical_postings hash-checks the index artifact itself;
+# bm25_topk_from_index rebuilds the index under a deterministic temp
+# dir, then answers BM25 ENTIRELY from the loaded parquet — its
+# oracle is the raw-recompute bm25 twin, so a hash match proves the
+# whole tokenize→save→load→search loop end-to-end.
+
+
+def _lexical_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sg_lexidx_{tag}")
+
+
+def _bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _lexical_index_dir(sf_dir)
+    RET.save_lexical_index(_docs(spark, sf_dir), path)  # overwrite: never stale
+    return RET.bm25_topk_from_index(spark, path)
+
+
+register(
+    "lexical_postings",
+    lambda s, d: RET.term_postings(_docs(s, d)),
+    RET.term_postings_sql(),
+)
+register(
+    "bm25_topk_from_index",
+    _bm25_from_index,
+    RET.bm25_topk_sql(),
+)
 register(
     "dup_span_extract",
     lambda s, d: dedup.dup_span_extract(_docs(s, d)),
@@ -1946,13 +1979,14 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-12 window (rotate_window.py plan, verbatim): bpe_train /
-# bpe_encode_counts first — their r11 rows were rows-only
-# (`no_oracle`); this round they carry the new unrolled DuckDB twin
-# and must earn their first hash row — then the 20 names whose latest
-# green row is CORRECTNESS_r08 (exactly at the pinned 3-round
+# Round-12 window (rotate_window.py plan, verbatim): the four
+# never-hash-green entries first — bpe_train / bpe_encode_counts
+# (their r11 rows were rows-only `no_oracle`; this round they carry
+# the new unrolled DuckDB twin) and the new r12 lexical-index pair
+# (lexical_postings / bm25_topk_from_index) — then the 20 names whose
+# latest green row is CORRECTNESS_r08 (exactly at the pinned 3-round
 # staleness bound: pack_sequences … power_users_daily_coverage), then
-# the 28 stalest r10-green names. Everything displaced (the 48
+# the 26 stalest r10-green names. Everything displaced (the 48
 # hash-green r11 names plus the rest of the r10 block) waits in
 # _PRIOR_ROUND_GREEN on its newest green row.
 #
@@ -1960,8 +1994,8 @@ register(
 # the round's CORRECTNESS artifact lands and paste its two literals —
 # stalest-first (never-green entries always first), window = 50.
 # _PRIOR_ROUND_GREEN = every entry with a driver-green row in SOME
-# round that the cut left outside the window; with the registry at 120
-# the proof cadence is ⌈120/50⌉ = 3 driver rounds worst case
+# round that the cut left outside the window; with the registry at 122
+# the proof cadence is ⌈122/50⌉ = 3 driver rounds worst case
 # (test-pinned in tests/test_registry_window.py). A NEW entry MUST
 # land in _CHECK_FIRST (it has no green row) or the assert below
 # fails at import.
@@ -1970,6 +2004,8 @@ register(
 _CHECK_FIRST: list[str] = [
     "bpe_train",
     "bpe_encode_counts",
+    "lexical_postings",
+    "bm25_topk_from_index",
     "pack_sequences",
     "chunk_documents",
     "mixture_sample",
@@ -2016,8 +2052,6 @@ _CHECK_FIRST: list[str] = [
     "pricing_summary",
     "top_customers",
     "events_json_stats",
-    "asof_last_error",
-    "event_funnel",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -2028,6 +2062,8 @@ _CHECK_FIRST: list[str] = [
 # silently landing outside every driver window (r7 verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
+        "asof_last_error",
+        "event_funnel",
         "bm25_topk",
         "brand_revenue",
         "copurchase_pairs",

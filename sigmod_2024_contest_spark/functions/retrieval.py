@@ -180,6 +180,16 @@ def bm25_topk(
     totals = _corpus_totals(docs)
     dfs = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     qterms = _query_terms(pairs, dfs, totals, stride, nterms)
+    return _bm25_ranked(pairs, dfs, totals, qterms, k)
+
+
+def _bm25_ranked(
+    pairs: DataFrame, dfs: DataFrame, totals: DataFrame, qterms: DataFrame, k: int
+) -> DataFrame:
+    """The BM25 scoring core over prepared tables — shared by the
+    direct path (tables derived from the raw corpus) and the
+    index-served path (tables reconstructed from a saved inverted
+    index); both must produce bit-identical rows."""
     hits = (
         qterms.join(pairs, "term")
         .join(dfs, "term")
@@ -318,6 +328,115 @@ def retrieval_rrf(docs: DataFrame, k: int = BM25_TOPK, kconst: int = RRF_K) -> D
 
 
 # ---------------------------------------------------------------------------
+# Persisted lexical inverted index — the "build once, search many"
+# posture of the vector-index lifecycle (S8/S9, engine.save/load)
+# applied to the lexical side: a 100 TB retrieval system tokenizes
+# its corpus ONCE into posting lists and serves every later query
+# batch from the saved index, never re-reading raw text.
+#
+# Index layout (two parquet tables):
+# - postings: (term, df, sum_tf, postings) — the posting list is a
+#   canonical string "doc:tf,doc:tf,…" sorted by doc_id, making the
+#   table flat-hashable (driver-comparable) and engine-portable; at
+#   100 TB the table is vocabulary-keyed and parquet-partitionable by
+#   term hash.
+# - doclens: (doc_id, dl) — the per-document token length BM25's
+#   normalization needs; corpus totals (n_docs, avgdl) re-derive from
+#   it with one metadata-sized aggregate.
+# `bm25_topk_from_index` reconstructs the (pairs, dfs, totals) tables
+# from the index and runs the SAME scoring core as the direct path —
+# the driver entry hash-checks the index-served result against the
+# raw-recompute DuckDB oracle, proving tokenize→save→load→search
+# end-to-end.
+# ---------------------------------------------------------------------------
+
+_POSTING_STR = (
+    "concat_ws(',', transform(array_sort(collect_list(struct(doc_id, tf))), "
+    "p -> concat(CAST(p.doc_id AS STRING), ':', CAST(p.tf AS STRING))))"
+)
+
+
+def term_postings(docs: DataFrame) -> DataFrame:
+    """(term, df, sum_tf, postings): the inverted index as one
+    gram-keyed aggregate over the pair table — map-side combinable
+    into per-term rows; the posting string is canonical (doc_id-sorted
+    via array_sort on the (doc_id, tf) struct, doc_id unique per
+    term), so the output is deterministic and flat-hashable."""
+    return (
+        _term_pairs(docs)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.expr(_POSTING_STR).alias("postings"),
+        )
+    )
+
+
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl): per-document token length (all docs, empty ones
+    included — n_docs/avgdl must match the direct path's count(*))."""
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(tokens_expr("text"), lambda w: w != "")).cast("long").alias("dl"),
+    )
+
+
+def save_lexical_index(docs: DataFrame, path: str) -> None:
+    """Write the two index tables under ``path`` (postings/, doclens/)."""
+    term_postings(docs).write.mode("overwrite").parquet(f"{path}/postings")
+    doc_lengths(docs).write.mode("overwrite").parquet(f"{path}/doclens")
+
+
+def load_lexical_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) read back from ``path``."""
+    return spark.read.parquet(f"{path}/postings"), spark.read.parquet(f"{path}/doclens")
+
+
+def _pairs_from_index(postings: DataFrame, doclens: DataFrame) -> DataFrame:
+    """Reconstruct the (doc_id, dl, term, tf) pair table from posting
+    strings: explode each list (output is exactly pair-table-sized,
+    the explode is a projection — no shuffle) and join dl back on
+    doc_id (AQE-splittable, same shape as the direct path's df
+    join)."""
+    exploded = (
+        postings.select("term", F.explode(F.split("postings", ",")).alias("p"))
+        .select("term", F.split("p", ":").alias("kv"))
+        .select(
+            "term",
+            F.col("kv")[0].cast("long").alias("doc_id"),
+            F.col("kv")[1].cast("long").alias("tf"),
+        )
+    )
+    return exploded.join(doclens, "doc_id").select("doc_id", "dl", "term", "tf")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    k: int = BM25_TOPK,
+    stride: int = BM25_QUERY_STRIDE,
+    nterms: int = BM25_QUERY_TERMS,
+) -> DataFrame:
+    """(query_id, doc_id, score_ppm, rnk): BM25 top-k served entirely
+    from a saved lexical index — raw text is never read. Must be
+    bit-identical to ``bm25_topk`` on the corpus the index was built
+    from (the driver entry hash-checks exactly that against the
+    raw-recompute oracle)."""
+    postings, doclens = load_lexical_index(spark, path)
+    pairs = _pairs_from_index(postings, doclens)
+    dfs = postings.select("term", "df")
+    totals = doclens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.greatest(
+            F.expr("CAST(sum(dl) DIV count(*) AS BIGINT)"), F.lit(1).cast("long")
+        ).alias("avgdl"),
+    )
+    qterms = _query_terms(pairs, dfs, totals, stride, nterms)
+    return _bm25_ranked(pairs, dfs, totals, qterms, k)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------
 
@@ -387,6 +506,17 @@ def bm25_topk_sql(k: int = BM25_TOPK) -> str:
     return f"""
 WITH {_BM25_CTES}
 SELECT query_id, doc_id, score_ppm, rnk FROM bm25_ranked WHERE rnk <= {k}
+"""
+
+
+def term_postings_sql() -> str:
+    """DuckDB twin of `term_postings`: the canonical doc_id-sorted
+    posting string via an ordered string_agg."""
+    return f"""
+WITH {_PAIRS_CTES}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS sum_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
 """
 
 

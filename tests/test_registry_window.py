@@ -36,11 +36,14 @@ ROUND8_WINDOW = {
 
 
 NEVER_GREEN_ENTRIES = [
-    # the only two entries without a driver hash row: their r11 rows
-    # were rows-only (`err: no_oracle`); this round they carry the
-    # unrolled DuckDB twin and stalest-first puts them at the head
+    # the only entries without a driver hash row: the BPE pair's r11
+    # rows were rows-only (`err: no_oracle`) and this round they carry
+    # the unrolled DuckDB twin; the lexical-index pair is new in r12.
+    # Stalest-first puts all four at the head.
     "bpe_train",
     "bpe_encode_counts",
+    "lexical_postings",
+    "bm25_topk_from_index",
 ]
 
 R8_STALE = [
@@ -58,14 +61,15 @@ R8_STALE = [
 
 
 def test_round12_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the two no-oracle BPE entries + the
-    20 r8-stale names + the 28 stalest r10-green names: never-hash-
-    green lead, no r11-green name re-occupies a slot."""
+    """First 50 registry keys == the four never-hash-green entries
+    (BPE pair + the new lexical-index pair) + the 20 r8-stale names +
+    the 26 stalest r10-green names: never-hash-green lead, no
+    r11-green name re-occupies a slot."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:2] == NEVER_GREEN_ENTRIES
-    assert set(first[2:22]) == set(R8_STALE)
-    # the 28 remaining slots rotate r10-green names back in; every
+    assert first[:4] == NEVER_GREEN_ENTRIES
+    assert set(first[4:24]) == set(R8_STALE)
+    # the 26 remaining slots rotate r10-green names back in; every
     # hash-green r11 entry waits in prior-green
     import json
 
@@ -110,7 +114,7 @@ def test_rotation_cadence_bound():
     names = list(api._REGISTRY)
     window = api._DRIVER_WINDOW
     bound = math.ceil(len(names) / window)
-    assert bound == 3  # 120 entries / 50 slots — update alongside the registry
+    assert bound == 3  # 122 entries / 50 slots — update alongside the registry
     rounds = {k: set(v) for k, v in load_green_rounds("/root/repo").items()}
     cur = max(rounds)
     latest: dict[str, int] = {}

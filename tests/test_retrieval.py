@@ -122,6 +122,60 @@ def test_retrieval_rrf_shape(spark):
     assert len(out) <= R.BM25_TOPK
 
 
+def test_term_postings_canonical(spark):
+    """Posting strings are doc_id-sorted and exact: hand-check the
+    planted corpus's 'common' term (docs 0, 2, 5, 6, 7 — tf 2 in doc 0,
+    1 elsewhere) and 'zebra' (docs 0, 1)."""
+    rows = {
+        r["term"]: (r["df"], r["sum_tf"], r["postings"])
+        for r in R.term_postings(_docs(spark, PLANTED)).collect()
+    }
+    assert rows["common"] == (5, 6, "0:2,2:1,5:1,6:1,7:1")
+    assert rows["zebra"] == (2, 4, "0:3,1:1")
+    assert rows["quark"] == (3, 3, "0:1,3:1,4:1")
+
+
+def test_bm25_from_index_equals_direct(spark, tmp_path):
+    """The index-served path must be bit-identical to the direct path
+    on the corpus the index was built from — save → load → search
+    round-trips through parquet with nothing lost (planted + sf0.001
+    corpora)."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    for name, docs in (
+        ("planted", _docs(spark, PLANTED)),
+        ("smoke", load_table(spark, SF_SMOKE, "documents")),
+    ):
+        path = str(tmp_path / name)
+        R.save_lexical_index(docs, path)
+        got = {tuple(r) for r in R.bm25_topk_from_index(spark, path).collect()}
+        want = {tuple(r) for r in R.bm25_topk(docs).collect()}
+        assert got == want and got, name
+
+
+def test_bm25_from_index_reads_no_text(spark, tmp_path):
+    """The index-served plan scans ONLY the index parquet — the raw
+    documents table (and any 'text' column) appears nowhere; the
+    posting explode is a projection, not a shuffle source, and the
+    plan stays JVM-side."""
+    from sigmod_2024_contest_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "idx")
+    R.save_lexical_index(docs, path)
+    plan = (
+        R.bm25_topk_from_index(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan
+    assert "text#" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
 def test_bm25_plan_properties(spark):
     """Plan-assert the 100 TB shape: per-query top-k is pruned before
     the final window (WindowGroupLimit), every small side (query
