@@ -1768,6 +1768,32 @@ register(
     _bm25_from_index,
     RET.bm25_topk_sql(),
 )
+
+
+def _lexical_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical ingest parity: index the first ~2/3 of the
+    corpus (by doc_id — append-only ranges), upsert the rest as a new
+    batch into a second version dir, and return the MERGED postings
+    table. The oracle re-tokenizes ALL documents from scratch
+    (term_postings_sql), so a hash match proves the O(1)-per-term
+    posting merge ≡ a from-scratch rebuild — the lexical counterpart
+    of index_upsert_parity."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    cut = docs.agg(F.expr("CAST(max(doc_id) * 2 DIV 3 AS BIGINT)")).collect()[0][0]
+    d = _lexical_index_dir(sf_dir) + "_upsert"
+    RET.save_lexical_index(docs.filter(F.col("doc_id") <= cut), f"{d}/v1")
+    RET.upsert_lexical_index(spark, f"{d}/v1", docs.filter(F.col("doc_id") > cut), f"{d}/v2")
+    postings, _ = RET.load_lexical_index(spark, f"{d}/v2")
+    return postings
+
+
+register(
+    "lexical_index_upsert",
+    _lexical_upsert,
+    RET.term_postings_sql(),
+)
 register(
     "dup_span_extract",
     lambda s, d: dedup.dup_span_extract(_docs(s, d)),
@@ -1994,8 +2020,8 @@ register(
 # the round's CORRECTNESS artifact lands and paste its two literals —
 # stalest-first (never-green entries always first), window = 50.
 # _PRIOR_ROUND_GREEN = every entry with a driver-green row in SOME
-# round that the cut left outside the window; with the registry at 122
-# the proof cadence is ⌈122/50⌉ = 3 driver rounds worst case
+# round that the cut left outside the window; with the registry at 123
+# the proof cadence is ⌈123/50⌉ = 3 driver rounds worst case
 # (test-pinned in tests/test_registry_window.py). A NEW entry MUST
 # land in _CHECK_FIRST (it has no green row) or the assert below
 # fails at import.
@@ -2006,6 +2032,7 @@ _CHECK_FIRST: list[str] = [
     "bpe_encode_counts",
     "lexical_postings",
     "bm25_topk_from_index",
+    "lexical_index_upsert",
     "pack_sequences",
     "chunk_documents",
     "mixture_sample",
@@ -2051,7 +2078,6 @@ _CHECK_FIRST: list[str] = [
     "media_video_stats",
     "pricing_summary",
     "top_customers",
-    "events_json_stats",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
@@ -2064,6 +2090,7 @@ _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
         "asof_last_error",
         "event_funnel",
+        "events_json_stats",
         "bm25_topk",
         "brand_revenue",
         "copurchase_pairs",

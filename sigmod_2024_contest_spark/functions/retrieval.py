@@ -393,6 +393,58 @@ def load_lexical_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return spark.read.parquet(f"{path}/postings"), spark.read.parquet(f"{path}/doclens")
 
 
+def merge_postings(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Merge two posting tables whose document-id ranges are DISJOINT
+    and ordered (append-only ingest: every new doc_id exceeds every
+    old one — the caller guards this), so the canonical doc_id-sorted
+    posting string of the union is simply ``old ,  new``: a full-outer
+    term join with per-term integer arithmetic — the corpus is never
+    re-tokenized and nothing re-sorts. ``concat_ws`` skips NULL sides,
+    handling terms present in only one batch."""
+    o = old.select(
+        "term",
+        F.col("df").alias("df_a"),
+        F.col("sum_tf").alias("tf_a"),
+        F.col("postings").alias("p_a"),
+    )
+    n = new.select(
+        "term",
+        F.col("df").alias("df_b"),
+        F.col("sum_tf").alias("tf_b"),
+        F.col("postings").alias("p_b"),
+    )
+    zero = F.lit(0).cast("long")
+    return o.join(n, "term", "full_outer").select(
+        "term",
+        (F.coalesce("df_a", zero) + F.coalesce("df_b", zero)).cast("long").alias("df"),
+        (F.coalesce("tf_a", zero) + F.coalesce("tf_b", zero)).cast("long").alias("sum_tf"),
+        F.concat_ws(",", "p_a", "p_b").alias("postings"),
+    )
+
+
+def upsert_lexical_index(spark, src_path: str, new_docs: DataFrame, dst_path: str) -> None:
+    """Append a new document batch to a saved index, writing the
+    merged index to ``dst_path`` (immutable versioned dirs — the
+    epoch-store convention; never an in-place overwrite of parquet
+    being read). Loudly refuses interleaved id ranges: the O(1)
+    posting-string merge is only canonical when every new doc_id
+    exceeds every indexed one (append-only ingest). Both guards are
+    metadata-sized aggregates (one row each)."""
+    postings, doclens = load_lexical_index(spark, src_path)
+    old_max = doclens.agg(F.max("doc_id")).collect()[0][0]
+    new_min = new_docs.agg(F.min("doc_id")).collect()[0][0]
+    if old_max is not None and new_min is not None and new_min <= old_max:
+        raise ValueError(
+            f"append-only upsert requires new doc_ids > indexed max "
+            f"({new_min} <= {old_max}); re-ingest from scratch instead"
+        )
+    merged = merge_postings(postings, term_postings(new_docs))
+    merged.write.mode("overwrite").parquet(f"{dst_path}/postings")
+    doclens.unionByName(doc_lengths(new_docs)).write.mode("overwrite").parquet(
+        f"{dst_path}/doclens"
+    )
+
+
 def _pairs_from_index(postings: DataFrame, doclens: DataFrame) -> DataFrame:
     """Reconstruct the (doc_id, dl, term, tf) pair table from posting
     strings: explode each list (output is exactly pair-table-sized,

@@ -44,6 +44,7 @@ NEVER_GREEN_ENTRIES = [
     "bpe_encode_counts",
     "lexical_postings",
     "bm25_topk_from_index",
+    "lexical_index_upsert",
 ]
 
 R8_STALE = [
@@ -61,15 +62,15 @@ R8_STALE = [
 
 
 def test_round12_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the four never-hash-green entries
-    (BPE pair + the new lexical-index pair) + the 20 r8-stale names +
-    the 26 stalest r10-green names: never-hash-green lead, no
+    """First 50 registry keys == the five never-hash-green entries
+    (BPE pair + the new lexical-index trio) + the 20 r8-stale names +
+    the 25 stalest r10-green names: never-hash-green lead, no
     r11-green name re-occupies a slot."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:4] == NEVER_GREEN_ENTRIES
-    assert set(first[4:24]) == set(R8_STALE)
-    # the 26 remaining slots rotate r10-green names back in; every
+    assert first[:5] == NEVER_GREEN_ENTRIES
+    assert set(first[5:25]) == set(R8_STALE)
+    # the 25 remaining slots rotate r10-green names back in; every
     # hash-green r11 entry waits in prior-green
     import json
 
@@ -114,7 +115,7 @@ def test_rotation_cadence_bound():
     names = list(api._REGISTRY)
     window = api._DRIVER_WINDOW
     bound = math.ceil(len(names) / window)
-    assert bound == 3  # 122 entries / 50 slots — update alongside the registry
+    assert bound == 3  # 123 entries / 50 slots — update alongside the registry
     rounds = {k: set(v) for k, v in load_green_rounds("/root/repo").items()}
     cur = max(rounds)
     latest: dict[str, int] = {}

@@ -176,6 +176,39 @@ def test_bm25_from_index_reads_no_text(spark, tmp_path):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_upsert_merge_equals_from_scratch(spark, tmp_path):
+    """Append-only upsert parity: index docs 0-4, upsert docs 5-7;
+    the merged postings must equal from-scratch term_postings over
+    all 8 docs (terms present in only one batch included), and the
+    merged index must SERVE identically to a from-scratch index."""
+    all_docs = _docs(spark, PLANTED)
+    base = all_docs.filter("doc_id <= 4")
+    delta = all_docs.filter("doc_id > 4")
+    R.save_lexical_index(base, str(tmp_path / "v1"))
+    R.upsert_lexical_index(spark, str(tmp_path / "v1"), delta, str(tmp_path / "v2"))
+    merged, _ = R.load_lexical_index(spark, str(tmp_path / "v2"))
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in R.term_postings(all_docs).collect()}
+    assert got == want and got
+    served = {tuple(r) for r in R.bm25_topk_from_index(spark, str(tmp_path / "v2")).collect()}
+    direct = {tuple(r) for r in R.bm25_topk(all_docs).collect()}
+    assert served == direct and served
+
+
+def test_upsert_refuses_interleaved_ids(spark, tmp_path):
+    """The O(1)-per-term posting-string merge is only canonical for
+    append-only id ranges — interleaved ids must fail loudly, never
+    write a silently mis-ordered index."""
+    import pytest
+
+    all_docs = _docs(spark, PLANTED)
+    R.save_lexical_index(all_docs.filter("doc_id >= 3"), str(tmp_path / "v1"))
+    with pytest.raises(ValueError, match="append-only"):
+        R.upsert_lexical_index(
+            spark, str(tmp_path / "v1"), all_docs.filter("doc_id < 3"), str(tmp_path / "v2")
+        )
+
+
 def test_bm25_plan_properties(spark):
     """Plan-assert the 100 TB shape: per-query top-k is pruned before
     the final window (WindowGroupLimit), every small side (query
