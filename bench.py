@@ -433,6 +433,32 @@ def main() -> None:
     except Exception as e:
         print(f"bench: knn_hybrid_build failed: {e}", file=sys.stderr)
         prep["knn_hybrid_build"] = -1.0
+    # Lexical analogue of the Build/Search split (r12 verdict #8): the
+    # one-time tokenize→segment write is timed under "prep"; the
+    # bench-only serve leg below then measures what a build-once/
+    # search-many deployment actually pays per query batch. The
+    # registry's own bm25_topk_from_index entry deliberately keeps
+    # build+serve in one clock (that's its correctness-proving shape).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sigmod_2024_contest_spark.functions import retrieval as _RETR
+    from sigmod_2024_contest_spark.sources.tables import load_table as _load_table
+
+    lex_dir = _tempfile.mkdtemp(prefix="sg_bench_lexidx_")
+    t0 = time.time()
+    try:
+        _RETR.append_lexical_segment(
+            spark, lex_dir, _load_table(spark, SF_DIR, "documents")
+        )
+        prep["lexical_index_build"] = round(time.time() - t0, 3)
+        reg["bm25_serve_from_index"] = (
+            lambda s, d, _p=lex_dir: _RETR.bm25_topk_from_index(s, _p)
+        )
+        names.append("bm25_serve_from_index")  # runs{} is built from names below
+    except Exception as e:
+        print(f"bench: lexical_index_build failed: {e}", file=sys.stderr)
+        prep["lexical_index_build"] = -1.0
 
     import gc
 
@@ -553,6 +579,7 @@ def main() -> None:
         "stress_recall": stress_timings.get("stress_recall"),
     }
     print(json.dumps({k: v for k, v in compact.items() if v is not None}))
+    _shutil.rmtree(lex_dir, ignore_errors=True)
     spark.stop()
 
 

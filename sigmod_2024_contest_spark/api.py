@@ -1735,33 +1735,50 @@ register(
     lambda s, d: RET.retrieval_rrf(_docs(s, d)),
     RET.retrieval_rrf_sql(),
 )
-# r12: the persisted lexical inverted index (build → save → load →
-# serve; the vector lifecycle's S8/S9 posture on the lexical side).
-# lexical_postings hash-checks the index artifact itself;
-# bm25_topk_from_index rebuilds the index under a deterministic temp
-# dir, then answers BM25 ENTIRELY from the loaded parquet — its
-# oracle is the raw-recompute bm25 twin, so a hash match proves the
-# whole tokenize→save→load→search loop end-to-end.
+# r12→r13: the persisted lexical inverted index is now a SEGMENTED
+# BLOCKED store (functions/retrieval.py — bounded (term, block_no)
+# posting rows; per-batch immutable segments + atomic manifest;
+# O(batch) append; O(#block-rows) compaction + GC), the vector epoch
+# store's posture on the lexical side. Every entry builds its store
+# under a per-call mkdtemp and MATERIALIZES the result before the
+# finally deletes the tree (r12 advice: the old fixed sha1-keyed
+# /tmp path raced concurrent runs and leaked sg_lexidx_* dirs).
+# lexical_postings hash-checks the blocked index artifact itself;
+# bm25_topk_from_index answers BM25 ENTIRELY from the loaded store
+# against the raw-recompute bm25 oracle — a hash match proves the
+# whole tokenize→append→load→search loop end-to-end.
 
 
-def _lexical_index_dir(sf_dir: str) -> str:
-    import hashlib
-    import tempfile
+def _lexical_materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    # the lazy plan reads the store the caller's finally deletes
+    return spark.createDataFrame(df.collect(), df.schema)
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"sg_lexidx_{tag}")
+
+def _doc_thirds(spark: SparkSession, sf_dir: str):
+    """(docs, cut1, cut2): deterministic append-only batch bounds."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    return docs, mx * 1 // 3, mx * 2 // 3
 
 
 def _bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _lexical_index_dir(sf_dir)
-    RET.save_lexical_index(_docs(spark, sf_dir), path)  # overwrite: never stale
-    return RET.bm25_topk_from_index(spark, path)
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sg_lexidx_")
+    try:
+        RET.append_lexical_segment(spark, work, _docs(spark, sf_dir))
+        return _lexical_materialized(spark, RET.bm25_topk_from_index(spark, work))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 register(
     "lexical_postings",
-    lambda s, d: RET.term_postings(_docs(s, d)),
-    RET.term_postings_sql(),
+    lambda s, d: RET.term_posting_blocks(_docs(s, d)),
+    RET.term_posting_blocks_sql(),
 )
 register(
     "bm25_topk_from_index",
@@ -1772,27 +1789,131 @@ register(
 
 def _lexical_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental lexical ingest parity: index the first ~2/3 of the
-    corpus (by doc_id — append-only ranges), upsert the rest as a new
-    batch into a second version dir, and return the MERGED postings
-    table. The oracle re-tokenizes ALL documents from scratch
-    (term_postings_sql), so a hash match proves the O(1)-per-term
-    posting merge ≡ a from-scratch rebuild — the lexical counterpart
-    of index_upsert_parity."""
+    corpus (by doc_id — append-only ranges), append the rest as a
+    second SEGMENT (O(batch) writes — no existing posting row is read
+    or rewritten), and return the read-time merged block view. The
+    oracle re-tokenizes ALL documents from scratch
+    (term_posting_blocks_sql), so a hash match proves segment-union +
+    per-(term, block) merge ≡ a from-scratch rebuild — the lexical
+    counterpart of index_upsert_parity."""
     from pyspark.sql import functions as F
+    import shutil
+    import tempfile
 
-    docs = _docs(spark, sf_dir)
-    cut = docs.agg(F.expr("CAST(max(doc_id) * 2 DIV 3 AS BIGINT)")).collect()[0][0]
-    d = _lexical_index_dir(sf_dir) + "_upsert"
-    RET.save_lexical_index(docs.filter(F.col("doc_id") <= cut), f"{d}/v1")
-    RET.upsert_lexical_index(spark, f"{d}/v1", docs.filter(F.col("doc_id") > cut), f"{d}/v2")
-    postings, _ = RET.load_lexical_index(spark, f"{d}/v2")
-    return postings
+    docs, _, cut = _doc_thirds(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sg_lexidx_")
+    try:
+        RET.append_lexical_segment(spark, work, docs.filter(F.col("doc_id") <= cut))
+        RET.append_lexical_segment(spark, work, docs.filter(F.col("doc_id") > cut))
+        blocks, _ = RET.load_lexical_store(spark, work)
+        return _lexical_materialized(spark, RET.merged_posting_blocks(blocks))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 register(
     "lexical_index_upsert",
     _lexical_upsert,
-    RET.term_postings_sql(),
+    RET.term_posting_blocks_sql(),
+)
+
+
+def _lexical_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-batch sustained ingest, driver-proven: each batch is one
+    O(batch) segment append; the merged view must hash-equal the
+    from-scratch blocked index. Two in-plan flags certify what the
+    row data cannot: `append_only` — the manifest records three
+    segments with strictly ascending disjoint doc_id ranges (the
+    precondition that makes the merge canonical), checked from
+    manifest metadata alone; `block_bounded` — NO stored posting row
+    exceeds POSTING_BLOCK entries, computed as a real aggregate over
+    the physical parquet rows (max size(split(postings))), the
+    store-side guarantee that kills the unbounded hot-term row."""
+    from pyspark.sql import functions as F
+    import shutil
+    import tempfile
+
+    docs, cut1, cut2 = _doc_thirds(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sg_lexidx_")
+    try:
+        RET.append_lexical_segment(spark, work, docs.filter(F.col("doc_id") <= cut1))
+        RET.append_lexical_segment(
+            spark, work, docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+        )
+        RET.append_lexical_segment(spark, work, docs.filter(F.col("doc_id") > cut2))
+        segs = RET._read_manifest(work)["segments"]
+        append_only = len(segs) == 3 and all(
+            a["max_doc"] < b["min_doc"] for a, b in zip(segs, segs[1:])
+        )
+        blocks, _ = RET.load_lexical_store(spark, work)
+        max_entries = blocks.agg(
+            F.max(F.size(F.split("postings", ","))).alias("m")
+        ).collect()[0][0]
+        out = RET.merged_posting_blocks(blocks).select(
+            "*",
+            F.lit(bool(append_only)).alias("append_only"),
+            F.lit(bool(max_entries <= RET.POSTING_BLOCK)).alias("block_bounded"),
+        )
+        return _lexical_materialized(spark, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "lexical_ingest_parity",
+    _lexical_ingest_parity,
+    RET.term_posting_blocks_sql(
+        flags=",\n       TRUE AS append_only, TRUE AS block_bounded"
+    ),
+)
+
+
+def _lexical_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three appends + one compaction: the folded single segment must
+    hash-equal the from-scratch blocked index (compaction is an
+    O(#block-rows) posting merge, never a re-tokenize). Flags:
+    `compacted_single_segment` — the manifest references exactly one
+    live segment; `store_bounded` — GC removed every unreferenced
+    segment directory (the on-disk set equals the manifest's), the
+    same bounded-store certificate as stream_index_ingest_parity."""
+    from pyspark.sql import functions as F
+    import re as _re
+    import shutil
+    import tempfile
+
+    docs, cut1, cut2 = _doc_thirds(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sg_lexidx_")
+    try:
+        RET.append_lexical_segment(spark, work, docs.filter(F.col("doc_id") <= cut1))
+        RET.append_lexical_segment(
+            spark, work, docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+        )
+        RET.append_lexical_segment(spark, work, docs.filter(F.col("doc_id") > cut2))
+        RET.compact_lexical_store(spark, work)
+        segs = RET._read_manifest(work)["segments"]
+        on_disk = {d for d in os.listdir(work) if _re.fullmatch(r"seg_\d+", d)}
+        referenced = {f"seg_{s['seg']}" for s in segs}
+        blocks, _ = RET.load_lexical_store(spark, work)
+        out = blocks.select(
+            "term",
+            "block_no",
+            "df",
+            "sum_tf",
+            "postings",
+            F.lit(len(segs) == 1).alias("compacted_single_segment"),
+            F.lit(on_disk == referenced).alias("store_bounded"),
+        )
+        return _lexical_materialized(spark, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "lexical_compaction_parity",
+    _lexical_compaction_parity,
+    RET.term_posting_blocks_sql(
+        flags=",\n       TRUE AS compacted_single_segment, TRUE AS store_bounded"
+    ),
 )
 register(
     "dup_span_extract",
@@ -2005,162 +2126,168 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-12 window (rotate_window.py plan, verbatim): the four
-# never-hash-green entries first — bpe_train / bpe_encode_counts
-# (their r11 rows were rows-only `no_oracle`; this round they carry
-# the new unrolled DuckDB twin) and the new r12 lexical-index pair
-# (lexical_postings / bm25_topk_from_index) — then the 20 names whose
-# latest green row is CORRECTNESS_r08 (exactly at the pinned 3-round
-# staleness bound: pack_sequences … power_users_daily_coverage), then
-# the 26 stalest r10-green names. Everything displaced (the 48
-# hash-green r11 names plus the rest of the r10 block) waits in
-# _PRIOR_ROUND_GREEN on its newest green row.
+# Round-13 window (rotate_window.py plan with
+# `--force lexical_postings,bm25_topk_from_index,lexical_index_upsert`,
+# verbatim): the five lexical-store entries first — the two NEW parity
+# entries (lexical_ingest_parity / lexical_compaction_parity, never
+# green) and the three FORCED names whose semantics changed when the
+# store became segmented+blocked this round (their r12 green rows
+# prove the old flat-index code, so the tool ranks them never-green)
+# — then the 25 names whose latest green row is CORRECTNESS_r10
+# (exactly at the pinned 3-round staleness bound: events_json_stats …
+# top_supplier, the r12 verdict's list), then the 20 stalest r11-green
+# names. Everything displaced waits in _PRIOR_ROUND_GREEN on its
+# newest green row.
 #
 # STANDING OBLIGATION (every round): run tools/rotate_window.py after
 # the round's CORRECTNESS artifact lands and paste its two literals —
-# stalest-first (never-green entries always first), window = 50.
-# _PRIOR_ROUND_GREEN = every entry with a driver-green row in SOME
-# round that the cut left outside the window; with the registry at 123
-# the proof cadence is ⌈123/50⌉ = 3 driver rounds worst case
-# (test-pinned in tests/test_registry_window.py). A NEW entry MUST
-# land in _CHECK_FIRST (it has no green row) or the assert below
-# fails at import.
+# stalest-first (never-green entries always first, semantics-changed
+# entries passed via --force), window = 50. _PRIOR_ROUND_GREEN =
+# every entry with a driver-green row in SOME round that the cut left
+# outside the window; with the registry at 125 the proof cadence is
+# ⌈125/50⌉ = 3 driver rounds worst case (test-pinned in
+# tests/test_registry_window.py). A NEW entry MUST land in
+# _CHECK_FIRST (it has no green row) or the assert below fails at
+# import.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
-    "bpe_train",
-    "bpe_encode_counts",
     "lexical_postings",
     "bm25_topk_from_index",
     "lexical_index_upsert",
-    "pack_sequences",
-    "chunk_documents",
-    "mixture_sample",
-    "vocab_counts",
-    "decontaminate",
-    "dedup_embedding_cosine",
-    "dedup_cosine_lsh",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "recall_lsh_vs_exact",
-    "recall_hybrid_vs_exact",
-    "recall_ivf_vs_exact",
-    "knn_auto",
-    "recall_nndescent_vs_exact",
-    "workload_stats",
-    "events_windowed_counts",
-    "events_sessionized",
-    "events_click_attribution",
-    "power_users_daily_coverage",
-    "index_upsert_parity",
-    "stream_neardup_parity",
-    "index_compaction_parity",
-    "stream_index_ingest_parity",
-    "quality_classifier",
-    "source_quality_summary",
-    "bigram_likelihood",
-    "dup_ngram_stats",
-    "winnow_match_pairs",
-    "dedup_keep_best",
-    "embed_project",
-    "knn_pq_rerank",
-    "recall_pq_vs_exact",
-    "knn_ivfpq_rerank",
-    "recall_ivfpq_vs_exact",
-    "user_totals",
-    "events_daily_dedup",
-    "media_byte_stats",
-    "media_frame_sample",
-    "media_resize",
-    "media_image_stats",
-    "media_audio_stats",
-    "media_video_stats",
-    "pricing_summary",
-    "top_customers",
+    "lexical_ingest_parity",
+    "lexical_compaction_parity",
+    "events_json_stats",
+    "asof_last_error",
+    "event_funnel",
+    "retention_cohorts",
+    "events_value_quantiles",
+    "shipping_priority",
+    "local_supplier_volume",
+    "brand_revenue",
+    "order_priority_check",
+    "returned_items",
+    "promo_revenue",
+    "large_orders",
+    "discounted_revenue",
+    "sales_opportunity",
+    "volume_shipping",
+    "parts_supplier_counts",
+    "tfidf_topk",
+    "salted_user_join",
+    "events_daily_pivot",
+    "sales_rollup",
+    "events_user_reach",
+    "forecast_revenue",
+    "late_line_priority",
+    "customer_order_distribution",
+    "top_supplier",
+    "knn_bruteforce",
+    "knn_declarative",
+    "stats_category_counts",
+    "selectivity",
+    "route_plan",
+    "split_interval",
+    "sq8_encode",
+    "sq8_asym_encode",
+    "sq4_encode",
+    "knn_sq8_rerank",
+    "knn_asym_rerank",
+    "knn_sq4_rerank",
+    "knn_hybrid",
+    "knn_hybrid_bf_exact",
+    "stream_index_ingest_epoch_parity",
+    "text_stats",
+    "text_repetition",
+    "lang_id",
+    "doc_fingerprint",
+    "redact_pii",
 ]
 
 # Entries with a driver-green hash row that the stalest-first cut left
-# outside this round's window: the 50 CORRECTNESS_r08 names plus the 5
-# r7-green names the new entries displaced. Together with _CHECK_FIRST
-# these must cover the whole registry: a new entry registered without
-# being added to the rotation plan fails loudly at import instead of
-# silently landing outside every driver window (r7 verdict #4).
+# outside this round's window (every r12-green name except the forced
+# lexical trio, plus the newer half of the r11 block). Together with
+# _CHECK_FIRST these must cover the whole registry: a new entry
+# registered without being added to the rotation plan fails loudly at
+# import instead of silently landing outside every driver window (r7
+# verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
-        "asof_last_error",
-        "event_funnel",
-        "events_json_stats",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "bigram_likelihood",
         "bm25_topk",
-        "brand_revenue",
+        "bpe_encode_counts",
+        "bpe_train",
+        "chunk_documents",
         "copurchase_pairs",
         "curate_corpus",
-        "customer_order_distribution",
+        "decontaminate",
         "dedup_clusters",
         "dedup_containment",
+        "dedup_cosine_lsh",
+        "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_jaccard",
+        "dedup_keep_best",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "discounted_revenue",
-        "doc_fingerprint",
+        "dup_ngram_stats",
         "dup_span_extract",
-        "events_daily_pivot",
-        "events_user_reach",
-        "events_value_quantiles",
-        "forecast_revenue",
+        "embed_project",
+        "events_click_attribution",
+        "events_daily_dedup",
+        "events_sessionized",
+        "events_windowed_counts",
         "important_parts",
-        "knn_asym_rerank",
-        "knn_bruteforce",
-        "knn_declarative",
-        "knn_hybrid",
-        "knn_hybrid_bf_exact",
-        "knn_sq4_rerank",
-        "knn_sq8_rerank",
-        "lang_id",
-        "large_orders",
-        "late_line_priority",
-        "local_supplier_volume",
+        "index_compaction_parity",
+        "index_upsert_parity",
+        "knn_auto",
+        "knn_ivfpq_rerank",
+        "knn_pq_rerank",
         "market_share",
+        "media_audio_stats",
+        "media_byte_stats",
+        "media_frame_sample",
+        "media_image_stats",
+        "media_resize",
+        "media_video_stats",
         "min_cost_supplier",
+        "mixture_sample",
         "ngram_counts",
         "order_gap_days",
-        "order_priority_check",
-        "parts_supplier_counts",
+        "pack_sequences",
+        "power_users_daily_coverage",
+        "pricing_summary",
         "product_type_profit",
-        "promo_revenue",
         "promo_suppliers",
-        "redact_pii",
+        "quality_classifier",
+        "recall_hybrid_vs_exact",
+        "recall_ivf_vs_exact",
+        "recall_ivfpq_vs_exact",
+        "recall_lsh_vs_exact",
+        "recall_nndescent_vs_exact",
+        "recall_pq_vs_exact",
         "remove_dup_spans",
-        "retention_cohorts",
         "retrieval_rrf",
-        "returned_items",
         "revenue_growth_mom",
         "rolling_revenue",
-        "route_plan",
         "sales_cube",
-        "sales_opportunity",
-        "sales_rollup",
-        "salted_user_join",
         "sample_balanced_splits",
-        "selectivity",
-        "shipping_priority",
         "small_qty_revenue",
-        "split_interval",
-        "sq4_encode",
-        "sq8_asym_encode",
-        "sq8_encode",
-        "stats_category_counts",
-        "stream_index_ingest_epoch_parity",
-        "text_repetition",
-        "text_stats",
-        "tfidf_topk",
+        "source_quality_summary",
+        "stream_index_ingest_parity",
+        "stream_neardup_parity",
         "token_counts",
-        "top_supplier",
+        "top_customers",
         "user_order_reconciliation",
-        "volume_shipping",
+        "user_totals",
+        "vocab_counts",
         "waiting_suppliers",
         "winnow_fingerprints",
+        "winnow_match_pairs",
+        "workload_stats",
     }
 )
 

@@ -197,10 +197,17 @@ def render_route_report(
     )
     base = base_vectors(spark, sf_dir)
     counts = _slice_counts(base, routing.CAT_GRAPH_THR)
+    dim = len(base.select("vec").first()[0])
+    t0_rows = routing.t0_bf_rows_bound(dim)
     lines = [
         f"ROUTE PLAN  k={k}  sf_dir={sf_dir}",
         f"  thresholds: bf<{routing.BF_THR} (type3 <{routing.BF_THR_T3}),"
         f" cat-graph>={routing.CAT_GRAPH_THR}, max_nodes/shard={MAX_NODES_PER_GRAPH}",
+        f"  type-0 fused-bf bound: corpus <= {t0_rows} rows at dim={dim} "
+        f"(min of the broadcast cap and the MEASURED beat-the-graph "
+        f"crossover T0_BF_MAX_CELLS={routing.T0_BF_MAX_CELLS} cells "
+        f"— r12 recalibration, tools/sweep_router_crossover.py: bf wins "
+        f"16M cells, loses 32M+)",
         "",
         f"  {'route':<14}{'type':>4}{'queries':>9}{'sel_ppm':>18}"
         f"{'fanout':>8}{'ef':>12}{'candidates':>12}",

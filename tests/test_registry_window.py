@@ -35,66 +35,73 @@ ROUND8_WINDOW = {
 }
 
 
-NEVER_GREEN_ENTRIES = [
-    # the only entries without a driver hash row: the BPE pair's r11
-    # rows were rows-only (`err: no_oracle`) and this round they carry
-    # the unrolled DuckDB twin; the lexical-index pair is new in r12.
-    # Stalest-first puts all four at the head.
-    "bpe_train",
-    "bpe_encode_counts",
+WINDOW_HEAD = [
+    # r13: the lexical store became segmented+blocked, so the three
+    # FORCED names (semantics changed — their r12 green rows prove the
+    # old flat-index code) rank as never-green alongside the two NEW
+    # parity entries. rotate_window.py --force makes this mechanical.
     "lexical_postings",
     "bm25_topk_from_index",
     "lexical_index_upsert",
+    "lexical_ingest_parity",
+    "lexical_compaction_parity",
 ]
 
-R8_STALE = [
-    # latest green row is CORRECTNESS_r08 — exactly at the pinned
-    # 3-round staleness bound; the r11 verdict requires these to lead
-    # the r12 window right after the never-hash-green BPE pair
-    "pack_sequences", "chunk_documents", "mixture_sample",
-    "vocab_counts", "decontaminate", "dedup_embedding_cosine",
-    "dedup_cosine_lsh", "ann_cosine_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "recall_lsh_vs_exact", "recall_hybrid_vs_exact",
-    "recall_ivf_vs_exact", "knn_auto", "recall_nndescent_vs_exact",
-    "workload_stats", "events_windowed_counts", "events_sessionized",
-    "events_click_attribution", "power_users_daily_coverage",
+FORCED = ["lexical_postings", "bm25_topk_from_index", "lexical_index_upsert"]
+
+R10_STALE = [
+    # latest green row is CORRECTNESS_r10 — exactly at the pinned
+    # 3-round staleness bound; the r12 verdict requires these 25 to
+    # lead the r13 window right after the lexical-store head
+    "asof_last_error", "brand_revenue", "customer_order_distribution",
+    "discounted_revenue", "event_funnel", "events_daily_pivot",
+    "events_json_stats", "events_user_reach", "events_value_quantiles",
+    "forecast_revenue", "large_orders", "late_line_priority",
+    "local_supplier_volume", "order_priority_check",
+    "parts_supplier_counts", "promo_revenue", "retention_cohorts",
+    "returned_items", "sales_opportunity", "sales_rollup",
+    "salted_user_join", "shipping_priority", "tfidf_topk",
+    "top_supplier", "volume_shipping",
 ]
 
 
-def test_round12_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the five never-hash-green entries
-    (BPE pair + the new lexical-index trio) + the 20 r8-stale names +
-    the 25 stalest r10-green names: never-hash-green lead, no
-    r11-green name re-occupies a slot."""
+def test_round13_window_is_exactly_the_planned_set():
+    """First 50 registry keys == the five lexical-store entries (two
+    new + three forced) + the 25 r10-stale names + the 20 stalest
+    r11-green names: no r12-green name except the forced trio
+    re-occupies a slot."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
-    assert first[:5] == NEVER_GREEN_ENTRIES
-    assert set(first[5:25]) == set(R8_STALE)
-    # the 25 remaining slots rotate r10-green names back in; every
-    # hash-green r11 entry waits in prior-green
+    assert first[:5] == WINDOW_HEAD
+    assert set(first[5:30]) == set(R10_STALE)
+    # the 20 remaining slots rotate the stalest r11-green names back
+    # in; every r12-green entry except the forced trio waits in
+    # prior-green
     import json
 
-    r11 = {
+    r12 = {
         k
-        for k, v in json.load(open("/root/repo/CORRECTNESS_r11.json")).items()
+        for k, v in json.load(open("/root/repo/CORRECTNESS_r12.json")).items()
         if v.get("err") is None
     }
-    assert r11.isdisjoint(first)
-    assert r11 <= set(api._PRIOR_ROUND_GREEN)
+    assert (r12 - set(FORCED)).isdisjoint(first)
+    assert r12 - set(FORCED) <= set(api._PRIOR_ROUND_GREEN)
 
 
-def test_rotate_window_tool_reproduces_r12_window():
-    """On the real r1-r11 artifacts and the live registry the tool
-    must propose exactly the committed r12 lists — the rotation stays
-    mechanical, not hand-curated."""
+def test_rotate_window_tool_reproduces_r13_window():
+    """On the real r1-r12 artifacts, the live registry, and the
+    declared force list the tool must propose exactly the committed
+    r13 lists — the rotation stays mechanical, not hand-curated."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from rotate_window import load_green_rounds, plan_next_window
 
-    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 11}
-    assert max(rounds) == 11
-    nxt, prior = plan_next_window(list(api._REGISTRY), rounds, window=50)
+    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 12}
+    assert max(rounds) == 12
+    nxt, prior = plan_next_window(
+        list(api._REGISTRY), rounds, window=50, force=tuple(FORCED)
+    )
     assert nxt == api._CHECK_FIRST
     assert prior == set(api._PRIOR_ROUND_GREEN)
 
@@ -115,7 +122,7 @@ def test_rotation_cadence_bound():
     names = list(api._REGISTRY)
     window = api._DRIVER_WINDOW
     bound = math.ceil(len(names) / window)
-    assert bound == 3  # 123 entries / 50 slots — update alongside the registry
+    assert bound == 3  # 125 entries / 50 slots — update alongside the registry
     rounds = {k: set(v) for k, v in load_green_rounds("/root/repo").items()}
     cur = max(rounds)
     latest: dict[str, int] = {}

@@ -122,22 +122,46 @@ def test_retrieval_rrf_shape(spark):
     assert len(out) <= R.BM25_TOPK
 
 
-def test_term_postings_canonical(spark):
-    """Posting strings are doc_id-sorted and exact: hand-check the
-    planted corpus's 'common' term (docs 0, 2, 5, 6, 7 — tf 2 in doc 0,
-    1 elsewhere) and 'zebra' (docs 0, 1)."""
+def test_posting_blocks_canonical(spark):
+    """Blocked posting rows are doc_id-sorted and exact. With
+    block=4 the planted corpus splits at doc_id 4: 'common' (docs
+    0,2,5,6,7) spans two blocks; per-block df/sum_tf are partials of
+    the hand-checked totals."""
     rows = {
-        r["term"]: (r["df"], r["sum_tf"], r["postings"])
-        for r in R.term_postings(_docs(spark, PLANTED)).collect()
+        (r["term"], r["block_no"]): (r["df"], r["sum_tf"], r["postings"])
+        for r in R.term_posting_blocks(_docs(spark, PLANTED), block=4).collect()
     }
-    assert rows["common"] == (5, 6, "0:2,2:1,5:1,6:1,7:1")
-    assert rows["zebra"] == (2, 4, "0:3,1:1")
-    assert rows["quark"] == (3, 3, "0:1,3:1,4:1")
+    assert rows[("common", 0)] == (2, 3, "0:2,2:1")
+    assert rows[("common", 1)] == (3, 3, "5:1,6:1,7:1")
+    assert rows[("zebra", 0)] == (2, 4, "0:3,1:1")
+    assert rows[("quark", 0)] == (2, 2, "0:1,3:1")
+    assert rows[("quark", 1)] == (1, 1, "4:1")
+    # default block: the whole planted corpus fits in block 0 and the
+    # strings match the flat hand-checked postings
+    flat = {
+        r["term"]: (r["df"], r["sum_tf"], r["postings"])
+        for r in R.term_posting_blocks(_docs(spark, PLANTED)).collect()
+    }
+    assert flat["common"] == (5, 6, "0:2,2:1,5:1,6:1,7:1")
 
 
-def test_bm25_from_index_equals_direct(spark, tmp_path):
-    """The index-served path must be bit-identical to the direct path
-    on the corpus the index was built from — save → load → search
+def test_blocks_bounded_on_hot_term(spark):
+    """The store-side guarantee that kills the unbounded hot-term row:
+    a term occurring in EVERY document of a corpus larger than the
+    block size must produce only rows with <= block entries — and the
+    store must still serve bit-identically to the direct path."""
+    hot = [(i, f"hot filler{i} pad{i % 7}") for i in range(64)]
+    docs = _docs(spark, hot)
+    blocks = R.term_posting_blocks(docs, block=8)
+    sizes = [len(r["postings"].split(",")) for r in blocks.collect()]
+    assert max(sizes) <= 8
+    hot_rows = blocks.filter("term = 'hot'").collect()
+    assert len(hot_rows) == 8 and all(r["df"] == 8 for r in hot_rows)
+
+
+def test_store_append_serve_equals_direct(spark, tmp_path):
+    """The store-served path must be bit-identical to the direct path
+    on the corpus the store indexed — append → load → search
     round-trips through parquet with nothing lost (planted + sf0.001
     corpora)."""
     from sigmod_2024_contest_spark.sources.tables import load_table
@@ -148,14 +172,14 @@ def test_bm25_from_index_equals_direct(spark, tmp_path):
         ("smoke", load_table(spark, SF_SMOKE, "documents")),
     ):
         path = str(tmp_path / name)
-        R.save_lexical_index(docs, path)
+        R.append_lexical_segment(spark, path, docs)
         got = {tuple(r) for r in R.bm25_topk_from_index(spark, path).collect()}
         want = {tuple(r) for r in R.bm25_topk(docs).collect()}
         assert got == want and got, name
 
 
 def test_bm25_from_index_reads_no_text(spark, tmp_path):
-    """The index-served plan scans ONLY the index parquet — the raw
+    """The store-served plan scans ONLY the index parquet — the raw
     documents table (and any 'text' column) appears nowhere; the
     posting explode is a projection, not a shuffle source, and the
     plan stays JVM-side."""
@@ -164,7 +188,7 @@ def test_bm25_from_index_reads_no_text(spark, tmp_path):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     path = str(tmp_path / "idx")
-    R.save_lexical_index(docs, path)
+    R.append_lexical_segment(spark, path, docs)
     plan = (
         R.bm25_topk_from_index(spark, path)
         ._jdf.queryExecution()
@@ -176,37 +200,107 @@ def test_bm25_from_index_reads_no_text(spark, tmp_path):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
-def test_upsert_merge_equals_from_scratch(spark, tmp_path):
-    """Append-only upsert parity: index docs 0-4, upsert docs 5-7;
-    the merged postings must equal from-scratch term_postings over
-    all 8 docs (terms present in only one batch included), and the
-    merged index must SERVE identically to a from-scratch index."""
+def test_segment_merge_equals_from_scratch(spark, tmp_path):
+    """Append-only segment parity: append docs 0-4 then 5-7 as two
+    O(batch) segments; the read-time merged block view must equal
+    from-scratch term_posting_blocks over all 8 docs (terms present
+    in only one batch included), and the two-segment store must SERVE
+    identically to the direct path. block=4 makes segment 1 extend
+    block 1, exercising the cross-segment posting concat."""
     all_docs = _docs(spark, PLANTED)
-    base = all_docs.filter("doc_id <= 4")
-    delta = all_docs.filter("doc_id > 4")
-    R.save_lexical_index(base, str(tmp_path / "v1"))
-    R.upsert_lexical_index(spark, str(tmp_path / "v1"), delta, str(tmp_path / "v2"))
-    merged, _ = R.load_lexical_index(spark, str(tmp_path / "v2"))
-    got = {tuple(r) for r in merged.collect()}
-    want = {tuple(r) for r in R.term_postings(all_docs).collect()}
+    path = str(tmp_path / "store")
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id <= 4"), block=4)
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id > 4"), block=4)
+    blocks, _ = R.load_lexical_store(spark, path)
+    got = {tuple(r) for r in R.merged_posting_blocks(blocks).collect()}
+    want = {tuple(r) for r in R.term_posting_blocks(all_docs, block=4).collect()}
     assert got == want and got
-    served = {tuple(r) for r in R.bm25_topk_from_index(spark, str(tmp_path / "v2")).collect()}
+    served = {tuple(r) for r in R.bm25_topk_from_index(spark, path).collect()}
     direct = {tuple(r) for r in R.bm25_topk(all_docs).collect()}
     assert served == direct and served
 
 
-def test_upsert_refuses_interleaved_ids(spark, tmp_path):
-    """The O(1)-per-term posting-string merge is only canonical for
-    append-only id ranges — interleaved ids must fail loudly, never
-    write a silently mis-ordered index."""
+def test_compaction_equals_rebuild_and_bounds_store(spark, tmp_path):
+    """Three appends + compact: the folded SINGLE segment must carry
+    exactly the from-scratch blocked index (compaction merges posting
+    strings, never re-tokenizes), the manifest must reference one
+    segment, and GC must have removed the three old segment dirs."""
+    import os
+    import re as _re
+
+    all_docs = _docs(spark, PLANTED)
+    path = str(tmp_path / "store")
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id <= 2"), block=4)
+    R.append_lexical_segment(
+        spark, path, all_docs.filter("doc_id > 2 AND doc_id <= 5"), block=4
+    )
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id > 5"), block=4)
+    seg = R.compact_lexical_store(spark, path)
+    manifest = R._read_manifest(path)
+    assert [s["seg"] for s in manifest["segments"]] == [seg]
+    assert manifest["segments"][0]["n_docs"] == 8
+    on_disk = {d for d in os.listdir(path) if _re.fullmatch(r"seg_\d+", d)}
+    assert on_disk == {f"seg_{seg}"}
+    blocks, _ = R.load_lexical_store(spark, path)
+    got = {
+        tuple(r)
+        for r in blocks.select("term", "block_no", "df", "sum_tf", "postings").collect()
+    }
+    want = {tuple(r) for r in R.term_posting_blocks(all_docs, block=4).collect()}
+    assert got == want and got
+
+
+def test_append_refuses_interleaved_ids(spark, tmp_path):
+    """Segment merges are only canonical for append-only id ranges —
+    interleaved ids must fail loudly (from manifest metadata alone,
+    no old-segment scan), never write a silently mis-ordered store."""
     import pytest
 
     all_docs = _docs(spark, PLANTED)
-    R.save_lexical_index(all_docs.filter("doc_id >= 3"), str(tmp_path / "v1"))
+    path = str(tmp_path / "store")
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id >= 3"))
     with pytest.raises(ValueError, match="append-only"):
-        R.upsert_lexical_index(
-            spark, str(tmp_path / "v1"), all_docs.filter("doc_id < 3"), str(tmp_path / "v2")
-        )
+        R.append_lexical_segment(spark, path, all_docs.filter("doc_id < 3"))
+
+
+def test_append_refuses_mismatched_block_grid(spark, tmp_path):
+    """One block grid per store: blocks from different grids would
+    interleave doc_id ranges within a (term, block_no) key."""
+    import pytest
+
+    all_docs = _docs(spark, PLANTED)
+    path = str(tmp_path / "store")
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id <= 4"), block=4)
+    with pytest.raises(ValueError, match="block"):
+        R.append_lexical_segment(spark, path, all_docs.filter("doc_id > 4"), block=8)
+
+
+def test_append_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch writes nothing and leaves the manifest
+    untouched (sustained streaming ingest produces them)."""
+    all_docs = _docs(spark, PLANTED)
+    path = str(tmp_path / "store")
+    R.append_lexical_segment(spark, path, all_docs)
+    before = R._read_manifest(path)
+    assert R.append_lexical_segment(spark, path, all_docs.filter("doc_id > 99")) is None
+    assert R._read_manifest(path) == before
+
+
+def test_orphan_segment_invisible_and_not_reused(spark, tmp_path):
+    """Crash between segment write and manifest replace: the orphan
+    seg dir must be invisible to readers AND its id must never be
+    reused for different data (the next append numbers past it)."""
+    import os
+
+    all_docs = _docs(spark, PLANTED)
+    path = str(tmp_path / "store")
+    R.append_lexical_segment(spark, path, all_docs.filter("doc_id <= 4"))
+    os.makedirs(os.path.join(path, "seg_7"))  # simulated orphan
+    served = {tuple(r) for r in R.bm25_topk_from_index(spark, path).collect()}
+    direct = {tuple(r) for r in R.bm25_topk(all_docs.filter("doc_id <= 4")).collect()}
+    assert served == direct
+    seg = R.append_lexical_segment(spark, path, all_docs.filter("doc_id > 4"))
+    assert seg == 8
 
 
 def test_bm25_plan_properties(spark):

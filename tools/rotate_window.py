@@ -45,19 +45,26 @@ def load_green_rounds(repo: str) -> dict[int, set[str]]:
 
 
 def plan_next_window(
-    registry_names: list[str], rounds: dict[int, set[str]], window: int
+    registry_names: list[str],
+    rounds: dict[int, set[str]],
+    window: int,
+    force: tuple[str, ...] = (),
 ) -> tuple[list[str], set[str]]:
     """(next _CHECK_FIRST, next _PRIOR_ROUND_GREEN).
 
     Staleness rank: entries never driver-green come first, then
     ascending by their newest green round; ties keep registry order so
-    the output is deterministic. The prior-green set is the newest
-    round's green list (those are exactly the entries safe to leave
-    outside the next window)."""
+    the output is deterministic. ``force`` names entries whose
+    SEMANTICS changed this round — their old green rows prove the old
+    code, so they rank as if never green (the r13 lexical-store
+    rework is the precedent). The prior-green set is every green
+    entry the cut left outside the window."""
     latest = {}
     for rnd, names in rounds.items():
         for n in names:
             latest[n] = max(latest.get(n, 0), rnd)
+    for n in force:
+        latest.pop(n, None)
     order = {n: i for i, n in enumerate(registry_names)}
     ranked = sorted(registry_names, key=lambda n: (latest.get(n, -1), order[n]))
     nxt = ranked[:window]
@@ -77,13 +84,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/root/repo")
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--force",
+        default="",
+        help="comma-separated entries whose semantics changed this "
+        "round: ranked as never-green (their old rows prove old code)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry  # noqa: registry order as the driver sees it
 
     names = list(entry.queries())
     rounds = load_green_rounds(args.dir)
-    nxt, prior = plan_next_window(names, rounds, args.window)
+    force = tuple(n for n in (args.force or "").split(",") if n)
+    nxt, prior = plan_next_window(names, rounds, args.window, force)
 
     uncovered = [n for n in names if n not in nxt and n not in prior]
     print(f"# artifacts: rounds {sorted(rounds)} | registry {len(names)} entries")

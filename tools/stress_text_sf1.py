@@ -137,7 +137,63 @@ def main() -> None:
             ),
             flush=True,
         )
+    lexical_upsert_probe(spark, sf1, args.reps)
     spark.stop()
+
+
+def lexical_upsert_probe(spark, sf1: str, reps: int) -> None:
+    """The r13 segmented-store claim, measured: appending a 2% batch
+    to an existing store must cost O(batch) — its wall should sit far
+    below the from-scratch rebuild and STAY there as the indexed
+    corpus grows 10× (the r12 store full-outer-joined and rewrote the
+    whole postings table per batch, so its append wall tracked the
+    INDEX). Prints one row per scale: rebuild wall (tokenize+write
+    all docs as one segment), append wall (one O(batch) segment), and
+    their ratio."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sigmod_2024_contest_spark.functions import retrieval as R
+    from sigmod_2024_contest_spark.sources.tables import load_table
+
+    for label, d in (("sf0.1", SF01), ("sf1", sf1)):
+        docs = load_table(spark, d, "documents")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        cut = mx * 98 // 100
+        base = docs.filter(F.col("doc_id") <= cut)
+        batch = docs.filter(F.col("doc_id") > cut)
+        rebuilds, appends = [], []
+        for _ in range(reps):
+            work = tempfile.mkdtemp(prefix="sg_lexprobe_")
+            try:
+                t0 = time.time()
+                R.append_lexical_segment(spark, work, docs)
+                rebuilds.append(round(time.time() - t0, 3))
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            work = tempfile.mkdtemp(prefix="sg_lexprobe_")
+            try:
+                R.append_lexical_segment(spark, work, base)  # off the clock
+                t0 = time.time()
+                R.append_lexical_segment(spark, work, batch)
+                appends.append(round(time.time() - t0, 3))
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "entry": "lexical_upsert_probe",
+                    "scale": label,
+                    "rebuild_sec": min(rebuilds),
+                    "append_sec": min(appends),
+                    "append_over_rebuild": round(min(appends) / min(rebuilds), 3),
+                    "runs": {"rebuild": rebuilds, "append": appends},
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
