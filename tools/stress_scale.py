@@ -109,8 +109,11 @@ def main() -> None:
     nshards = sum(splan.values())
 
     # recall on a query subsample vs the exact oracle (corpus-broadcast
-    # path at this size — itself a timed datapoint)
-    sub = queries.filter(F.col("query_id") % 10 == 0)
+    # path at this size — itself a timed datapoint). Stride 5, not 10:
+    # types cycle qid % 4, and gcd(10, 4) = 2 made the old stride-10
+    # subsample see ONLY types 0 and 2 — stride 5 is coprime with the
+    # type cycle, so every type gets a recall figure (r12 verdict #4)
+    sub = queries.filter(F.col("query_id") % 5 == 0)
     t0 = time.time()
     exact = {}
     for r_ in knn.knn_exact_arrow(spark, base, sub, corpus_rows=nb).collect():
@@ -122,6 +125,22 @@ def main() -> None:
     recalls = [
         len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact if exact[q]
     ]
+    # per-type recall (r12 verdict #4 — the reference tracks recall per
+    # query type, getquery.cpp:125-128): makes a routing trade like the
+    # r12 type-0 crossover attributable to the type it moved
+    qtype = {
+        r_.query_id: r_.query_type
+        for r_ in sub.select("query_id", "query_type").collect()
+    }
+    by_type: dict[int, list[float]] = {}
+    for q in exact:
+        if exact[q]:
+            by_type.setdefault(qtype[q], []).append(
+                len(exact[q] & got.get(q, set())) / len(exact[q])
+            )
+    recall_by_type = {
+        str(t): round(sum(v) / len(v), 4) for t, v in sorted(by_type.items())
+    }
     print(
         json.dumps(
             {
@@ -138,6 +157,7 @@ def main() -> None:
                 "oracle_sec": oracle_s,
                 "result_rows": out_rows,
                 "recall": round(sum(recalls) / len(recalls), 4) if recalls else None,
+                "recall_by_type": recall_by_type,
             }
         )
     )
