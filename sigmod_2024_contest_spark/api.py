@@ -1926,33 +1926,19 @@ register(
 # reuses the chain's final vocabulary state (sequential ≡ priority
 # encode, premise pinned by tests/test_bpe.py). Hand-computed-merge
 # and local ≡ forced-distributed parity tests still pin the algorithm
-# independently of the oracle.
-_BPE_MERGE_ROWS: dict[str, list[tuple]] = {}
-
-
-def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-once cache so bpe_encode_counts doesn't re-run the corpus
-    word-count aggregate + merge loop bpe_train's own entry already
-    paid for in the same process. Plain rows (not a DataFrame) so the
-    cache is session-agnostic; n_merges rows, trivially small."""
-    if sf_dir not in _BPE_MERGE_ROWS:
-        _BPE_MERGE_ROWS[sf_dir] = [
-            (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
-            for r in BPE.bpe_train(_docs(spark, sf_dir)).collect()
-        ]
-    return spark.createDataFrame(
-        _BPE_MERGE_ROWS[sf_dir], "rank long, left string, right string, pair_count long"
-    )
-
-
+# independently of the oracle. Every invocation recomputes the merge
+# table from the parquet corpus — no cross-entry or cross-pass memo
+# (r13: a module-level result cache keyed on sf_dir is result caching,
+# not optimization; bpe_encode_counts declares encode∘train, so it
+# pays for its own train).
 register(
     "bpe_train",
-    lambda s, d: _bpe_merges(s, d),
+    lambda s, d: BPE.bpe_train(_docs(s, d)),
     BPE.bpe_train_sql(),
 )
 register(
     "bpe_encode_counts",
-    lambda s, d: BPE.bpe_encode_counts(_docs(s, d), _bpe_merges(s, d)),
+    lambda s, d: BPE.bpe_encode_counts(_docs(s, d), BPE.bpe_train(_docs(s, d))),
     BPE.bpe_encode_counts_sql(),
 )
 register(
