@@ -87,16 +87,32 @@ def running_topk_merge(
     concatenate+argpartition — after the first few chunks most queries'
     thresholds are settled and whole chunks skip in O(nq·w) compares
     instead of O(nq·(keep+w)) partition work (the r3 quantized-rerank
-    regression was exactly this re-sort running every chunk)."""
+    regression was exactly this re-sort running every chunk).
+
+    Wide chunks (w > keep) are PRE-CUT to their own per-row top-keep
+    before the union partition, so the concatenate/partition/gather
+    pipeline runs over (nq, 2·keep) instead of (nq, keep+w): the kept
+    value multiset is unchanged (top-keep of a union ≡ top-keep of the
+    per-side top-keeps) and boundary ties stay inside the same
+    documented PAD slack. Measured r13: 2.4× on the type-0 merge at
+    contest shape — the full-union concat+partition was the kernel's
+    single largest source of memory traffic."""
     if best_d.shape[1] == keep:
         worst = best_d.max(axis=1)
         upd = np.nonzero(d.min(axis=1) < worst)[0]
         if upd.size == 0:
             return best_d, best_i
-        all_d = np.concatenate([best_d[upd], d[upd]], axis=1)
-        all_i = np.concatenate(
-            [best_i[upd], np.broadcast_to(ids64[None, :], (upd.size, ids64.size))], axis=1
-        )
+        dsub = d[upd]
+        if dsub.shape[1] > keep:
+            part0 = np.argpartition(dsub, keep - 1, axis=1)[:, :keep]
+            rows = np.arange(upd.size)[:, None]
+            dk = dsub[rows, part0]
+            ik = ids64[part0]
+        else:
+            dk = dsub
+            ik = np.broadcast_to(ids64[None, :], dsub.shape)
+        all_d = np.concatenate([best_d[upd], dk], axis=1)
+        all_i = np.concatenate([best_i[upd], ik], axis=1)
         part = np.argpartition(all_d, keep - 1, axis=1)[:, :keep]
         rows = np.arange(upd.size)[:, None]
         best_d[upd] = all_d[rows, part]
@@ -120,6 +136,12 @@ def running_topk_merge(
 # with the same peak memory.
 QBLOCK = 4096
 SIM_ELEMS = 1 << 23  # ≈8M cells per dist block (64 MB at int64)
+# Query-group width for the type-2/3 union-slice GEMMs in
+# sliced_predicate_topk: large enough that one GEMM amortizes the
+# per-group numpy overhead, small enough that sorted-by-start groups
+# keep tight unions (and the (group × union) dist block stays inside
+# the SIM_ELEMS chunking anyway).
+RANGE_QGROUP = 256
 
 
 def blocked_masked_topk(
@@ -176,6 +198,7 @@ def sliced_predicate_topk(
     mat: np.ndarray,
     pair_dist,
     keep: int,
+    sentinel=None,
 ) -> None:
     """Predicate-sliced counterpart of :func:`blocked_masked_topk` —
     the sorted-replica scan (reference S3/F2-F4: ``SortDataset``'s
@@ -186,7 +209,9 @@ def sliced_predicate_topk(
     query type to the smallest distance computation that covers exactly
     its admissible rows: type 0 → chunked all-rows GEMM (no predicate);
     type 1 → one GEMM per distinct category over its contiguous slice;
-    type 2/3 → per-query ``searchsorted`` range slice. No nq×n mask is
+    type 2/3 → grouped union-slice GEMMs over per-query ``searchsorted``
+    position ranges (``RANGE_QGROUP`` queries per GEMM, masked by
+    column position). No corpus-wide nq×n mask is
     ever materialized and out-of-predicate rows are never scored — for
     the bf-routed regime (selectivity < 8 % by construction) that is
     >10× less distance work AND >10× less memory traffic than
@@ -210,6 +235,10 @@ def sliced_predicate_topk(
     n = len(ids64)
     if n == 0 or best_d.shape[0] == 0:
         return
+    if sentinel is None:
+        # the two grids in use: float64 kernels fill with inf, integer
+        # (code-space) kernels with 2^62 — match the caller's prefill
+        sentinel = np.inf if np.issubdtype(best_d.dtype, np.floating) else np.int64(1) << 62
 
     def batched_merge(qsel: np.ndarray, m, ids_v, rows_orig) -> None:
         """Merge one query group × row set, double-blocked: ≤QBLOCK
@@ -248,27 +277,59 @@ def sliced_predicate_topk(
             if hi <= lo:
                 continue
             batched_merge(qs, mat_cb[lo:hi], ids_cb[lo:hi], ocb[lo:hi])
+    def grouped_ranged_merge(qsel, lows, highs, mat_o, ids_o, rows_o) -> None:
+        """Type-2/3 slices batched: queries (sorted by slice start) are
+        processed in ≤RANGE_QGROUP groups; each group pays ONE GEMM over
+        its union position range — a contiguous view of the replica —
+        and masks out-of-slice cells by column POSITION (the slice
+        bounds ARE positions) before the shared merge. Replaces a
+        per-query GEMV loop whose ~30 numpy dispatches per query, not
+        its FLOPs, dominated the kernel at contest query counts;
+        sorting by slice start keeps each group's union close to its
+        members' own ranges, so the masked extra cells stay a small
+        constant factor. Masked cells hold ``sentinel`` and resolve
+        drops them — the kept real rows are exactly the per-slice
+        scan's (same values, same documented boundary-tie slack)."""
+        ne = highs > lows
+        qsel, lows, highs = qsel[ne], lows[ne], highs[ne]
+        if not qsel.size:
+            return
+        order = np.lexsort((highs, lows))
+        qsel, lows, highs = qsel[order], lows[order], highs[order]
+        for gs in range(0, qsel.size, RANGE_QGROUP):
+            ge = min(gs + RANGE_QGROUP, qsel.size)
+            g = qsel[gs:ge]
+            glo = int(lows[gs])  # sorted by lows → the group min
+            ghi = int(highs[gs:ge].max())
+            bd, bi = best_d[g], best_i[g]
+            chunk = max(2 * keep, SIM_ELEMS // int(g.size))
+            for cs in range(glo, ghi, chunk):
+                ce = min(cs + chunk, ghi)
+                d = pair_dist(g, mat_o[cs:ce], rows_o[cs:ce])
+                col = np.arange(cs, ce)
+                bad = (col[None, :] < lows[gs:ge, None]) | (
+                    col[None, :] >= highs[gs:ge, None]
+                )
+                d[bad] = sentinel
+                running_topk_merge(bd, bi, d, ids_o[cs:ce], keep)
+            best_d[g], best_i[g] = bd, bi
+
     if t2.size:
         ot = np.argsort(ts, kind="stable")  # ts replica order
         ts_t, mat_ts, ids_ts = ts[ot], mat[ot], ids64[ot]
-    for qi in np.concatenate([t2, t3]) if (t2.size or t3.size) else ():
-        if qtype[qi] == 2:
-            lo = np.searchsorted(ts_t, ll[qi], "left")
-            hi = np.searchsorted(ts_t, rr[qi], "right")
-            m, iv, ro = mat_ts[lo:hi], ids_ts[lo:hi], ot[lo:hi]
-        else:
-            clo = np.searchsorted(cats_cb, vv[qi], "left")
-            chi = np.searchsorted(cats_cb, vv[qi], "right")
-            tlo = clo + np.searchsorted(ts_cb[clo:chi], ll[qi], "left")
-            thi = clo + np.searchsorted(ts_cb[clo:chi], rr[qi], "right")
-            m, iv, ro = mat_cb[tlo:thi], ids_cb[tlo:thi], ocb[tlo:thi]
-        if len(iv) == 0:
-            continue
-        qsel = np.array([qi])
-        d = pair_dist(qsel, m, ro)
-        bd, bi = best_d[qsel], best_i[qsel]
-        running_topk_merge(bd, bi, d, iv, keep)
-        best_d[qsel], best_i[qsel] = bd, bi
+        lows = np.searchsorted(ts_t, ll[t2], "left")
+        highs = np.searchsorted(ts_t, rr[t2], "right")
+        grouped_ranged_merge(t2, lows, highs, mat_ts, ids_ts, ot)
+    if t3.size:
+        for v in np.unique(vv[t3]):
+            qs = t3[vv[t3] == v]
+            clo = np.searchsorted(cats_cb, v, "left")
+            chi = np.searchsorted(cats_cb, v, "right")
+            if chi <= clo:
+                continue
+            tlo = clo + np.searchsorted(ts_cb[clo:chi], ll[qs], "left")
+            thi = clo + np.searchsorted(ts_cb[clo:chi], rr[qs], "right")
+            grouped_ranged_merge(qs, tlo, thi, mat_cb, ids_cb, ocb)
 
 
 def resolve_topk_rows(
@@ -432,6 +493,71 @@ def _topk_window(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("query_id", "id", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# Packed candidate schema for the query-broadcast scan's final merge:
+# one row per (scan task, query) carrying the task's top-k as arrays,
+# instead of nq×k×P exploded rows. Same bytes, ~k× fewer rows — the
+# exploded shape made the final merge (row shuffle + rank window over
+# nq×k×P rows) cost ~¼–½ of the whole forced-scan leg at contest query
+# counts; arrays keep the shuffle machinery out of the per-candidate
+# path. The merge kernel reproduces the window's exact (dist, id)
+# per-query order, so results are identical.
+PACKED_CAND_SCHEMA = "query_id long, cids array<long>, cdists array<double>"
+
+
+def packed_topk_merge(packed: DataFrame, k: int) -> DataFrame:
+    """Final top-k over packed per-partition candidate lists:
+    (query_id, cids, cdists) rows — ≤ P per query — are bucketed by
+    query hash (coarse buckets, same device as exact_rerank_pooled) and
+    each bucket's lists are exploded, lexsorted by (dist, id) per query
+    and cut to k inside one Arrow kernel. Bit-identical rows to the
+    row_number window it replaces: float64 compare is a total order on
+    the never-NaN distances and the (dist, id) tie-break is the same."""
+    spark = packed.sparkSession
+    nbuckets = spark.sparkContext.defaultParallelism * 4
+    b = packed.withColumn("qb", F.pmod(F.hash("query_id"), F.lit(nbuckets)))
+
+    out_type = pa.schema(
+        [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("rnk", pa.int64())]
+    )
+
+    def kernel(tbl):
+        if tbl.num_rows == 0:
+            return pa.table({"query_id": [], "id": [], "rnk": []}, schema=out_type)
+        tbl = tbl.combine_chunks()
+
+        def list_parts(name):
+            col = tbl.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy()
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return offs, vals[offs[0] : offs[-1]]
+
+        qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        offs, ids_v = list_parts("cids")
+        _, d_v = list_parts("cdists")
+        lens = np.diff(offs)
+        rowq = np.repeat(qid, lens)
+        ids_v = ids_v.astype(np.int64)
+        o = np.lexsort((ids_v, d_v, rowq))
+        rq = rowq[o]
+        new = np.concatenate([[True], rq[1:] != rq[:-1]]) if len(rq) else np.empty(0, bool)
+        gstart = np.maximum.accumulate(np.where(new, np.arange(len(rq)), 0))
+        rnk = np.arange(len(rq)) - gstart
+        keepm = rnk < k
+        sel = o[keepm]
+        return pa.table(
+            {
+                "query_id": rowq[sel],
+                "id": ids_v[sel],
+                "rnk": (rnk[keepm] + 1).astype(np.int64),
+            },
+            schema=out_type,
+        )
+
+    return b.groupby("qb").applyInArrow(kernel, "query_id long, id long, rnk long")
 
 
 def knn_exact_expr(base: DataFrame, queries: DataFrame, k: int = workload.K) -> DataFrame:
@@ -738,8 +864,14 @@ def _knn_exact_corpus_broadcast(
         bc = spark.sparkContext.broadcast(corpus)
 
     def kernel(batches):
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _t0 = _time.time()
         ids, cats, ts, vecs = bc.value
         bb = np.einsum("ij,ij->i", vecs, vecs)
+        _nq_tot = 0
+        _t_bc = _time.time() - _t0
         for tbl in batches:
             qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
             qtype = tbl.column("query_type").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -757,13 +889,19 @@ def _knn_exact_corpus_broadcast(
 
             def dist_pair(qsel, sub, rows):
                 # GEMM on the pre-gathered view; norms indexed by the
-                # original row positions
-                d = qq[qsel][:, None] + bb[rows][None, :] - 2.0 * (qv[qsel] @ sub.T)
-                np.maximum(d, 0.0, out=d)
-                return d
+                # original row positions. In-place (qq + bb) − 2·G —
+                # bitwise-identical to the naive broadcast expression
+                # at half the full-size temporaries.
+                g = qv[qsel] @ sub.T
+                t = np.add(qq[qsel][:, None], bb[rows][None, :])
+                g *= 2.0
+                np.subtract(t, g, out=t)
+                np.maximum(t, 0.0, out=t)
+                return t
 
             # predicate-sliced scan (S3/F2-F4): selective queries score
             # only their (cat, ts) slice of the broadcast corpus
+            _nq_tot += nq
             sliced_predicate_topk(
                 best_d, best_i, (qtype, vv, ll, rr), ids, cats, ts, vecs, dist_pair, keep
             )
@@ -786,6 +924,14 @@ def _knn_exact_corpus_broadcast(
                         pa.field("rnk", pa.int64()),
                     ]
                 ),
+            )
+
+        if _os.environ.get("SG_KERNEL_PROF"):
+            print(
+                f"SGPROF corpus_bc pid={_os.getpid()} nq={_nq_tot}"
+                f" bc={_t_bc:.2f} total={_time.time() - _t0:.2f}",
+                file=_sys.stderr,
+                flush=True,
             )
 
     qdf = queries.select("query_id", "query_type", "v", "l", "r", "qvec")
@@ -914,9 +1060,13 @@ def knn_exact_arrow(
         corpus_rows, dim, n_queries, corpus_bc is not None
     ):
         return _knn_exact_corpus_broadcast(spark, base, queries, k, bc=corpus_bc)
-    out_schema = "query_id long, id long, dist double"
+    out_schema = PACKED_CAND_SCHEMA
     result_type = pa.schema(
-        [pa.field("query_id", pa.int64()), pa.field("id", pa.int64()), pa.field("dist", pa.float64())]
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("cids", pa.list_(pa.int64())),
+            pa.field("cdists", pa.list_(pa.float64())),
+        ]
     )
 
     def make_kernel(bc):
@@ -948,23 +1098,41 @@ def knn_exact_arrow(
             vecs_all = list_column_matrix(tbl, "vec")
             bb = np.einsum("ij,ij->i", vecs_all, vecs_all)
 
-            def dist_fn(qs, qe, cs, ce):
-                # one GEMM per (query-block × row-chunk)
-                d = qq[qs:qe, None] + bb[None, cs:ce] - 2.0 * (qv[qs:qe] @ vecs_all[cs:ce].T)
-                np.maximum(d, 0.0, out=d)
-                return d
+            def dist_pair(qsel, sub, rows):
+                # in-place (qq + bb) − 2·G: bitwise-identical values to
+                # the naive broadcast expression at half the temporaries
+                g = qv[qsel] @ sub.T
+                t = np.add(qq[qsel][:, None], bb[rows][None, :])
+                g *= 2.0
+                np.subtract(t, g, out=t)
+                np.maximum(t, 0.0, out=t)
+                return t
 
-            blocked_masked_topk(
-                best_d, best_i, qpred, ids_all, cats_all, ts_all, dist_fn, keep, np.inf
+            # predicate-sliced scan (S3/F2-F4): the same sorted-replica
+            # kernel every other brute-force path uses — the
+            # GEMM-then-mask shape spent ~15× the sliced kernel's wall
+            # in mask temporaries and full-width merges at contest
+            # query counts (measured r13; see OPTIMIZATION_r13.md)
+            sliced_predicate_topk(
+                best_d, best_i, qpred, ids_all, cats_all, ts_all, vecs_all,
+                dist_pair, keep, sentinel=np.inf,
             )
         if saw:
             # resolve the (dist, id) boundary before emitting, so the
             # ≤k rows shipped per query are the exact partial top-k —
-            # the slack columns never reach the shuffle
+            # the slack columns never reach the shuffle. Emitted PACKED
+            # (one list row per query, row-major ⇒ per-query rank
+            # order), so the final merge shuffles ≤P rows per query
+            # instead of ≤k×P (PACKED_CAND_SCHEMA rationale above).
             d2, i2, finite = resolve_topk_rows(best_d, best_i, k, np.inf)
-            rq = np.broadcast_to(qid[:, None], d2.shape)[finite]
+            counts = finite.sum(axis=1)
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(rq), pa.array(i2[finite]), pa.array(d2[finite])],
+                [
+                    pa.array(qid),
+                    pa.ListArray.from_arrays(offsets, pa.array(i2[finite])),
+                    pa.ListArray.from_arrays(offsets, pa.array(d2[finite])),
+                ],
                 schema=result_type,
             )
 
@@ -979,4 +1147,4 @@ def knn_exact_arrow(
     )
     if candidates is None:
         return spark.createDataFrame([], "query_id long, id long, rnk long")
-    return _topk_window(candidates, k)
+    return packed_topk_merge(candidates, k)
