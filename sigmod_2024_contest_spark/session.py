@@ -82,10 +82,34 @@ def get_spark(
     # forked from the daemon, which inherits this env.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
-    return (
+    # Keep large NumPy buffers in the worker's malloc arena instead of
+    # mmap/munmap per allocation (glibc's default threshold sends every
+    # ≥128 KB block to mmap): the GEMM kernels allocate ~64 MB distance
+    # blocks per corpus chunk, and with the default thresholds every
+    # chunk re-faults those pages — measured r13 at the contest shape,
+    # the warm corpus-broadcast exact leg runs 15-30 s with the default
+    # and 4.2-4.7 s with a 1 GiB threshold (OPTIMIZATION_r13.md). This
+    # is per-worker-process behavior, identical on a cluster (size
+    # executor memoryOverhead to the retained arena: ≤ threshold per
+    # worker). Override/disable via SPARK_GRAFT_MALLOC_ARENA_MB=0.
+    arena_mb = int(os.environ.get("SPARK_GRAFT_MALLOC_ARENA_MB", "1024"))
+    malloc_env = {}
+    if arena_mb > 0:
+        malloc_env = {
+            "MALLOC_MMAP_THRESHOLD_": str(arena_mb << 20),
+            "MALLOC_TRIM_THRESHOLD_": str(arena_mb << 20),
+        }
+        for var, val in malloc_env.items():
+            os.environ.setdefault(var, val)
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+    )
+    for var, val in malloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{var}", val)
+    return (
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Pin UTC so TIMESTAMP_NTZ→TIMESTAMP casts (events loader) and
