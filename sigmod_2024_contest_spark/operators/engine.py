@@ -66,26 +66,22 @@ INDEX_SCHEMA = (
 CAND_SCHEMA = "query_id long, id long, cdist double"
 
 
-def _build_group(
-    pdf: pd.DataFrame,
+def _build_group_graph(
+    pkey_val: str,
+    codes: np.ndarray,
+    ts_arr: np.ndarray,
     m: int,
     efc: int,
     graph_min_nodes: int,
-    alpha: float,
-    hnsw_levels: bool = False,
-) -> pd.DataFrame:
-    pdf = pdf.sort_values("id").reset_index(drop=True)
-    # rows arrive pre-encoded (Q6 in-build quantization,
-    # hnswalg.h:237-297): the JVM encodes before the build shuffle, so
-    # tasks receive 1-byte codes, not 4-byte floats — 4× less shuffle
-    # at any scale
-    codes = (
-        np.asarray([np.asarray(c, dtype=np.int8) for c in pdf["codes"]])
-        if len(pdf)
-        else np.empty((0, 0), np.int8)
-    )
-    ts_arr = pdf["ts"].to_numpy()
-    n = len(pdf)
+    hnsw_levels: bool,
+):
+    """The per-shard graph construction shared by the pandas adapter
+    (:func:`_build_group`) and the batched Arrow kernel
+    (:func:`build_groups`) — one implementation, so the two entry
+    points are bit-identical by construction. ``codes`` is the (n, d)
+    int8 matrix in id-ascending row order. Returns
+    (nbr_lists, nbr_ts_lists, level_arr, upper_lists)."""
+    n = len(ts_arr)
     level_arr = np.zeros(n, dtype=np.int32)
     upper_lists: list[list[list[int]]] = [[] for _ in range(n)]
     if n <= graph_min_nodes:
@@ -107,7 +103,7 @@ def _build_group(
             # builtin hash(), which is PYTHONHASHSEED-salted and only
             # reproducible because PySpark happens to pin the worker
             # seed; rebuild determinism must not depend on that
-            seed = zlib.crc32(str(pdf["pkey"].iloc[0]).encode()) % (1 << 31)
+            seed = zlib.crc32(str(pkey_val).encode()) % (1 << 31)
             nbrs, level_arr, upper_lists = NumpyHNSW(
                 m=m, ef_construction=efc, seed=seed
             ).build(cvecs, return_levels=True)
@@ -116,6 +112,33 @@ def _build_group(
         kept = [row[row >= 0] for row in nbrs]
         nbr_lists = [row.tolist() for row in kept]
         nbr_ts_lists = [ts_arr[row].tolist() for row in kept]
+    return nbr_lists, nbr_ts_lists, level_arr, upper_lists
+
+
+def _build_group(
+    pdf: pd.DataFrame,
+    m: int,
+    efc: int,
+    graph_min_nodes: int,
+    alpha: float,
+    hnsw_levels: bool = False,
+) -> pd.DataFrame:
+    pdf = pdf.sort_values("id").reset_index(drop=True)
+    # rows arrive pre-encoded (Q6 in-build quantization,
+    # hnswalg.h:237-297): the JVM encodes before the build shuffle, so
+    # tasks receive 1-byte codes, not 4-byte floats — 4× less shuffle
+    # at any scale
+    codes = (
+        np.asarray([np.asarray(c, dtype=np.int8) for c in pdf["codes"]])
+        if len(pdf)
+        else np.empty((0, 0), np.int8)
+    )
+    ts_arr = pdf["ts"].to_numpy()
+    n = len(pdf)
+    pkey_val = str(pdf["pkey"].iloc[0]) if n else ""
+    nbr_lists, nbr_ts_lists, level_arr, upper_lists = _build_group_graph(
+        pkey_val, codes, ts_arr, m, efc, graph_min_nodes, hnsw_levels
+    )
     return pd.DataFrame(
         {
             "pkey": pdf["pkey"],
@@ -130,6 +153,161 @@ def _build_group(
             "upper": upper_lists,
         }
     )
+
+
+def build_groups(
+    sliced: DataFrame,
+    m: int,
+    efc: int,
+    graph_min_nodes: int,
+    alpha: float,
+    hnsw_levels: bool = False,
+    n_groups: int | None = None,
+    max_nodes: int | None = None,
+) -> DataFrame:
+    """Batched shard construction: every per-shard build in one
+    ``mapInArrow`` pass over ``(pkey, id, category, ts, codes)`` rows
+    hash-partitioned by pkey — each task splits its partition into
+    pkey runs and runs the SAME :func:`_build_group_graph` core per
+    shard. Replaces ``groupBy(pkey).applyInPandas(_build_group)``
+    (bit-identical output — the graph core is shared and the id-sort
+    is reproduced) for two measured reasons (guide §4.2/§2.5):
+
+    - **per-group constants**: the grouped-pandas path pays a pandas
+      DataFrame + per-row codes decode per shard; entries that build
+      thousands of ≤128-node shards (the parity entries) spent more
+      wall in that per-group overhead than in graph math. Here the
+      codes column decodes once per batch via Arrow offsets.
+    - **task balance**: the grouped exchange inherits
+      ``spark.sql.shuffle.partitions`` and AQE coalesces it toward the
+      core count, so ~107 multi-second shard builds landed on ~32
+      partitions with a max load of 5-6 sequential builds (the
+      stress_build straggler wall). ``n_groups`` (known from the shard
+      plan) sizes an explicit hash repartition to 4× the group count —
+      user-specified N, so AQE keeps it — making the expected max
+      2 builds per task. ``max_nodes`` (the per-shard row bound) caps
+      that at ≥512 input rows per task, so MANY-TINY-shard builds (the
+      parity entries: dozens of ≤128-node shards per build) pack into
+      a few tasks instead of paying hundreds of task constants —
+      measured r14: the 4×n_groups rule alone tripled those entries.
+    """
+    spark = sliced.sparkSession
+    if n_groups:
+        npart = 4 * int(n_groups)
+        if max_nodes:
+            npart = min(npart, max(1, (int(n_groups) * int(max_nodes)) // 512))
+        npart = max(1, min(npart, 4096))
+        part = sliced.repartition(npart, "pkey")
+    else:
+        part = sliced.repartition("pkey")
+    a = float(alpha)  # noqa: F841 — kept for signature parity with _build_group
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from .knn import prefault_worker_arena
+
+        prefault_worker_arena()
+        out_schema = pa.schema(
+            [
+                pa.field("pkey", pa.string()),
+                pa.field("pos", pa.int64()),
+                pa.field("id", pa.int64()),
+                pa.field("category", pa.int32()),
+                pa.field("ts", pa.float64()),
+                pa.field("codes", pa.binary()),
+                pa.field("nbrs", pa.list_(pa.int32())),
+                pa.field("nbr_ts", pa.list_(pa.float64())),
+                pa.field("level", pa.int32()),
+                pa.field("upper", pa.list_(pa.list_(pa.int32()))),
+            ]
+        )
+        tabs = list(batches)
+        if not tabs:
+            return
+        tbl = pa.Table.from_batches(tabs).combine_chunks()
+        if tbl.num_rows == 0:
+            return
+        # null pkeys form ONE group, like groupBy(pkey) did: rows whose
+        # slice prefix is missing from a FROZEN shard plan route to a
+        # null shard between compactions (the delta+compact contract) —
+        # factorize with a sentinel no real "prefix:int" pkey can be
+        pk_raw = tbl.column("pkey").to_pylist()
+        has_null = any(p is None for p in pk_raw)
+        null_key = "\x00null"
+        pk = np.asarray(
+            [null_key if p is None else p for p in pk_raw], dtype=object
+        )
+        ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = tbl.column("category").to_numpy(zero_copy_only=False).astype(np.int32)
+        ts_all = tbl.column("ts").to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = tbl.column("codes")
+        if isinstance(cc, pa.ChunkedArray):
+            cc = cc.combine_chunks()
+        offs = cc.offsets.to_numpy()
+        cvals = cc.values.to_numpy(zero_copy_only=False).astype(np.int8, copy=False)
+        widths = np.diff(offs)
+        d = int(widths[0]) if widths.size else 0
+        if widths.size and (widths == widths[0]).all() and d > 0:
+            codes_all = cvals[offs[0] : offs[-1]].reshape(len(ids), d)
+        else:  # ragged codes — not produced by the encoders; stay safe
+            codes_all = np.asarray(cc.to_pylist(), dtype=np.int8)
+            d = codes_all.shape[1] if codes_all.ndim == 2 else 0
+        # one stable (pkey, id) order: groups become contiguous runs,
+        # rows within a run are id-ascending — exactly the per-group
+        # sort_values("id") the pandas adapter performs (pkeys are
+        # factorized to ints first; lexsort on object strings is slow)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        order = np.lexsort((ids, inv))
+        inv_s = inv[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], inv_s[1:] != inv_s[:-1]])
+        ).tolist() + [len(inv_s)]
+        for gi in range(len(bounds) - 1):
+            s, e = bounds[gi], bounds[gi + 1]
+            sel = order[s:e]
+            n = len(sel)
+            g_ids, g_cats, g_ts = ids[sel], cats[sel], ts_all[sel]
+            g_codes = codes_all[sel] if d else np.empty((n, 0), np.int8)
+            pkey_val = str(uniq[inv_s[s]])
+            is_null = has_null and pkey_val == null_key
+            if is_null:
+                # the pandas adapter saw pkey=None here: its seed key
+                # was str(None) and its output pkey stayed null
+                pkey_val = str(None)
+            nbr_lists, nbr_ts_lists, level_arr, upper_lists = _build_group_graph(
+                pkey_val, g_codes, g_ts, m, efc, graph_min_nodes, hnsw_levels
+            )
+            boffs = (np.arange(n + 1, dtype=np.int32) * d) if d else np.zeros(
+                n + 1, dtype=np.int32
+            )
+            codes_arr = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(g_codes.tobytes())],
+            )
+            pkey_arr = (
+                pa.nulls(n, pa.string())
+                if is_null
+                else pa.array(np.full(n, pkey_val, dtype=object), type=pa.string())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pkey_arr,
+                    pa.array(np.arange(n, dtype=np.int64)),
+                    pa.array(g_ids),
+                    pa.array(g_cats),
+                    pa.array(g_ts),
+                    codes_arr,
+                    pa.array(nbr_lists, type=pa.list_(pa.int32())),
+                    pa.array(nbr_ts_lists, type=pa.list_(pa.float64())),
+                    pa.array(level_arr),
+                    pa.array(upper_lists, type=pa.list_(pa.list_(pa.int32()))),
+                ],
+                schema=out_schema,
+            )
+
+    return part.mapInArrow(kernel, INDEX_SCHEMA)
 
 
 MAX_NODES_PER_GRAPH = 8192
@@ -233,11 +411,9 @@ def build_index(
     if shard_plan is None:
         shard_plan = _shard_plan(base, cat_thr, max_nodes)
     both = _slice_rows(base, shard_plan, alpha)
-    a = float(alpha)
-    build_levels = hnsw_levels
-    return both.groupBy("pkey").applyInPandas(
-        lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, build_levels),
-        INDEX_SCHEMA,
+    return build_groups(
+        both, m, efc, graph_min_nodes, float(alpha), hnsw_levels,
+        n_groups=sum(shard_plan.values()), max_nodes=max_nodes,
     )
 
 
@@ -336,6 +512,7 @@ def upsert_index(
     graph_min_nodes: int = 0,
     hnsw_levels: bool = False,
     affected: list[str] | None = None,
+    max_nodes: int = MAX_NODES_PER_GRAPH,
 ) -> DataFrame:
     """Incremental index maintenance: fold new vectors into an existing
     partitioned graph index, rebuilding ONLY the shards they land in.
@@ -391,14 +568,9 @@ def upsert_index(
             bin_to_codes(F.col("codes")).alias("codes"),
         )
     )
-    a = float(alpha)
-    rebuilt = (
-        retained.unionByName(sliced)
-        .groupBy("pkey")
-        .applyInPandas(
-            lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, hnsw_levels),
-            INDEX_SCHEMA,
-        )
+    rebuilt = build_groups(
+        retained.unionByName(sliced), m, efc, graph_min_nodes, float(alpha),
+        hnsw_levels, n_groups=len(affected), max_nodes=max_nodes,
     )
     return untouched.unionByName(rebuilt)
 
@@ -539,14 +711,9 @@ def upsert_index_epoch(
             bin_to_codes(F.col("codes")).alias("codes"),
         )
     )
-    a = float(alpha)
-    rebuilt = (
-        retained.unionByName(sliced)
-        .groupBy("pkey")
-        .applyInPandas(
-            lambda pdf: _build_group(pdf, m, efc, graph_min_nodes, a, hnsw_levels),
-            INDEX_SCHEMA,
-        )
+    rebuilt = build_groups(
+        retained.unionByName(sliced), m, efc, graph_min_nodes, float(alpha),
+        hnsw_levels, n_groups=len(affected), max_nodes=max_nodes,
     )
     return untouched.unionByName(rebuilt), new_state, affected
 
@@ -1029,6 +1196,9 @@ def _search_cogroup_arrow(itbl, qtbl, k: int, ef: int | None, gemm_thr: int, alp
     from numpy into one Arrow table."""
     import pyarrow as pa
 
+    from .knn import prefault_worker_arena
+
+    prefault_worker_arena()
     out_schema = pa.schema(
         [
             pa.field("query_id", pa.int64()),

@@ -696,3 +696,62 @@ def test_upsert_index_preserves_hnsw_levels_parity(spark):
     s_up, s_scr = snap(up), snap(scratch)
     assert s_up == s_scr
     assert any(lvl > 0 for _, _, lvl, _, _ in s_up)  # levels actually built
+
+
+def test_build_groups_bit_identical_to_grouped_pandas(spark):
+    """Equivalence harness for the r14 batched build (engine.build_groups):
+    the mapInArrow multi-shard kernel must reproduce the grouped-pandas
+    ``applyInPandas(_build_group)`` path BIT-IDENTICALLY — every column
+    including adjacency, per-edge timestamps, codes bytes, level and
+    upper layers — on both build flavors (RNG graph and hnsw_levels).
+    The parity entries hash-pin these rows, so this is the contract."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sigmod_2024_contest_spark.functions import quantization as Q
+    from sigmod_2024_contest_spark.operators import routing
+
+    base = base_vectors(spark, SF_SMOKE)
+    alpha = Q.train_alpha(base)
+
+    def snap(df):
+        return sorted(
+            (
+                "\x00<null>" if r["pkey"] is None else r["pkey"],
+                r["pos"], r["id"], r["category"], r["ts"],
+                bytes(r["codes"]), tuple(r["nbrs"]), tuple(r["nbr_ts"]),
+                r["level"], tuple(tuple(u) for u in r["upper"]),
+            )
+            for r in df.collect()
+        )
+
+    for max_nodes, gmn, levels in ((64, 0, False), (64, 0, True), (48, 16, False)):
+        splan = engine._shard_plan(base, routing.CAT_GRAPH_THR, max_nodes)
+        sliced = engine._slice_rows(base, splan, alpha)
+        a = float(alpha)
+        def make_ref(_a, _g, _l):
+            return lambda pdf: engine._build_group(pdf, 16, 100, _g, _a, _l)
+
+        reference = sliced.groupBy("pkey").applyInPandas(
+            make_ref(a, gmn, levels), engine.INDEX_SCHEMA
+        )
+        batched = engine.build_groups(
+            sliced, 16, 100, gmn, a, levels, n_groups=sum(splan.values())
+        )
+        ref_rows, new_rows = snap(reference), snap(batched)
+        assert ref_rows == new_rows, (max_nodes, gmn, levels)
+        assert len(ref_rows) > 0
+
+    # frozen-plan edge: rows whose decile is absent from the plan get a
+    # NULL pkey (the delta+compact contract) — both paths must emit the
+    # identical null-keyed group
+    frozen = engine._shard_plan(base.filter(F.col("ts") < 0.2), routing.CAT_GRAPH_THR, 64)
+    sliced = engine._slice_rows(base, frozen, alpha)
+    reference = sliced.groupBy("pkey").applyInPandas(
+        make_ref(float(alpha), 0, False), engine.INDEX_SCHEMA
+    )
+    batched = engine.build_groups(
+        sliced, 16, 100, 0, float(alpha), False, n_groups=sum(frozen.values())
+    )
+    ref_rows, new_rows = snap(reference), snap(batched)
+    assert ref_rows == new_rows
+    assert any(r[0] == "\x00<null>" for r in ref_rows)  # null group exercised
