@@ -430,7 +430,9 @@ def _index_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=alpha,
         max_nodes=UPSERT_PARITY_MAX_NODES,
     )
-    up = engine.upsert_index(idx, arrivals, plan, alpha)
+    up = engine.upsert_index(
+        idx, arrivals, plan, alpha, max_nodes=UPSERT_PARITY_MAX_NODES
+    )
     scratch = engine.build_index(
         base, shard_plan=plan, alpha=alpha, max_nodes=UPSERT_PARITY_MAX_NODES
     )
@@ -611,8 +613,13 @@ def _index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_plan = engine._shard_plan(
         seed, routing.CAT_GRAPH_THR, COMPACT_PARITY_MAX_NODES
     )
-    idx = engine.build_index(seed, shard_plan=old_plan, alpha=old_alpha)
-    up = engine.upsert_index(idx, arrivals, old_plan, old_alpha).persist()
+    idx = engine.build_index(
+        seed, shard_plan=old_plan, alpha=old_alpha,
+        max_nodes=COMPACT_PARITY_MAX_NODES,
+    )
+    up = engine.upsert_index(
+        idx, arrivals, old_plan, old_alpha, max_nodes=COMPACT_PARITY_MAX_NODES
+    ).persist()
     try:
         fired = engine.compaction_due(
             up,
@@ -789,7 +796,9 @@ def _ingest_parity_body(
     newest = max(vdirs, key=lambda s: int(s[1:]))
     store_bounded = vdirs <= (referenced | {newest})
 
-    scratch = _e.build_index(base, shard_plan=plan, alpha=alpha)
+    scratch = _e.build_index(
+        base, shard_plan=plan, alpha=alpha, max_nodes=INGEST_PARITY_MAX_NODES
+    )
     cols = ["pkey", "id", "category", "ts", "codes", "nbrs", "nbr_ts", "level"]
     joined = (
         idx.select(*cols).alias("u")
@@ -944,15 +953,21 @@ def _epoch_parity_body(
     os.makedirs(index_dir)
     nb = EPOCH_PARITY_BATCHES
     mn = INGEST_PARITY_MAX_NODES
-    for i in range(nb):
-        part_dir = os.path.join(work, f"p{i}")
-        (
-            base.filter(F.pmod(F.col("id"), F.lit(nb)) == i)
-            .select("id", "category", "ts", "vec")
-            .coalesce(1)
-            .write.parquet(part_dir)
+    # ONE staging job (r14, guide §6): write all batch files in a
+    # single partitionBy(pmod(id, nb)) pass instead of nb filtered
+    # scans of the base — same bytes, same per-batch row sets
+    part_dir = os.path.join(work, "parts")
+    (
+        base.select(
+            F.pmod(F.col("id"), F.lit(nb)).cast("int").alias("b"),
+            "id", "category", "ts", "vec",
         )
-        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        .coalesce(1)
+        .write.partitionBy("b")
+        .parquet(part_dir)
+    )
+    for i in range(nb):
+        src = glob.glob(os.path.join(part_dir, f"b={i}", "part-*.parquet"))[0]
         dst = os.path.join(stage, f"batch{i}.parquet")
         shutil.move(src, dst)
         # epoch routing is arrival-order-dependent (unlike the hash
@@ -984,32 +999,42 @@ def _epoch_parity_body(
         (d for d in os.listdir(index_dir) if d.startswith("v") and d[1:].isdigit()),
         key=lambda s: int(s[1:]),
     )
+    # ONE audit job over every version's shard dir (was one job per
+    # version): version recovered from the file path, per-(version,
+    # pkey) counts aggregated together, the seal ordering checked
+    # driver-side over the catalog-sized result — same flags
     sealed_immutable = True
     committed_full: set[str] = set()
-    for v in vdirs:
-        sdir = os.path.join(index_dir, v, "shards")
-        counts = {
-            r["pkey"]: r["n"]
-            for r in spark.read.parquet(sdir)
-            .groupBy("pkey").agg(F.count("*").alias("n")).collect()
-        }
-        if committed_full & set(counts):
-            sealed_immutable = False
-        committed_full |= {p for p, n in counts.items() if n >= mn}
+    if vdirs:
+        per_version: dict[str, dict[str, int]] = {v: {} for v in vdirs}
+        scans = [
+            spark.read.parquet(os.path.join(index_dir, v, "shards")).select(
+                F.lit(v).alias("v"), "pkey"
+            )
+            for v in vdirs
+        ]
+        audit_df = scans[0]
+        for s_ in scans[1:]:
+            audit_df = audit_df.unionByName(s_)
+        audit = audit_df.groupBy("v", "pkey").agg(F.count("*").alias("n")).collect()
+        for r in audit:
+            per_version[r["v"]][r["pkey"]] = r["n"]
+        for v in vdirs:
+            counts = per_version[v]
+            if committed_full & set(counts):
+                sealed_immutable = False
+            committed_full |= {p for p, n in counts.items() if n >= mn}
 
     idx = V.load_latest_index(spark, index_dir)
     a = float(meta.get("alpha", alpha))
     bin_to_codes = F.pandas_udf(_e._bin_to_codes_batch, "array<tinyint>")
-    rebuilt = (
+    rebuilt = _e.build_groups(
         idx.select(
             "pkey", "id", "category", "ts",
             bin_to_codes(F.col("codes")).alias("codes"),
-        )
-        .groupBy("pkey")
-        .applyInPandas(
-            lambda pdf: _e._build_group(pdf, 16, 100, 0, a, False),
-            _e.INDEX_SCHEMA,
-        )
+        ),
+        16, 100, 0, a, False,
+        n_groups=len(owners) or None, max_nodes=INGEST_PARITY_MAX_NODES,
     )
     joined = (
         idx.select("pkey", "id", "nbrs", "nbr_ts", "level").alias("u")

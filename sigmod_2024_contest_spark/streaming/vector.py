@@ -309,8 +309,6 @@ def index_ingest_stream(
             _gc_versions(index_dir, retain_versions)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
         latest = latest_index_path(index_dir)
         plan, a = shard_plan, alpha
@@ -318,8 +316,10 @@ def index_ingest_stream(
         prev_owners: dict[str, str] = {}
         epochs: dict[str, list[int]] | None = None
         if latest is None:
+            if batch_df.isEmpty():
+                return
             new_index = engine.build_index(
-                batch_df, shard_plan=plan, alpha=a, m=m, efc=efc
+                batch_df, shard_plan=plan, alpha=a, m=m, efc=efc, max_nodes=mn
             )
             if epoch_sharding:
                 epochs = engine._epoch_state_from_plan(plan)
@@ -372,16 +372,26 @@ def index_ingest_stream(
                     cur, batch_df, plan, a, epochs,
                     max_nodes=mn, m=m, efc=efc,
                 )
+                # empty micro-batch: nothing routed, nothing to commit
+                # (the routing job doubles as the old isEmpty check —
+                # one job per batch instead of two)
+                if not affected:
+                    return
             else:
                 # ONE routing job: the distinct-collect both feeds the
-                # manifest owners map and skips upsert_index's internal one
+                # manifest owners map and skips upsert_index's internal
+                # one; an empty batch routes nowhere and no-ops here
+                # (doubling as the old isEmpty check)
                 affected = [
                     r["pkey"]
                     for r in engine._slice_rows(batch_df, plan, a)
                     .select("pkey").distinct().collect()
                 ]
+                if not affected:
+                    return
                 new_index = engine.upsert_index(
-                    cur, batch_df, plan, a, m=m, efc=efc, affected=affected
+                    cur, batch_df, plan, a, m=m, efc=efc, affected=affected,
+                    max_nodes=mn,
                 )
         if corpus_dir is not None and (
             engine.compaction_due(new_index, plan, max_nodes=mn, factor=factor)
