@@ -122,6 +122,7 @@ def _int_cut_rerank(
     big = np.int64(1) << 62
 
     def kernel(bc, batches):
+        knn.prefault_worker_arena()
         qm, qc = bc.value
         qid = qm[:, 0].astype(np.int64)
         qpred = (qm[:, 1].astype(np.int64), qm[:, 2], qm[:, 3], qm[:, 4])

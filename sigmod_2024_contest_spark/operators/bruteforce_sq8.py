@@ -109,6 +109,9 @@ def fused_quant_bc_search(
     )
 
     def kernel(batches):
+        from .knn import prefault_worker_arena
+
+        prefault_worker_arena()
         ids_s, cats, ts, V_, codes = bc.value
         bbV = np.einsum("ij,ij->i", V_, V_)
         pos64 = np.arange(len(ids_s), dtype=np.int64)

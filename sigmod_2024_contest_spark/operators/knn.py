@@ -26,6 +26,8 @@ heap leaves ties unspecified; we pin them — SURVEY §7.6).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -33,6 +35,60 @@ from pyspark.sql import functions as F
 
 from ..functions.distance import l2_sqr_expr
 from ..plans import workload
+
+# Per-worker-process allocator warmup (guide §4.5 heavyweight-init-once
+# + §5 memory churn). Two halves, both idempotent per process:
+#
+# - ``mallopt(M_MMAP_THRESHOLD/M_TRIM_THRESHOLD)``: keeps the kernels'
+#   large NumPy buffers (distance blocks are ~64 MB each) in the sbrk
+#   arena and keeps them after free, instead of mmap/munmap + refault
+#   per allocation. session.get_spark already sets the equivalent env
+#   for workers it spawns; calling mallopt in the LIVE worker also
+#   covers sessions this package did not create (the driver-contract
+#   ``__spark_entry__`` path, where executorEnv is frozen before we
+#   load — r13 ADVICE item 1).
+# - a one-shot arena pre-fault: touch SPARK_GRAFT_PREFAULT_MB of pages
+#   once so the first full-size kernel invocation of each worker does
+#   not pay the faults inside a timed region (measured r13/r14: the
+#   first contest rep runs 2-3× its warm wall purely on first-touch
+#   faults; this host's THP stalls amplify it).
+#
+# Standard public glibc tunables; on a cluster, size executor
+# memoryOverhead to include the retained arena (≤ the threshold per
+# worker). SPARK_GRAFT_PREFAULT_MB=0 / SPARK_GRAFT_MALLOC_ARENA_MB=0
+# disable the respective half.
+_ARENA_PID: int | None = None
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return int(default)
+
+
+def prefault_worker_arena() -> None:
+    global _ARENA_PID
+    pid = os.getpid()
+    if _ARENA_PID == pid:
+        return
+    _ARENA_PID = pid
+    arena_mb = _env_int("SPARK_GRAFT_MALLOC_ARENA_MB", 1024)
+    if arena_mb > 0:
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL(None)
+            thr = min(arena_mb << 20, (1 << 31) - 1)
+            libc.mallopt(ctypes.c_int(-3), ctypes.c_int(thr))  # M_MMAP_THRESHOLD
+            libc.mallopt(ctypes.c_int(-1), ctypes.c_int(thr))  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc platform: the env-based tuning still applies
+    pf_mb = _env_int("SPARK_GRAFT_PREFAULT_MB", 512)
+    if pf_mb > 0:
+        buf = np.empty((pf_mb << 20) // 8, dtype=np.float64)
+        buf[::512] = 0.0  # one write per 4 KiB page
+        del buf
 
 
 def list_column_matrix(batch, name: str, dtype=np.float64) -> np.ndarray:
@@ -296,8 +352,31 @@ def sliced_predicate_topk(
             return
         order = np.lexsort((highs, lows))
         qsel, lows, highs = qsel[order], lows[order], highs[order]
-        for gs in range(0, qsel.size, RANGE_QGROUP):
-            ge = min(gs + RANGE_QGROUP, qsel.size)
+        # greedy grouping with a union-bloat guard (r13 ADVICE): groups
+        # were cut every RANGE_QGROUP queries regardless of shape, so
+        # one straggler with a far-right `high` stretched the group's
+        # union over mostly out-of-slice cells — GEMM+mask paid for
+        # cells every member masks away. Close the group early when
+        # admitting the next query would push the union width past 4×
+        # the members' summed slice widths (tiny unions are exempt —
+        # the split only matters when the masked area is real work).
+        cuts = [0]
+        gs = 0
+        while gs < qsel.size:
+            ge = gs + 1
+            glo = int(lows[gs])
+            ghi = int(highs[gs])
+            wsum = ghi - glo
+            while ge < min(gs + RANGE_QGROUP, qsel.size):
+                nhi = max(ghi, int(highs[ge]))
+                w = int(highs[ge]) - int(lows[ge])
+                if (nhi - glo) > 4 * (wsum + w) and (nhi - glo) > 4096:
+                    break
+                ghi, wsum = nhi, wsum + w
+                ge += 1
+            cuts.append(ge)
+            gs = ge
+        for gs, ge in zip(cuts[:-1], cuts[1:]):
             g = qsel[gs:ge]
             glo = int(lows[gs])  # sorted by lows → the group min
             ghi = int(highs[gs:ge].max())
@@ -361,14 +440,21 @@ def query_batches(queries: DataFrame, batch_rows: int = QUERY_BATCH_ROWS):
         yield buf
 
 
-# Scan-task sizing for the query-broadcast kernels: every task emits up
-# to (nq × keep) candidate rows into the merge REGARDLESS of how much
-# corpus it reads, so for a given corpus the merge volume is
-# proportional to the task count while the GEMM work is constant. Size
-# tasks to at least this many corpus rows (compute per task stays ≥
-# ~0.5 s of BLAS at contest query counts) and never above the session
-# parallelism — a 100 TB corpus keeps P = parallelism; a 20k-row
-# contest corpus drops to ~5 tasks and its candidate merge shrinks 6×.
+# Scan-task sizing for the query-broadcast kernels: every task pays a
+# cost PROPORTIONAL TO THE QUERY COUNT on top of its GEMM share — the
+# (nq × keep) running-merge state, the per-query-group dispatch of the
+# sliced kernel (RANGE_QGROUP groups × row chunks), and the packed
+# candidate emission — so for a fixed corpus, total work grows with
+# the task count while only the GEMM parallelizes. Size tasks to at
+# least this many corpus rows and never above the session parallelism.
+# Measured r14 on the contest shape (20k rows × 100k queries, warm
+# min-of-2, plans/r14/scan_task_sweep.txt): 5 tasks → 17-21 s,
+# 20 tasks → 74-95 s, 32 tasks → 29-57 s — MORE tasks is strictly
+# worse; the leg's 8-vs-32-cpu flatness (r13 verdict item 6) is this
+# granularity (5 tasks run at either core count), not a bandwidth
+# ceiling. A 100 TB corpus keeps P = parallelism and each task's slice
+# stays big enough that the GEMM dominates its nq-proportional
+# constant — the regime the rule was designed for.
 MIN_SCAN_ROWS_PER_TASK = 4096
 
 
@@ -397,6 +483,11 @@ def chunked_broadcast_scan(
     spark = scan.sparkSession
     if scan_rows is None:
         scan_rows = scan.count()
+    gen = query_batches(queries, batch_rows)
+    first = next(gen, None)
+    if first is None:
+        return None
+    second = next(gen, None)
     target = max(
         1,
         min(
@@ -409,11 +500,6 @@ def chunked_broadcast_scan(
         scan = scan.repartition(target)  # thin source (e.g. one .bin shard)
     elif cur > target:
         scan = scan.coalesce(target)  # narrow — no shuffle of the corpus
-    gen = query_batches(queries, batch_rows)
-    first = next(gen, None)
-    if first is None:
-        return None
-    second = next(gen, None)
     if second is None:
         bc = spark.sparkContext.broadcast(payload_fn(first))
         return scan.mapInArrow(kernel_fn(bc), out_schema)
@@ -654,6 +740,7 @@ def exact_rerank(
     )
 
     def kernel(batches):
+        prefault_worker_arena()
         ids_s, V_ = bc.value
         bb_s = np.einsum("ij,ij->i", V_, V_)
         for tbl in batches:
@@ -767,6 +854,7 @@ def exact_rerank_pooled(
         return np.arange(n) - gstart
 
     def kernel(ctbl, qtbl):
+        prefault_worker_arena()
         ids_s, V_ = bc.value
         if ctbl.num_rows == 0 or qtbl.num_rows == 0:
             return pa.table(
@@ -867,6 +955,7 @@ def _knn_exact_corpus_broadcast(
         import os as _os
         import sys as _sys
         import time as _time
+        prefault_worker_arena()
         _t0 = _time.time()
         ids, cats, ts, vecs = bc.value
         bb = np.einsum("ij,ij->i", vecs, vecs)
@@ -1073,6 +1162,7 @@ def knn_exact_arrow(
         return lambda batches: partial_topk(bc, batches)
 
     def partial_topk(bc, batches):
+        prefault_worker_arena()
         qm, qv = bc.value
         qid = qm[:, 0].astype(np.int64)
         qpred = (qm[:, 1].astype(np.int64), qm[:, 2], qm[:, 3], qm[:, 4])

@@ -92,15 +92,21 @@ def get_spark(
     # is per-worker-process behavior, identical on a cluster (size
     # executor memoryOverhead to the retained arena: ≤ threshold per
     # worker). Override/disable via SPARK_GRAFT_MALLOC_ARENA_MB=0.
-    arena_mb = int(os.environ.get("SPARK_GRAFT_MALLOC_ARENA_MB", "1024"))
+    # Sessions NOT created here (the driver-contract __spark_entry__
+    # path, where executorEnv is frozen before this package loads) get
+    # the same tuning at first kernel call via mallopt in the live
+    # worker — operators.knn.prefault_worker_arena.
+    try:
+        arena_mb = int(os.environ.get("SPARK_GRAFT_MALLOC_ARENA_MB", "1024"))
+    except (TypeError, ValueError):
+        arena_mb = 1024
     malloc_env = {}
     if arena_mb > 0:
-        malloc_env = {
-            "MALLOC_MMAP_THRESHOLD_": str(arena_mb << 20),
-            "MALLOC_TRIM_THRESHOLD_": str(arena_mb << 20),
-        }
-        for var, val in malloc_env.items():
-            os.environ.setdefault(var, val)
+        for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+            os.environ.setdefault(var, str(arena_mb << 20))
+            # propagate the EFFECTIVE value (a user-exported threshold
+            # wins on the driver via setdefault — workers must agree)
+            malloc_env[var] = os.environ[var]
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")

@@ -255,3 +255,61 @@ def test_exact_side_selection_ladder():
     assert g(500_000, 64, knn.CORPUS_BC_EXT_MIN_NQ, False)
     # above the cells cap: never, regardless of nq
     assert not g(1_000_000, 100, 10_000_000, False)
+
+
+def test_forced_scan_three_way_parity(spark, monkeypatch):
+    """r13 verdict item 4: the packed query-broadcast scan path —
+    ``force_query_broadcast=True`` through ``packed_topk_merge`` and
+    the grouped range GEMMs — must produce exactly the corpus-broadcast
+    plan's rows and the declarative oracle-twin's rows, at a corpus
+    size ABOVE the (monkeypatched) broadcast bound so the side-choice
+    gate genuinely routes to the scan."""
+    base = base_vectors(spark, SF_SMOKE)
+    q = workload.queries_df(spark, SF_SMOKE)
+    # drop the bounds so this corpus counts as "too big to broadcast"
+    monkeypatch.setattr(knn, "CORPUS_BC_MAX_ROWS", 16)
+    monkeypatch.setattr(knn, "CORPUS_BC_MAX_CELLS", 16)
+    # the scan gate must now pick query-broadcast on its own
+    rows = base.count()
+    assert not knn.exact_plan_is_corpus_bc(rows, None, q.count(), False)
+    auto_rows = rows_set(knn.knn_exact_arrow(spark, base, q).collect())
+    forced_rows = rows_set(
+        knn.knn_exact_arrow(spark, base, q, force_query_broadcast=True).collect()
+    )
+    # restore the real bound for the corpus-broadcast reference side
+    monkeypatch.setattr(knn, "CORPUS_BC_MAX_ROWS", 200_000)
+    monkeypatch.setattr(knn, "CORPUS_BC_MAX_CELLS", 40_000_000)
+    bc_rows = rows_set(knn.knn_exact_arrow(spark, base, q).collect())
+    expr_rows = rows_set(knn.knn_exact_expr(base, q).collect())
+    assert forced_rows == expr_rows
+    assert auto_rows == expr_rows
+    assert bc_rows == expr_rows
+
+
+def test_packed_topk_merge_matches_window(spark):
+    """Unit pin for the r13 packed merge kernel: on packed candidate
+    lists with planted equal distances across ids, the kernel's rows
+    equal the row_number window over the exploded candidates — the
+    (dist, id) tie-break included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = []
+    for qid in range(40):
+        for part in range(4):  # 4 "scan tasks" per query
+            ds = sorted(round(rng.uniform(0, 3), 1) for _ in range(6))  # many ties
+            ids = rng.sample(range(part * 100, part * 100 + 50), 6)
+            rows.append((qid, ids, [float(d) for d in ds]))
+    packed = spark.createDataFrame(rows, knn.PACKED_CAND_SCHEMA)
+    exploded = packed.select(
+        "query_id", F.explode(F.arrays_zip("cids", "cdists")).alias("z")
+    ).select(
+        "query_id",
+        F.col("z.cids").alias("id"),
+        F.col("z.cdists").alias("dist"),
+    )
+    want = rows_set(knn._topk_window(exploded, 7).collect())
+    got = rows_set(knn.packed_topk_merge(packed, 7).collect())
+    assert got == want
