@@ -130,7 +130,7 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out_id, out_keys, out_mh = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = text.split(" ")
+                ws = text.split(" ") if text else []  # null ≡ empty doc
                 keys = {
                     int(hashlib.md5((" ".join(ws[i : i + 3])).encode()).hexdigest()[:12], 16)
                     for i in range(len(ws) - 2)
@@ -1053,6 +1053,8 @@ def winnow_fingerprints(docs: DataFrame, window: int = WINNOW_WINDOW) -> DataFra
         for pdf in batches:
             out_id, out_win, out_fp = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:  # null/empty text emits nothing — the
+                    continue  # replaced Catalyst expression's behavior
                 ws = text.split(" ")
                 m = len(ws) - 2
                 if m <= 0:
