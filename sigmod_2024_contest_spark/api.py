@@ -2137,18 +2137,19 @@ register(
 # comes first; the remainder keep their original order. Across every
 # two consecutive rounds each entry earns at least one driver hash row.
 #
-# Round-13 window (rotate_window.py plan with
-# `--force lexical_postings,bm25_topk_from_index,lexical_index_upsert`,
-# verbatim): the five lexical-store entries first — the two NEW parity
-# entries (lexical_ingest_parity / lexical_compaction_parity, never
-# green) and the three FORCED names whose semantics changed when the
-# store became segmented+blocked this round (their r12 green rows
-# prove the old flat-index code, so the tool ranks them never-green)
-# — then the 25 names whose latest green row is CORRECTNESS_r10
-# (exactly at the pinned 3-round staleness bound: events_json_stats …
-# top_supplier, the r12 verdict's list), then the 20 stalest r11-green
-# names. Everything displaced waits in _PRIOR_ROUND_GREEN on its
-# newest green row.
+# Round-14 window (rotate_window.py plan with `--force
+# winnow_fingerprints,winnow_match_pairs,bpe_train,bpe_encode_counts,stream_index_ingest_epoch_parity`,
+# verbatim — the r13 verdict item 3 list plus the epoch parity, whose
+# implementation changed this round): the five FORCED names first —
+# the r13 winnowing rewrite and BPE de-memoization landed AFTER the
+# r13 rotation, so their green rows prove the old code, and the epoch
+# parity's staging/audit/fold were rebuilt in r14 (rows proven
+# bit-identical by driver-sim, but the driver row should be on the new
+# code) — then the stalest r11-green block, which happens to include
+# every other entry whose build path changed in r14
+# (index_upsert_parity, index_compaction_parity,
+# stream_index_ingest_parity, stream_neardup_parity). Everything
+# displaced waits in _PRIOR_ROUND_GREEN on its newest green row.
 #
 # STANDING OBLIGATION (every round): run tools/rotate_window.py after
 # the round's CORRECTNESS artifact lands and paste its two literals —
@@ -2163,141 +2164,134 @@ register(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST: list[str] = [
-    "lexical_postings",
-    "bm25_topk_from_index",
-    "lexical_index_upsert",
-    "lexical_ingest_parity",
-    "lexical_compaction_parity",
-    "events_json_stats",
-    "asof_last_error",
-    "event_funnel",
-    "retention_cohorts",
-    "events_value_quantiles",
-    "shipping_priority",
-    "local_supplier_volume",
-    "brand_revenue",
-    "order_priority_check",
-    "returned_items",
-    "promo_revenue",
-    "large_orders",
-    "discounted_revenue",
-    "sales_opportunity",
-    "volume_shipping",
-    "parts_supplier_counts",
-    "tfidf_topk",
-    "salted_user_join",
-    "events_daily_pivot",
-    "sales_rollup",
-    "events_user_reach",
-    "forecast_revenue",
-    "late_line_priority",
-    "customer_order_distribution",
-    "top_supplier",
-    "knn_bruteforce",
-    "knn_declarative",
-    "stats_category_counts",
-    "selectivity",
-    "route_plan",
-    "split_interval",
-    "sq8_encode",
-    "sq8_asym_encode",
-    "sq4_encode",
-    "knn_sq8_rerank",
-    "knn_asym_rerank",
-    "knn_sq4_rerank",
-    "knn_hybrid",
-    "knn_hybrid_bf_exact",
     "stream_index_ingest_epoch_parity",
-    "text_stats",
-    "text_repetition",
-    "lang_id",
-    "doc_fingerprint",
-    "redact_pii",
+    "winnow_fingerprints",
+    "winnow_match_pairs",
+    "bpe_train",
+    "bpe_encode_counts",
+    "ngram_counts",
+    "token_counts",
+    "dedup_exact",
+    "dedup_containment",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "sample_balanced_splits",
+    "curate_corpus",
+    "bm25_topk",
+    "retrieval_rrf",
+    "dup_span_extract",
+    "remove_dup_spans",
+    "min_cost_supplier",
+    "important_parts",
+    "small_qty_revenue",
+    "market_share",
+    "product_type_profit",
+    "promo_suppliers",
+    "waiting_suppliers",
+    "copurchase_pairs",
+    "rolling_revenue",
+    "revenue_growth_mom",
+    "sales_cube",
+    "user_order_reconciliation",
+    "order_gap_days",
+    "index_upsert_parity",
+    "stream_neardup_parity",
+    "index_compaction_parity",
+    "stream_index_ingest_parity",
+    "quality_classifier",
+    "source_quality_summary",
+    "bigram_likelihood",
+    "dup_ngram_stats",
+    "dedup_keep_best",
+    "pack_sequences",
+    "chunk_documents",
+    "mixture_sample",
+    "vocab_counts",
+    "decontaminate",
+    "dedup_embedding_cosine",
+    "dedup_cosine_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
 ]
 
-# Entries with a driver-green hash row that the stalest-first cut left
-# outside this round's window (every r12-green name except the forced
-# lexical trio, plus the newer half of the r11 block). Together with
-# _CHECK_FIRST these must cover the whole registry: a new entry
-# registered without being added to the rotation plan fails loudly at
-# import instead of silently landing outside every driver window (r7
-# verdict #4).
 _PRIOR_ROUND_GREEN: frozenset[str] = frozenset(
     {
-        "ann_cosine_topk",
         "ann_ivf_topk",
-        "ann_lsh_topk",
-        "bigram_likelihood",
-        "bm25_topk",
-        "bpe_encode_counts",
-        "bpe_train",
-        "chunk_documents",
-        "copurchase_pairs",
-        "curate_corpus",
-        "decontaminate",
-        "dedup_clusters",
-        "dedup_containment",
-        "dedup_cosine_lsh",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_jaccard",
-        "dedup_keep_best",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dup_ngram_stats",
-        "dup_span_extract",
+        "asof_last_error",
+        "bm25_topk_from_index",
+        "brand_revenue",
+        "customer_order_distribution",
+        "discounted_revenue",
+        "doc_fingerprint",
         "embed_project",
+        "event_funnel",
         "events_click_attribution",
         "events_daily_dedup",
+        "events_daily_pivot",
+        "events_json_stats",
         "events_sessionized",
+        "events_user_reach",
+        "events_value_quantiles",
         "events_windowed_counts",
-        "important_parts",
-        "index_compaction_parity",
-        "index_upsert_parity",
+        "forecast_revenue",
+        "knn_asym_rerank",
         "knn_auto",
+        "knn_bruteforce",
+        "knn_declarative",
+        "knn_hybrid",
+        "knn_hybrid_bf_exact",
         "knn_ivfpq_rerank",
         "knn_pq_rerank",
-        "market_share",
+        "knn_sq4_rerank",
+        "knn_sq8_rerank",
+        "lang_id",
+        "large_orders",
+        "late_line_priority",
+        "lexical_compaction_parity",
+        "lexical_index_upsert",
+        "lexical_ingest_parity",
+        "lexical_postings",
+        "local_supplier_volume",
         "media_audio_stats",
         "media_byte_stats",
         "media_frame_sample",
         "media_image_stats",
         "media_resize",
         "media_video_stats",
-        "min_cost_supplier",
-        "mixture_sample",
-        "ngram_counts",
-        "order_gap_days",
-        "pack_sequences",
+        "order_priority_check",
+        "parts_supplier_counts",
         "power_users_daily_coverage",
         "pricing_summary",
-        "product_type_profit",
-        "promo_suppliers",
-        "quality_classifier",
+        "promo_revenue",
         "recall_hybrid_vs_exact",
         "recall_ivf_vs_exact",
         "recall_ivfpq_vs_exact",
         "recall_lsh_vs_exact",
         "recall_nndescent_vs_exact",
         "recall_pq_vs_exact",
-        "remove_dup_spans",
-        "retrieval_rrf",
-        "revenue_growth_mom",
-        "rolling_revenue",
-        "sales_cube",
-        "sample_balanced_splits",
-        "small_qty_revenue",
-        "source_quality_summary",
-        "stream_index_ingest_parity",
-        "stream_neardup_parity",
-        "token_counts",
+        "redact_pii",
+        "retention_cohorts",
+        "returned_items",
+        "route_plan",
+        "sales_opportunity",
+        "sales_rollup",
+        "salted_user_join",
+        "selectivity",
+        "shipping_priority",
+        "split_interval",
+        "sq4_encode",
+        "sq8_asym_encode",
+        "sq8_encode",
+        "stats_category_counts",
+        "text_repetition",
+        "text_stats",
+        "tfidf_topk",
         "top_customers",
-        "user_order_reconciliation",
+        "top_supplier",
         "user_totals",
-        "vocab_counts",
-        "waiting_suppliers",
-        "winnow_fingerprints",
-        "winnow_match_pairs",
+        "volume_shipping",
         "workload_stats",
     }
 )

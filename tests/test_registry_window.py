@@ -36,69 +36,59 @@ ROUND8_WINDOW = {
 
 
 WINDOW_HEAD = [
-    # r13: the lexical store became segmented+blocked, so the three
-    # FORCED names (semantics changed — their r12 green rows prove the
-    # old flat-index code) rank as never-green alongside the two NEW
-    # parity entries. rotate_window.py --force makes this mechanical.
-    "lexical_postings",
-    "bm25_topk_from_index",
-    "lexical_index_upsert",
-    "lexical_ingest_parity",
-    "lexical_compaction_parity",
+    # r14: five FORCED names (rotate_window.py --force). The r13
+    # winnowing rewrite and BPE de-memoization landed AFTER the r13
+    # rotation (their green rows prove the old code — r13 verdict item
+    # 3's list), and the epoch parity's staging/audit/fold were rebuilt
+    # in r14 (rows bit-identical, but the driver row should be on the
+    # new code).
+    "stream_index_ingest_epoch_parity",
+    "winnow_fingerprints",
+    "winnow_match_pairs",
+    "bpe_train",
+    "bpe_encode_counts",
 ]
 
-FORCED = ["lexical_postings", "bm25_topk_from_index", "lexical_index_upsert"]
-
-R10_STALE = [
-    # latest green row is CORRECTNESS_r10 — exactly at the pinned
-    # 3-round staleness bound; the r12 verdict requires these 25 to
-    # lead the r13 window right after the lexical-store head
-    "asof_last_error", "brand_revenue", "customer_order_distribution",
-    "discounted_revenue", "event_funnel", "events_daily_pivot",
-    "events_json_stats", "events_user_reach", "events_value_quantiles",
-    "forecast_revenue", "large_orders", "late_line_priority",
-    "local_supplier_volume", "order_priority_check",
-    "parts_supplier_counts", "promo_revenue", "retention_cohorts",
-    "returned_items", "sales_opportunity", "sales_rollup",
-    "salted_user_join", "shipping_priority", "tfidf_topk",
-    "top_supplier", "volume_shipping",
+FORCED = [
+    "winnow_fingerprints", "winnow_match_pairs", "bpe_train",
+    "bpe_encode_counts", "stream_index_ingest_epoch_parity",
 ]
 
 
-def test_round13_window_is_exactly_the_planned_set():
-    """First 50 registry keys == the five lexical-store entries (two
-    new + three forced) + the 25 r10-stale names + the 20 stalest
-    r11-green names: no r12-green name except the forced trio
-    re-occupies a slot."""
+def test_round14_window_is_exactly_the_planned_set():
+    """First 50 registry keys == the five forced names + the stalest
+    r11-green block: no r13-green name except the forced epoch parity
+    re-occupies a slot, and every r14-build-path parity entry is in."""
     first = list(api._REGISTRY)[: api._DRIVER_WINDOW]
     assert len(first) == 50
     assert first[:5] == WINDOW_HEAD
-    assert set(first[5:30]) == set(R10_STALE)
-    # the 20 remaining slots rotate the stalest r11-green names back
-    # in; every r12-green entry except the forced trio waits in
-    # prior-green
+    for name in (
+        "index_upsert_parity", "index_compaction_parity",
+        "stream_index_ingest_parity", "stream_neardup_parity",
+    ):
+        assert name in first  # r14 build-path changes get driver rows
     import json
 
-    r12 = {
+    r13 = {
         k
-        for k, v in json.load(open("/root/repo/CORRECTNESS_r12.json")).items()
+        for k, v in json.load(open("/root/repo/CORRECTNESS_r13.json")).items()
         if v.get("err") is None
     }
-    assert (r12 - set(FORCED)).isdisjoint(first)
-    assert r12 - set(FORCED) <= set(api._PRIOR_ROUND_GREEN)
+    assert (r13 - set(FORCED)).isdisjoint(first)
+    assert r13 - set(FORCED) <= set(api._PRIOR_ROUND_GREEN)
 
 
-def test_rotate_window_tool_reproduces_r13_window():
-    """On the real r1-r12 artifacts, the live registry, and the
+def test_rotate_window_tool_reproduces_r14_window():
+    """On the real r1-r13 artifacts, the live registry, and the
     declared force list the tool must propose exactly the committed
-    r13 lists — the rotation stays mechanical, not hand-curated."""
+    r14 lists — the rotation stays mechanical, not hand-curated."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from rotate_window import load_green_rounds, plan_next_window
 
-    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 12}
-    assert max(rounds) == 12
+    rounds = {k: v for k, v in load_green_rounds("/root/repo").items() if k <= 13}
+    assert max(rounds) == 13
     nxt, prior = plan_next_window(
         list(api._REGISTRY), rounds, window=50, force=tuple(FORCED)
     )
